@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine's workloads.
+
+Defaults are chosen for large-scale correctness + performance:
+
+- UTC session timezone — ODF canonicalizes all timestamps to UTC
+  (reference: writer.rs:162-196).
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — the 100 TB safety net for skewed CDC keys.
+- Arrow-based Python<->JVM transfer for the few Pandas-UDF operators.
+- Parquet filter pushdown + vectorized reader kept on (defaults), so
+  declarative plans get scan-level pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kamu-cli-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ODF identifiers are case-sensitive (reference:
+        # engine_config_embedded.rs:18-30). Spark's default is
+        # case-insensitive; we keep Spark's default for SQL-surface
+        # compatibility with the DuckDB oracle, but preserve column case.
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

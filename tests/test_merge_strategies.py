@@ -1,0 +1,249 @@
+"""Golden-table tests for the CDC merge strategies.
+
+Fixtures mirror the reference's operator unit tests
+(src/infra/ingest-datafusion/tests/tests/test_merge_strategy_*.rs and
+the SQL specs embedded in merge_strategies/*.rs; see FIXTURES.md F1-F4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from kamu_cli_spark.operators import (
+    MergeStrategyAppend,
+    MergeStrategyChangelogStream,
+    MergeStrategyLedger,
+    MergeStrategySnapshot,
+    MergeStrategyUpsertStream,
+    project_changelog,
+)
+from kamu_cli_spark.vocab import OperationType as Op
+
+from tests.conftest import rows
+
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("op", T.IntegerType(), False),
+        T.StructField("city", T.StringType(), False),
+        T.StructField("population", T.IntegerType(), False),
+    ]
+)
+
+
+def test_project_changelog_golden(spark):
+    # FIXTURES.md F3 / reference changelog.rs:26-60
+    ledger = spark.createDataFrame(
+        [
+            (0, Op.APPEND, "a", 1000),
+            (1, Op.APPEND, "b", 2000),
+            (2, Op.APPEND, "c", 3000),
+            (3, Op.CORRECT_FROM, "b", 2000),
+            (4, Op.CORRECT_TO, "b", 2500),
+            (5, Op.CORRECT_FROM, "a", 1000),
+            (6, Op.CORRECT_TO, "a", 1500),
+            (7, Op.RETRACT, "a", 1500),
+        ],
+        LEDGER_SCHEMA,
+    )
+    state = project_changelog(ledger, ["city"])
+    assert state.columns == ["offset", "op", "city", "population"]
+    assert rows(state, "city") == [
+        (4, Op.CORRECT_TO, "b", 2500),
+        (2, Op.APPEND, "c", 3000),
+    ]
+
+
+def test_append_strategy(spark):
+    new = spark.createDataFrame([("x", 1)], "event_time string, v int")
+    out = MergeStrategyAppend().merge(None, new)
+    assert out.columns == ["op", "event_time", "v"]
+    assert rows(out) == [(Op.APPEND, "x", 1)]
+
+
+def test_ledger_strategy_dedup(spark):
+    # FIXTURES.md F2: overlapping polls append only unseen PKs
+    prev = spark.createDataFrame(
+        [(0, Op.APPEND, "vancouver", 1), (1, Op.APPEND, "seattle", 2)],
+        LEDGER_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [("seattle", 2), ("kyiv", 3)], "city string, population int"
+    )
+    out = MergeStrategyLedger(["city"]).merge(prev, new)
+    assert out.columns == ["op", "city", "population"]
+    assert rows(out, "city") == [(Op.APPEND, "kyiv", 3)]
+
+
+def test_ledger_strategy_no_prev(spark):
+    new = spark.createDataFrame([("kyiv", 3)], "city string, population int")
+    out = MergeStrategyLedger(["city"]).merge(None, new)
+    assert rows(out) == [(Op.APPEND, "kyiv", 3)]
+
+
+def test_snapshot_strategy_first_poll(spark):
+    new = spark.createDataFrame(
+        [(2020, "vancouver", 1)], "year int, city string, population int"
+    )
+    out = MergeStrategySnapshot(["city"]).merge(None, new)
+    assert rows(out) == [(Op.APPEND, 2020, "vancouver", 1)]
+
+
+def test_snapshot_strategy_cdc_golden(spark):
+    """FIXTURES.md F1 / snapshot.rs:146-215 SQL spec golden output.
+
+    poll1 = {(2020,vancouver,1),(2020,seattle,2),(2020,kyiv,3)}
+    poll2 = {(null,seattle,2),(null,kyiv,4),(null,odessa,5)}
+    → +A odessa, -R vancouver, -C/+C kyiv (year is event-time-ish:
+    null in new must not count as change on its own).
+    """
+    prev_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("op", T.IntegerType(), False),
+            T.StructField("year", T.IntegerType(), True),
+            T.StructField("city", T.StringType(), False),
+            T.StructField("population", T.IntegerType(), False),
+        ]
+    )
+    prev = spark.createDataFrame(
+        [
+            (0, Op.APPEND, 2020, "vancouver", 1),
+            (1, Op.APPEND, 2020, "seattle", 2),
+            (2, Op.APPEND, 2020, "kyiv", 3),
+        ],
+        prev_schema,
+    )
+    new = spark.createDataFrame(
+        [(None, "seattle", 2), (None, "kyiv", 4), (None, "odessa", 5)],
+        "year int, city string, population int",
+    )
+    strat = MergeStrategySnapshot(["city"], None, vocab_event_time_is_year())
+    out = strat.merge(prev, new)
+    assert out.columns == ["op", "year", "city", "population"]
+    got = rows(out, "city", "op")
+    assert got == [
+        (Op.CORRECT_FROM, 2020, "kyiv", 3),
+        (Op.CORRECT_TO, None, "kyiv", 4),
+        (Op.APPEND, None, "odessa", 5),
+        (Op.RETRACT, 2020, "vancouver", 1),
+    ]
+
+
+def vocab_event_time_is_year():
+    from kamu_cli_spark.vocab import DatasetVocabulary
+
+    return DatasetVocabulary(event_time_column="year")
+
+
+# Reuse constructor signature: MergeStrategySnapshot(pk, compare_columns, vocab)
+def test_snapshot_event_time_null_tolerance(spark):
+    """A row identical except a NULL new event_time is NOT a change."""
+    prev = spark.createDataFrame(
+        [(0, Op.APPEND, 2020, "seattle", 2)],
+        T.StructType(
+            [
+                T.StructField("offset", T.LongType(), False),
+                T.StructField("op", T.IntegerType(), False),
+                T.StructField("year", T.IntegerType(), True),
+                T.StructField("city", T.StringType(), False),
+                T.StructField("population", T.IntegerType(), False),
+            ]
+        ),
+    )
+    new = spark.createDataFrame(
+        [(None, "seattle", 2)], "year int, city string, population int"
+    )
+    out = MergeStrategySnapshot(
+        ["city"], None, vocab_event_time_is_year()
+    ).merge(prev, new)
+    assert rows(out) == []
+
+
+def test_changelog_stream_passthrough(spark):
+    new = spark.createDataFrame(
+        [(Op.APPEND, "kyiv", 3), (Op.RETRACT, "kyiv", 3)],
+        "op int, city string, population int",
+    )
+    out = MergeStrategyChangelogStream(["city"]).merge(None, new)
+    assert rows(out, "op") == [(Op.APPEND, "kyiv", 3), (Op.RETRACT, "kyiv", 3)]
+
+
+def test_upsert_stream_golden(spark):
+    """upsert_stream.rs:209-349 SQL spec golden output."""
+    prev_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("op", T.IntegerType(), False),
+            T.StructField("year", T.IntegerType(), True),
+            T.StructField("city", T.StringType(), False),
+            T.StructField("population", T.IntegerType(), True),
+        ]
+    )
+    prev = spark.createDataFrame(
+        [
+            (0, Op.APPEND, 2020, "vancouver", 1),
+            (1, Op.APPEND, 2020, "seattle", 2),
+            (2, Op.APPEND, 2020, "kyiv", 3),
+            (3, Op.APPEND, 2020, "bakhmut", 4),
+            (4, Op.RETRACT, 2020, "bakhmut", 4),
+            (5, Op.CORRECT_FROM, 2020, "kyiv", 3),
+            (6, Op.CORRECT_TO, 2020, "kyiv", 4),
+        ],
+        prev_schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (Op.APPEND, 2020, "odessa", 5),  # append
+            (Op.APPEND, 2020, "kyiv", 4),  # no-op
+            (Op.APPEND, 2021, "vancouver", 2),  # correction
+            (Op.APPEND, 2021, "bakhmut", 1),  # append after retract
+            (Op.RETRACT, 2020, "seattle", 2),  # retract
+        ],
+        "op int, year int, city string, population int",
+    )
+    out = MergeStrategyUpsertStream(["city"]).merge(prev, new)
+    assert out.columns == ["op", "year", "city", "population"]
+    got = rows(out, "city", "op")
+    assert got == [
+        (Op.APPEND, 2021, "bakhmut", 1),
+        (Op.APPEND, 2020, "odessa", 5),
+        (Op.RETRACT, 2020, "seattle", 2),
+        (Op.CORRECT_FROM, 2020, "vancouver", 1),
+        (Op.CORRECT_TO, 2021, "vancouver", 2),
+    ]
+
+
+def test_upsert_intra_batch_dedup(spark):
+    """Only the last upsert per PK within a batch survives."""
+    new = spark.createDataFrame(
+        [
+            (Op.APPEND, "kyiv", 1),
+            (Op.APPEND, "kyiv", 2),
+            (Op.APPEND, "kyiv", 3),
+        ],
+        "op int, city string, population int",
+    ).coalesce(1)
+    out = MergeStrategyUpsertStream(["city"]).merge(None, new)
+    assert rows(out) == [(Op.APPEND, "kyiv", 3)]
+
+
+def test_upsert_retract_of_unseen_key_dropped(spark):
+    prev = spark.createDataFrame(
+        [(0, Op.APPEND, 2020, "kyiv", 3)],
+        T.StructType(
+            [
+                T.StructField("offset", T.LongType(), False),
+                T.StructField("op", T.IntegerType(), False),
+                T.StructField("year", T.IntegerType(), True),
+                T.StructField("city", T.StringType(), False),
+                T.StructField("population", T.IntegerType(), True),
+            ]
+        ),
+    )
+    new = spark.createDataFrame(
+        [(Op.RETRACT, 2020, "odessa", 9)], "op int, year int, city string, population int"
+    )
+    out = MergeStrategyUpsertStream(["city"]).merge(prev, new)
+    assert rows(out) == []
