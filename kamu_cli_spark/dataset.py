@@ -1,0 +1,135 @@
+"""Dataset storage layout and lifecycle.
+
+A dataset is a directory::
+
+    <workspace>/<name>/
+        metadata.jsonl     # hash-chained metadata ledger
+        data/<seq>-<start>-<end>.parquet   # immutable sorted slices
+
+Mirrors the ODF dataset model (reference: MetadataBlock chain +
+Parquet slices, dtos_generated.rs:1231/:990) with a Spark-first
+layout: slice files are plain Parquet readable by `spark.read`, the
+chain pins reproducible as-of file lists (like Delta time travel).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kamu_cli_spark.ledger import MetadataChain
+from kamu_cli_spark.vocab import DEFAULT_VOCAB, DatasetVocabulary
+
+
+class Dataset:
+    def __init__(self, path: str):
+        self.path = path
+        self.name = os.path.basename(path.rstrip("/"))
+        self.chain = MetadataChain(os.path.join(path, "metadata.jsonl"))
+
+    # -- lifecycle -----------------------------------------------------
+
+    @staticmethod
+    def create(
+        workspace: str,
+        name: str,
+        kind: str = "Root",
+        vocab: DatasetVocabulary = DEFAULT_VOCAB,
+        system_time: str | None = None,
+    ) -> "Dataset":
+        path = os.path.join(workspace, name)
+        if os.path.exists(os.path.join(path, "metadata.jsonl")):
+            raise ValueError(f"dataset already exists: {path}")
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        ds = Dataset(path)
+        ds.chain.append(
+            {
+                "kind": "Seed",
+                "dataset_id": "did:odf:" + uuid.uuid4().hex,
+                "dataset_kind": kind,
+            },
+            system_time=system_time,
+        )
+        if vocab != DEFAULT_VOCAB:
+            ds.chain.append(
+                {
+                    "kind": "SetVocab",
+                    "offset_column": vocab.offset_column,
+                    "operation_type_column": vocab.operation_type_column,
+                    "system_time_column": vocab.system_time_column,
+                    "event_time_column": vocab.event_time_column,
+                }
+            )
+        return ds
+
+    @property
+    def vocab(self) -> DatasetVocabulary:
+        b = self.chain.last_event("SetVocab")
+        if b is None:
+            return DEFAULT_VOCAB
+        e = b.event
+        return DatasetVocabulary(
+            offset_column=e.get("offset_column", "offset"),
+            operation_type_column=e.get("operation_type_column", "op"),
+            system_time_column=e.get("system_time_column", "system_time"),
+            event_time_column=e.get("event_time_column", "event_time"),
+        )
+
+    @property
+    def kind(self) -> str:
+        b = self.chain.blocks()[0]
+        return b.event.get("dataset_kind", "Root")
+
+    # -- data access ---------------------------------------------------
+
+    def slice_paths(self, as_of: str | None = None) -> list[str]:
+        return [
+            os.path.join(self.path, d["path"]) for d in self.chain.data_files(as_of)
+        ]
+
+    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
+        """Whole changelog as-of a block (reproducible state pinning,
+        reference: query_service_impl.rs:59-304)."""
+        paths = self.slice_paths(as_of)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_between(
+        self,
+        spark: SparkSession,
+        prev_offset: int | None,
+        new_offset: int | None,
+    ) -> DataFrame | None:
+        """Half-open offset interval read ``(prev_offset, new_offset]`` —
+        the incremental-transform input (reference:
+        transform_helpers.rs:120-269). Slice pruning happens at the FILE
+        level using ledger offset intervals, so Spark never opens slices
+        entirely outside the range; a residual filter trims boundaries.
+        """
+        lo = -1 if prev_offset is None else prev_offset
+        files = [
+            d
+            for d in self.chain.data_files()
+            if d["offset_interval"]["end"] > lo
+            and (new_offset is None or d["offset_interval"]["start"] <= new_offset)
+        ]
+        if not files:
+            return None
+        df = spark.read.parquet(*[os.path.join(self.path, d["path"]) for d in files])
+        off = self.vocab.offset_column
+        df = df.filter(f"{off} > {lo}")
+        if new_offset is not None:
+            df = df.filter(f"{off} <= {new_offset}")
+        return df
+
+    def schema_event(self) -> dict[str, Any] | None:
+        b = self.chain.last_event("SetDataSchema")
+        return b.event if b else None
+
+    def head_hash(self) -> str | None:
+        h = self.chain.head()
+        return h.block_hash if h else None

@@ -1,0 +1,132 @@
+"""Ad-hoc SQL query service over registered datasets.
+
+Spark shape of the reference's query stack (query_service_impl.rs:
+sql_statement :584-602, tail :446-495, get_data :498-513, state
+projection :629-734, to_table UDTF registration :365-386;
+kamu_table.rs:230-295 recency pruning):
+
+- each dataset registers as a temp view over its as-of slice file list
+  (reproducible state pinning — like Delta time travel);
+- ``tail`` prunes slices from the ledger BEFORE Spark sees them: only
+  the newest files covering the requested row budget are read, so tail
+  cost is O(limit), not O(history);
+- ``to_table('ref')`` inside SQL is rewritten (regex pre-pass, the
+  Spark analogue of the reference's UDTF) to a registered state-
+  projection view.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators.merge import project_changelog
+
+
+_TO_TABLE_RE = re.compile(r"to_table\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+
+
+class QueryService:
+    def __init__(self, spark: SparkSession, workspace: str):
+        self.spark = spark
+        self.workspace = workspace
+        self._primary_keys: dict[str, list[str]] = {}
+
+    # -- registry ------------------------------------------------------
+
+    def dataset(self, name: str) -> Dataset:
+        path = os.path.join(self.workspace, name)
+        if not os.path.exists(os.path.join(path, "metadata.jsonl")):
+            raise KeyError(f"dataset not found: {name}")
+        return Dataset(path)
+
+    def list_datasets(self) -> list[str]:
+        if not os.path.isdir(self.workspace):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.workspace)
+            if os.path.exists(os.path.join(self.workspace, d, "metadata.jsonl"))
+        )
+
+    def primary_key_of(self, ds: Dataset) -> list[str]:
+        """Primary key from the dataset's source/transform declarations
+        (reference: query_service_impl.rs:629-734 walks merge strategy /
+        push sources for the PK)."""
+        for kind in ("SetPollingSource", "AddPushSource"):
+            b = ds.chain.last_event(kind)
+            if b and b.event.get("merge", {}).get("primary_key"):
+                return b.event["merge"]["primary_key"]
+        return []
+
+    # -- view registration --------------------------------------------
+
+    def register(self, name: str, as_of: str | None = None) -> DataFrame | None:
+        """Register dataset as temp view `name` pinned to `as_of`."""
+        ds = self.dataset(name)
+        df = ds.read(self.spark, as_of)
+        if df is None:
+            return None
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_projection(self, name: str, view_name: str | None = None) -> DataFrame:
+        """Register the dataset's latest-state projection (changelog →
+        state by PK) as a view. Reference: get_changelog_projection."""
+        ds = self.dataset(name)
+        df = ds.read(self.spark)
+        if df is None:
+            raise KeyError(f"dataset has no data: {name}")
+        pk = self.primary_key_of(ds)
+        if pk:
+            df = project_changelog(df, pk, ds.vocab)
+        df.createOrReplaceTempView(view_name or name)
+        return df
+
+    # -- query entry points -------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        """Run SQL; any `to_table('name')` calls are rewritten to state-
+        projection views registered on the fly; bare dataset names used
+        as tables are auto-registered."""
+        for i, ref in enumerate(set(_TO_TABLE_RE.findall(statement))):
+            view = f"__to_table_{i}_{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
+            self.register_projection(ref, view)
+            statement = re.sub(
+                r"to_table\(\s*'" + re.escape(ref) + r"'\s*\)", view, statement
+            )
+        for name in self.list_datasets():
+            if re.search(rf"\b{re.escape(name)}\b", statement):
+                self.register(name)
+        return self.spark.sql(statement)
+
+    def get_data(self, name: str, as_of: str | None = None) -> DataFrame | None:
+        return self.register(name, as_of)
+
+    def tail(self, name: str, skip: int = 0, limit: int = 100) -> DataFrame:
+        """Last `limit` records by offset (after `skip`), ascending.
+
+        Slice pruning (reference kamu_table.rs:230-295): walk the ledger
+        newest-first, take files until the row budget is covered — the
+        scan reads O(limit) data no matter how long the history is.
+        """
+        ds = self.dataset(name)
+        budget = skip + limit
+        files: list[str] = []
+        got = 0
+        for d in reversed(ds.chain.data_files()):
+            files.append(os.path.join(ds.path, d["path"]))
+            got += d["num_records"]
+            if got >= budget:
+                break
+        if not files:
+            return self.spark.createDataFrame([], "offset long")
+        off = ds.vocab.offset_column
+        df = self.spark.read.parquet(*files).orderBy(F.desc(off))
+        if skip:
+            df = df.offset(skip)
+        return df.limit(limit).orderBy(F.asc(off))

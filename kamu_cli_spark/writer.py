@@ -1,0 +1,219 @@
+"""Data writer — the ingest/transform commit pipeline.
+
+Mirrors the reference's writer stages (writer.rs:106-1225; see
+SURVEY.md §2.4) as a sequence of declarative DataFrame transformations:
+
+    validate → normalize timestamps → ensure event_time → MERGE →
+    system columns + deterministic offsets → schema check →
+    sorted Parquet slice → stats → commit AddData/ExecuteTransform
+
+Spark-first notes:
+
+- offsets are assigned with the scalable two-phase ranking in
+  :mod:`kamu_cli_spark.plans.offsets`, never a global single-partition
+  window;
+- each committed slice is ONE sorted Parquet file (ODF DataSlice);
+  ingest batches are bounded so this is fine — large backfills should
+  go through multiple commits or compaction;
+- previous data is read via the ledger's file list; for snapshot/ledger
+  merges at scale, pair with a materialized state table to avoid the
+  full-history scan the reference itself flags (writer.rs:232 TODO).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators.merge import MergeStrategy
+from kamu_cli_spark.plans.offsets import assign_offsets
+from kamu_cli_spark.vocab import DatasetVocabulary
+
+
+class WriterError(Exception):
+    pass
+
+
+def _schema_to_json(schema: T.StructType) -> list[dict[str, Any]]:
+    return [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in schema.fields
+    ]
+
+
+class DataWriter:
+    """Stages and commits one batch of new data into a dataset."""
+
+    def __init__(self, dataset: Dataset, strategy: MergeStrategy):
+        self.dataset = dataset
+        self.strategy = strategy
+        self.vocab: DatasetVocabulary = dataset.vocab
+
+    # -- pipeline ------------------------------------------------------
+
+    def validate_input(self, new: DataFrame) -> None:
+        """Reject data columns clashing with system columns and malformed
+        event_time (reference: writer.rs:106-160)."""
+        v = self.vocab
+        for c in (v.offset_column, v.system_time_column):
+            if c in new.columns:
+                raise WriterError(f"input column clashes with system column: {c}")
+        if v.event_time_column in new.columns:
+            dt = dict(new.dtypes)[v.event_time_column]
+            if not (dt.startswith("timestamp") or dt == "date"):
+                raise WriterError(
+                    f"event_time column must be Date or Timestamp, got {dt}"
+                )
+
+    def ensure_event_time(self, df: DataFrame) -> DataFrame:
+        if self.vocab.event_time_column not in df.columns:
+            df = df.withColumn(
+                self.vocab.event_time_column, F.lit(None).cast("timestamp")
+            )
+        return df
+
+    def with_system_columns(
+        self,
+        df: DataFrame,
+        system_time: datetime,
+        start_offset: int,
+        source_event_time: datetime | None = None,
+    ) -> DataFrame:
+        v = self.vocab
+        fallback = source_event_time or system_time
+        df = df.withColumn(
+            v.event_time_column,
+            F.coalesce(
+                F.col(v.event_time_column).cast("timestamp"),
+                F.lit(fallback).cast("timestamp"),
+            ),
+        ).withColumn(v.system_time_column, F.lit(system_time).cast("timestamp"))
+        df = assign_offsets(
+            df,
+            self.strategy.sort_order(),
+            start_offset=start_offset,
+            offset_column=v.offset_column,
+        )
+        data_cols = [c for c in df.columns if c not in v.system_columns()]
+        out = df.select(
+            v.offset_column,
+            v.operation_type_column,
+            v.system_time_column,
+            v.event_time_column,
+            *data_cols,
+        )
+        out._kamu_persisted = getattr(df, "_kamu_persisted", None)  # type: ignore[attr-defined]
+        return out
+
+    def validate_schema_compatible(self, df: DataFrame) -> None:
+        """Schema fixed at first write; later slices must match by name and
+        type (reference: writer.rs:413-515)."""
+        declared = self.dataset.schema_event()
+        if declared is None:
+            return
+        want = {(f["name"], f["type"]) for f in declared["fields"]}
+        have = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+        if want != have:
+            raise WriterError(
+                f"schema incompatible with declared SetDataSchema: "
+                f"declared={sorted(want)} got={sorted(have)}"
+            )
+
+    def write_slice(self, df: DataFrame, seq: int, start: int, end: int) -> str:
+        """Write ONE sorted snappy Parquet file for the slice."""
+        rel = f"data/{seq:06d}-{start}-{end}.parquet"
+        final_path = os.path.join(self.dataset.path, rel)
+        tmp_dir = os.path.join(self.dataset.path, f".tmp-{seq:06d}")
+        (
+            df.coalesce(1)
+            .sortWithinPartitions(self.vocab.offset_column)
+            .write.mode("overwrite")
+            .parquet(tmp_dir, compression="snappy")
+        )
+        part = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")]
+        os.replace(os.path.join(tmp_dir, part[0]), final_path)
+        for f in os.listdir(tmp_dir):
+            os.remove(os.path.join(tmp_dir, f))
+        os.rmdir(tmp_dir)
+        return rel
+
+    # -- entry point ---------------------------------------------------
+
+    def write(
+        self,
+        spark: SparkSession,
+        new: DataFrame,
+        system_time: datetime | None = None,
+        source_event_time: datetime | None = None,
+        event_kind: str = "AddData",
+        extra_event: dict[str, Any] | None = None,
+    ) -> dict[str, Any] | None:
+        """Run the full pipeline; returns the committed event (or None if
+        the merge produced no changes — an up-to-date poll)."""
+        system_time = system_time or datetime.now(timezone.utc)
+        v = self.vocab
+
+        self.validate_input(new)
+        prev = self.dataset.read(spark)
+        merged = self.strategy.merge(prev, new)
+        merged = self.ensure_event_time(merged)
+
+        start_offset = self.dataset.chain.next_offset()
+        full = self.with_system_columns(
+            merged, system_time, start_offset, source_event_time
+        )
+        try:
+            stats = full.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(v.offset_column).alias("min_off"),
+                F.max(v.offset_column).alias("max_off"),
+                F.max(v.event_time_column).alias("max_et"),
+            ).collect()[0]
+            if stats["n"] == 0:
+                return None
+
+            self.validate_schema_compatible(full)
+            if self.dataset.schema_event() is None:
+                self.dataset.chain.append(
+                    {"kind": "SetDataSchema", "fields": _schema_to_json(full.schema)},
+                    system_time=system_time.isoformat(),
+                )
+
+            seq = len(self.dataset.chain)
+            rel = self.write_slice(full, seq, stats["min_off"], stats["max_off"])
+
+            prev_wm = self.dataset.chain.current_watermark()
+            max_et = stats["max_et"]
+            new_wm = None
+            if max_et is not None:
+                et_iso = max_et.replace(tzinfo=timezone.utc).isoformat()
+                new_wm = et_iso if prev_wm is None or et_iso > prev_wm else prev_wm
+            else:
+                new_wm = prev_wm
+
+            event = {
+                "kind": event_kind,
+                "new_data": {
+                    "path": rel,
+                    "offset_interval": {
+                        "start": int(stats["min_off"]),
+                        "end": int(stats["max_off"]),
+                    },
+                    "num_records": int(stats["n"]),
+                    "size": os.path.getsize(os.path.join(self.dataset.path, rel)),
+                },
+                "new_watermark": new_wm,
+                **(extra_event or {}),
+            }
+            self.dataset.chain.append(event, system_time=system_time.isoformat())
+            return event
+        finally:
+            cached = getattr(full, "_kamu_persisted", None)
+            if cached is not None:
+                cached.unpersist()
