@@ -1,38 +1,797 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each `queries()` entry exercises an operator from SURVEY.md §2 (or a
+training-data-pipeline operator) through the `kamu_cli_spark` library;
+`oracle_sql()` gives the DuckDB-equivalent ANSI SQL the driver checks
+against at sf0.01. Column names/aliases match pairwise; doubles that
+undergo aggregation are rounded on both sides for cross-engine
+determinism.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.asof import asof_join
+from kamu_cli_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kamu_cli_spark.operators.merge import (
+    MergeStrategyLedger,
+    MergeStrategySnapshot,
+    MergeStrategyUpsertStream,
+    project_changelog,
+)
+from kamu_cli_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_ann,
+)
+from kamu_cli_spark.operators.text import text_metrics
+from kamu_cli_spark.operators.windows import interval_join, top_n, tumbling_window
+from kamu_cli_spark.sources import load_table
+from kamu_cli_spark.vocab import OperationType as Op
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational queries (general SQL surface)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+O_TPCH_Q3 = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    return (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+O_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window / streaming-shaped operators
+# ---------------------------------------------------------------------------
+
+
+def q_top3_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return top_n(
+        o,
+        3,
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        partition_by=["o_custkey"],
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+O_TOP3_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_events_daily_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    out = tumbling_window(
+        e,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+O_EVENTS_TUMBLING = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_orders_lineitem_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_shipdate", "l_extendedprice"
+    )
+    joined = interval_join(
+        o,
+        l,
+        on=["orderkey"],
+        left_time="o_orderdate",
+        right_time="l_shipdate",
+        lower="INTERVAL 0 DAY",
+        upper="INTERVAL 30 DAY",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipped_30d"),
+        F.round(F.sum("l_extendedprice"), 2).alias("value_30d"),
+    )
+
+
+O_INTERVAL_JOIN = """
+SELECT o_orderpriority,
+       count(*) AS n_shipped_30d,
+       round(sum(l_extendedprice), 2) AS value_30d
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def q_orders_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = asof_join(
+        o,
+        e,
+        on=["user_id"],
+        left_time="o_orderdate",
+        right_time="ts",
+        right_values=["event_id", "event_type"],
+    )
+    return out.select(
+        "o_orderkey",
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+O_ASOF_JOIN = """
+SELECT o_orderkey, o_custkey AS user_id,
+       e.event_id AS last_event_id, e.event_type AS last_event_type
+FROM orders o
+ASOF LEFT JOIN events e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+def q_events_tail(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.orderBy(F.desc("event_id"))
+        .limit(100)
+        .orderBy(F.asc("event_id"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+O_EVENTS_TAIL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY event_id DESC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC merge-strategy operators (the reference's signature semantics)
+# ---------------------------------------------------------------------------
+
+
+def _customer_prev(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        F.col("c_custkey").alias("offset"),
+        F.lit(Op.APPEND).cast("int").alias("op"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+    )
+
+
+def _customer_new(spark, sf):
+    c = load_table(spark, sf, "customer")
+    changed = (
+        c.filter(F.col("c_custkey") % 10 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    added = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_name"),
+        (F.col("c_custkey") * 1.0).alias("c_acctbal"),
+    )
+    return changed.unionByName(added)
+
+
+def q_customer_snapshot_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    strat = MergeStrategySnapshot(["c_custkey"])
+    return strat.merge(_customer_prev(spark, sf), _customer_new(spark, sf))
+
+
+O_SNAPSHOT_CDC = """
+WITH state AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', c_custkey * 1.0
+  FROM customer WHERE c_custkey % 13 = 0
+),
+cdc AS (
+  SELECT o.c_custkey AS ok, o.c_name AS onm, o.c_acctbal AS oa,
+         n.c_custkey AS nk, n.c_name AS nn, n.c_acctbal AS na
+  FROM state o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+  WHERE (o.c_name IS DISTINCT FROM n.c_name)
+     OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+)
+SELECT CASE WHEN ok IS NULL THEN 0 WHEN nk IS NULL THEN 1 ELSE 3 END AS op,
+       CASE WHEN nk IS NULL THEN ok ELSE nk END AS c_custkey,
+       CASE WHEN nk IS NULL THEN onm ELSE nn END AS c_name,
+       CASE WHEN nk IS NULL THEN oa ELSE na END AS c_acctbal
+FROM cdc
+UNION ALL
+SELECT 2 AS op, ok, onm, oa FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL
+"""
+
+
+def q_orders_ledger_merge(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    prev = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    return MergeStrategyLedger(["o_orderkey"]).merge(prev, new)
+
+
+O_LEDGER_MERGE = """
+SELECT 0 AS op, o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 <> 0
+"""
+
+
+def q_events_changelog_projection(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    ledger = e.select(
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_id") % 10 == 9, F.lit(Op.RETRACT))
+        .otherwise(F.lit(Op.APPEND))
+        .cast("int")
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return project_changelog(ledger, ["user_id"])
+
+
+O_CHANGELOG_PROJECTION = """
+WITH ledger AS (
+  SELECT event_id AS "offset",
+         CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS op,
+         user_id, event_type, value
+  FROM events
+)
+SELECT "offset", op, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY "offset" DESC) AS rnk
+  FROM ledger
+) WHERE rnk = 1 AND op <> 1
+"""
+
+
+def q_events_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    prev = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_id") % 10 == 8, F.lit(Op.RETRACT))
+        .otherwise(F.lit(Op.APPEND))
+        .cast("int")
+        .alias("op"),
+        "user_id",
+        F.col("event_id").alias("src_id"),
+        "event_type",
+        "value",
+    )
+    new = e.filter(F.col("event_id") % 2 == 1).select(
+        F.when(F.col("event_id") % 10 == 9, F.lit(Op.RETRACT))
+        .otherwise(F.lit(Op.APPEND))
+        .cast("int")
+        .alias("op"),
+        "user_id",
+        F.col("event_id").alias("src_id"),
+        "event_type",
+        "value",
+    )
+    strat = MergeStrategyUpsertStream(["user_id"], order_column="src_id")
+    return strat.merge(prev, new)
+
+
+O_UPSERT_MERGE = """
+WITH old AS (
+  SELECT event_id AS "offset",
+         CASE WHEN event_id % 10 = 8 THEN 1 ELSE 0 END AS op,
+         user_id, event_id AS src_id, event_type, value
+  FROM events WHERE event_id % 2 = 0
+),
+new_raw AS (
+  SELECT CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS op,
+         user_id, event_id AS src_id, event_type, value
+  FROM events WHERE event_id % 2 = 1
+),
+latest_by_pk AS (
+  SELECT user_id, src_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY "offset" DESC) AS rnk
+    FROM old
+  ) WHERE rnk = 1 AND op <> 1
+),
+new AS (
+  SELECT op, user_id, src_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY src_id DESC) AS rnk
+    FROM new_raw
+  ) WHERE rnk = 1
+),
+diff AS (
+  SELECT n.op AS nop,
+         o.user_id AS o_user, o.src_id AS o_src, o.event_type AS o_et, o.value AS o_v,
+         n.user_id AS n_user, n.src_id AS n_src, n.event_type AS n_et, n.value AS n_v
+  FROM new n LEFT JOIN latest_by_pk o ON n.user_id = o.user_id
+  WHERE (n.op = 1 AND o.user_id IS NOT NULL)
+     OR (n.op <> 1 AND (
+          (o.src_id IS DISTINCT FROM n.src_id)
+          OR (o.event_type IS DISTINCT FROM n.event_type)
+          OR (o.value IS DISTINCT FROM n.value)))
+)
+SELECT CASE WHEN nop = 1 THEN 1 WHEN o_user IS NULL THEN 0 ELSE 3 END AS op,
+       CASE WHEN nop = 1 THEN o_user ELSE n_user END AS user_id,
+       CASE WHEN nop = 1 THEN o_src ELSE n_src END AS src_id,
+       CASE WHEN nop = 1 THEN o_et ELSE n_et END AS event_type,
+       CASE WHEN nop = 1 THEN o_v ELSE n_v END AS value
+FROM diff
+UNION ALL
+SELECT 2 AS op, o_user, o_src, o_et, o_v
+FROM diff WHERE nop <> 1 AND o_user IS NOT NULL AND n_user IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text
+# ---------------------------------------------------------------------------
+
+
+def q_documents_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup_exact(d, "doc_id")
+
+
+O_DEDUP_EXACT = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+groups AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size,
+       fp.doc_id = g.canonical_id AS is_canonical
+FROM fp JOIN groups g USING (fingerprint)
+"""
+
+
+def q_documents_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+O_MINHASH_LSH = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words
+  )
+),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || gram)) AS mhv
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mhv, '|' ORDER BY seed)) AS bh
+  FROM mh GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_documents_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", shingle_n=3, threshold=0.2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+O_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.2
+"""
+
+
+def q_documents_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return simhash(d, "doc_id", bits=32)
+
+
+def _o_simhash() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    sim = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b}::BIGINT ELSE 0 END" for b in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+sums AS (
+  SELECT doc_id, {bit_sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {sim} AS simhash FROM sums
+"""
+
+
+def q_documents_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return text_metrics(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+O_TEXT_METRICS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS praw
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(toks) AS n_tokens, praw,
+         CASE WHEN len(ltoks) > 0
+              THEN len(list_filter(ltoks, x -> x IN ('the','and','of','to','is','a','in','that','it','for'))) * 1.0 / len(ltoks)
+              ELSE 0.0 END AS swraw,
+         len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+         len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS h_en,
+         len(list_filter(ltoks, x -> x IN ('el','de','la','que','es'))) AS h_es,
+         len(list_filter(ltoks, x -> x IN ('le','la','et','les','est'))) AS h_fr,
+         len(list_filter(ltoks, x -> x IN ('的','是','了','在','我'))) AS h_zh
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(praw, 4) AS punct_ratio,
+       round(swraw, 4) AS stopword_ratio,
+       round((least(n_tokens / 100.0, 1.0)
+              + greatest(0.0, 1.0 - praw * 5)
+              + least(swraw * 5, 1.0)) / 3.0, 4) AS quality,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_fr = greatest(h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM m
+"""
+
+
+def q_embeddings_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk(q, e, "vec_id", "vec_id", k=5, round_digits=6)
+
+
+O_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT qid, cid,
+         round(list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+               6) AS cosine
+  FROM q CROSS JOIN c WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embeddings_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", threshold=0.95)
+
+
+O_EMBED_NEAR_DUP = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.ve, b.ve)
+             / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve))),
+             6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.ve, b.ve)
+            / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve))),
+            6) >= 0.95
+"""
+
+
+def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate NN (LSH-bucketed) — recall<1 by design, no SQL oracle;
+    driver records rows-only."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return lsh_bucketed_ann(q, e, "vec_id", "vec_id", dim=64, num_planes=8, k=5)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q5-shaped multi-join aggregation at sf0.001."""
+    return q_tpch_q5(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "events_daily_tumbling": q_events_daily_tumbling,
+        "orders_lineitem_interval_join": q_orders_lineitem_interval_join,
+        "orders_events_asof_join": q_orders_events_asof_join,
+        "events_tail": q_events_tail,
+        "customer_snapshot_cdc": q_customer_snapshot_cdc,
+        "orders_ledger_merge": q_orders_ledger_merge,
+        "events_changelog_projection": q_events_changelog_projection,
+        "events_upsert_merge": q_events_upsert_merge,
+        "documents_dedup_exact": q_documents_dedup_exact,
+        "documents_minhash_lsh": q_documents_minhash_lsh,
+        "documents_ngram_jaccard": q_documents_ngram_jaccard,
+        "documents_simhash": q_documents_simhash,
+        "documents_text_metrics": q_documents_text_metrics,
+        "embeddings_cosine_topk": q_embeddings_cosine_topk,
+        "embeddings_near_dup": q_embeddings_near_dup,
+        "embeddings_ann_lsh": q_embeddings_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": O_TPCH_Q1,
+        "tpch_q3": O_TPCH_Q3,
+        "tpch_q5": O_TPCH_Q5,
+        "tpch_q6": O_TPCH_Q6,
+        "top3_orders_per_customer": O_TOP3_ORDERS,
+        "events_daily_tumbling": O_EVENTS_TUMBLING,
+        "orders_lineitem_interval_join": O_INTERVAL_JOIN,
+        "orders_events_asof_join": O_ASOF_JOIN,
+        "events_tail": O_EVENTS_TAIL,
+        "customer_snapshot_cdc": O_SNAPSHOT_CDC,
+        "orders_ledger_merge": O_LEDGER_MERGE,
+        "events_changelog_projection": O_CHANGELOG_PROJECTION,
+        "events_upsert_merge": O_UPSERT_MERGE,
+        "documents_dedup_exact": O_DEDUP_EXACT,
+        "documents_minhash_lsh": O_MINHASH_LSH,
+        "documents_ngram_jaccard": O_NGRAM_JACCARD,
+        "documents_simhash": _o_simhash(),
+        "documents_text_metrics": O_TEXT_METRICS,
+        "embeddings_cosine_topk": O_COSINE_TOPK,
+        "embeddings_near_dup": O_EMBED_NEAR_DUP,
+        # embeddings_ann_lsh: intentionally no oracle (approximate)
+    }

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design notes (100 TB first):
+
+- every hash is derived from **md5 hex strings** — portable across
+  engines (the DuckDB oracle computes the identical values), stable
+  across runs, and computed JVM-side (`F.md5`), no Python in the path;
+- MinHash/LSH follows the standard shingle → K minhashes → B bands →
+  bucket-join pipeline: candidate generation is a self-join on
+  (band_id, band_hash) — a shuffle on the band key, never an O(n²)
+  cross join;
+- exact dedup is a hash-aggregate on the fingerprint (map-side
+  combine), keeping the smallest id as the canonical survivor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.text import fingerprint, tokens
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Group by normalized-text fingerprint; keep the min-id survivor.
+    Returns (id, fingerprint, group_size, is_canonical) per input row."""
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    with_fp = df.select(F.col(id_col), fp)
+    groups = with_fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return with_fp.join(groups, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "canonical_id",
+        "group_size",
+        (F.col(id_col) == F.col("canonical_id")).cast("boolean").alias("is_canonical"),
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), as space-joined strings."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature.
+
+    Hash family h_s(x) = md5(s || '|' || x) (hex string); the signature
+    element for seed s is the lexicographic MIN over the document's
+    shingles — string order is engine-independent (ASCII hex), so the
+    oracle reproduces it exactly. One explode + one groupBy-agg:
+    shuffle moves K min-candidates per doc (map-side combined).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("__sh")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidate
+    pairs (id_a < id_b, distinct). Shuffles on the band hash — the
+    classic sub-quadratic LSH join."""
+    rows_per_band = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("__b")
+    ).select(id_col, "__b.band", "__b.bh")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    intersection counted by a self-join on the shingle (shuffle on
+    shingle — sub-quadratic for realistic shingle frequency); union via
+    inclusion-exclusion with per-doc distinct-shingle counts. Returns
+    (id_a, id_b, jaccard) with jaccard rounded to 6 for cross-engine
+    determinism.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over word tokens.
+
+    Token hash = first 8 hex chars of md5 as a 32-bit integer (portable
+    across engines); bit b of the simhash is the sign of
+    sum(±1 per token at bit b). One explode + one groupBy with `bits`
+    conditional sums — all JVM expressions.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    summed = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"__s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return summed.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k.
+
+    Scale path: block on bit-bands (pigeonhole — a pair within hamming k
+    shares at least one of k+1 bands exactly), then verify distance with
+    `bit_count(xor)`. Avoids the O(n²) cross join.
+    """
+    nbands = max_hamming + 1
+    band_bits = bits // nbands
+    mask = (1 << band_bits) - 1
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for i in range(nbands)
+    ]
+    banded = sim.select(
+        F.col(id_col).alias("id"), F.col("simhash"), F.explode(F.array(*bands)).alias("__b")
+    ).select("id", "simhash", "__b.band", "__b.bv")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -304,11 +304,21 @@ class MergeStrategyUpsertStream(MergeStrategy):
     Single-pass explode plan as in :class:`MergeStrategySnapshot`.
     """
 
-    def __init__(self, primary_key: list[str], vocab: DatasetVocabulary = DEFAULT_VOCAB):
+    def __init__(
+        self,
+        primary_key: list[str],
+        vocab: DatasetVocabulary = DEFAULT_VOCAB,
+        order_column: str | None = None,
+    ):
+        """`order_column`: explicit intra-batch ordering column. When
+        None, input order is pinned with monotonically_increasing_id
+        (file order) — pass a real column for fully deterministic
+        semantics across engines/replays."""
         super().__init__(vocab)
         if not primary_key:
             raise MergeError("upsert_stream merge requires a non-empty primary key")
         self.primary_key = primary_key
+        self.order_column = order_column
 
     def merge(self, prev: DataFrame | None, new: DataFrame) -> DataFrame:
         op = self.vocab.operation_type_column
@@ -341,7 +351,11 @@ class MergeStrategyUpsertStream(MergeStrategy):
         """
         op = self.vocab.operation_type_column
         cols = new.columns
-        seq = F.monotonically_increasing_id()
+        seq = (
+            F.col(self.order_column)
+            if self.order_column
+            else F.monotonically_increasing_id()
+        )
         with_seq = new.select(*cols, seq.alias("__seq"))
         other = [c for c in cols if c not in self.primary_key]
         return (

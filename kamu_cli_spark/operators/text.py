@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs in the hot path. Each operator is
+a column-expression factory or a DataFrame transformer, so Catalyst can
+push filters below them and prune columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic
+# language ID. Deliberately small + deterministic — the point is the
+# *operator shape* (scales linearly, no shuffle); swap in fastText etc.
+# via pandas_udf for production quality.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "de", "la", "que", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-string safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(F.length(text) > 0, punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    sw = stopwords or LANG_MARKERS["en"] + ["a", "in", "that", "it", "for"]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation
+    soup, has stopword mass (prose-ness). Mirrors the usual LLM-corpus
+    filters (C4-style) as one JVM expression."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    sw_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round((len_score + punct_penalty + sw_score) / 3.0, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: count marker-token hits per language, take
+    the argmax (ties broken by language code order). Linear scan, no
+    shuffle, fully codegen'd."""
+    toks = tokens(F.lower(text))
+
+    # NB: F.filter passes (element, index) to two-argument lambdas, so
+    # the marker list must be bound via a closure factory, not a default
+    # argument.
+    def _in_set(words: list[str]):
+        return lambda t: t.isin(words)
+
+    # build nested CASE: iterate deterministically by language code
+    scores = [
+        (lang, F.size(F.filter(toks, _in_set(markers))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    expr = F.lit("und")
+    best = F.lit(0)
+    for lang, hits in scores:
+        expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
+        best = F.when(hits > best, hits).otherwise(best)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of case-folded,
+    whitespace-collapsed text — the cheap exact-dup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document metric columns."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )
