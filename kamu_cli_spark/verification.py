@@ -1,0 +1,172 @@
+"""Verification service — integrity + reproducibility checks.
+
+Mirrors the reference's three verification layers
+(verification_service_impl.rs:44-200; hash.rs:24-84;
+transform_executor_impl.rs:226-365 replay):
+
+1. **metadata integrity** — hash-chain link + invariant re-check;
+2. **data integrity** — per-slice physical hash (sha3-256 of file
+   bytes) and logical hash (order-sensitive digest over the canonical
+   row serialization, sorted by offset);
+3. **transform replay** — re-run a derivative's transform over the
+   recorded input intervals and compare logical hashes.
+
+The logical hash is computed DISTRIBUTED: each row is canonicalized and
+sha256-hashed JVM-side, then combined with an order-independent
+xor/sum-free construction — we hash (offset, row_digest) pairs sorted
+by offset via a final aggregation of a per-partition rollup. For
+slice-sized data (bounded) we simply collect per-row digests sorted by
+offset and fold them — rows per slice are bounded by ingest batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.dataset import Dataset
+
+
+class VerificationError(Exception):
+    pass
+
+
+def physical_hash(path: str) -> str:
+    h = hashlib.sha3_256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return "f1620" + h.hexdigest()
+
+
+def logical_hash(df: DataFrame, offset_column: str = "offset") -> str:
+    """Order-sensitive digest of the canonical row serialization.
+
+    Rows are serialized to a canonical string JVM-side (concat of
+    columns with unit separators, nulls marked), sha256'd per row, then
+    folded in offset order. Only (offset, digest) pairs reach the
+    driver — O(rows) tiny transfers, data itself never leaves executors.
+    """
+    cols = df.columns
+    canon = F.concat_ws(
+        "\x01",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
+    pairs = (
+        df.select(F.col(offset_column).alias("__off"), F.sha2(canon, 256).alias("__d"))
+        .orderBy("__off")
+        .collect()
+    )
+    h = hashlib.sha3_256()
+    for r in pairs:
+        h.update(r["__d"].encode())
+    return "f1620" + h.hexdigest()
+
+
+def verify_dataset(
+    spark: SparkSession,
+    dataset: Dataset,
+    check_logical: bool = True,
+) -> dict[str, Any]:
+    """Full integrity verification; raises on any mismatch."""
+    dataset.chain.verify()
+    results = {"blocks": len(dataset.chain), "slices": 0}
+    off = dataset.vocab.offset_column
+    for d in dataset.chain.data_files():
+        path = os.path.join(dataset.path, d["path"])
+        if not os.path.exists(path):
+            raise VerificationError(f"missing slice file: {d['path']}")
+        if "physical_hash" in d:
+            ph = physical_hash(path)
+            if ph != d["physical_hash"]:
+                raise VerificationError(
+                    f"physical hash mismatch for {d['path']}: {ph}"
+                )
+        iv = d["offset_interval"]
+        try:
+            df = spark.read.parquet(path)
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(off).alias("lo"),
+                F.max(off).alias("hi"),
+            ).collect()[0]
+        except Exception as e:
+            raise VerificationError(
+                f"slice unreadable: {d['path']}: {e}"
+            ) from e
+        if stats["n"] != d["num_records"]:
+            raise VerificationError(
+                f"record count mismatch for {d['path']}: "
+                f"{stats['n']} != {d['num_records']}"
+            )
+        if stats["lo"] != iv["start"] or stats["hi"] != iv["end"]:
+            raise VerificationError(
+                f"offset interval mismatch for {d['path']}: "
+                f"[{stats['lo']},{stats['hi']}] != {iv}"
+            )
+        if check_logical and "logical_hash" in d:
+            lh = logical_hash(df, off)
+            if lh != d["logical_hash"]:
+                raise VerificationError(
+                    f"logical hash mismatch for {d['path']}"
+                )
+        results["slices"] += 1
+    return results
+
+
+def verify_transform_replay(
+    spark: SparkSession,
+    dataset: Dataset,
+) -> bool:
+    """Determinism check: re-run the derivative's transform over the
+    full recorded input range into a scratch dataset and compare the
+    changelog's logical hash with the committed data."""
+    import shutil
+    import tempfile
+
+    from kamu_cli_spark.dataset import Dataset as Ds
+    from kamu_cli_spark.transform import TransformExecutor, set_transform
+
+    b = dataset.chain.last_event("SetTransform")
+    if b is None:
+        raise VerificationError("not a derivative dataset")
+
+    actual = dataset.read(spark)
+    if actual is None:
+        return True
+
+    tmp = tempfile.mkdtemp()
+    try:
+        seed_time = dataset.chain.blocks()[0].system_time
+        scratch = Ds.create(tmp, "replay", kind="Derivative", system_time=seed_time)
+        set_transform(
+            scratch, b.event["inputs"], b.event["queries"], system_time=seed_time
+        )
+        ex = TransformExecutor(scratch)
+        from datetime import datetime
+
+        last_data = [
+            blk
+            for blk in dataset.chain.blocks()
+            if blk.event.get("kind") == "ExecuteTransform"
+        ][-1]
+        st = datetime.fromisoformat(last_data.system_time)
+        ex.execute(spark, system_time=st)
+        replayed = scratch.read(spark)
+        if replayed is None:
+            return actual is None
+        v = dataset.vocab
+        # compare ignoring system_time (replay stamps a single commit)
+        cols = [c for c in actual.columns if c != v.system_time_column]
+        return logical_hash(actual.select(cols), v.offset_column) == logical_hash(
+            replayed.select(cols), v.offset_column
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

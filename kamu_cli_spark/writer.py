@@ -50,10 +50,19 @@ def _schema_to_json(schema: T.StructType) -> list[dict[str, Any]]:
 class DataWriter:
     """Stages and commits one batch of new data into a dataset."""
 
-    def __init__(self, dataset: Dataset, strategy: MergeStrategy):
+    def __init__(
+        self,
+        dataset: Dataset,
+        strategy: MergeStrategy,
+        compute_logical_hash: bool = False,
+    ):
+        """`compute_logical_hash`: also record the order-sensitive row
+        digest in AddData (costs a per-row hash collect; physical file
+        hash is always recorded)."""
         self.dataset = dataset
         self.strategy = strategy
         self.vocab: DatasetVocabulary = dataset.vocab
+        self.compute_logical_hash = compute_logical_hash
 
     # -- pipeline ------------------------------------------------------
 
@@ -188,6 +197,14 @@ class DataWriter:
             seq = len(self.dataset.chain)
             rel = self.write_slice(full, seq, stats["min_off"], stats["max_off"])
 
+            from kamu_cli_spark.verification import logical_hash, physical_hash
+
+            phash = physical_hash(os.path.join(self.dataset.path, rel))
+            lhash = (
+                logical_hash(full, v.offset_column) if self.compute_logical_hash
+                else None
+            )
+
             prev_wm = self.dataset.chain.current_watermark()
             max_et = stats["max_et"]
             new_wm = None
@@ -207,6 +224,8 @@ class DataWriter:
                     },
                     "num_records": int(stats["n"]),
                     "size": os.path.getsize(os.path.join(self.dataset.path, rel)),
+                    "physical_hash": phash,
+                    **({"logical_hash": lhash} if lhash else {}),
                 },
                 "new_watermark": new_wm,
                 **(extra_event or {}),
