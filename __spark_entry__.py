@@ -536,7 +536,13 @@ def q_documents_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-O_MINHASH_LSH = """
+def _o_minhash() -> str:
+    from kamu_cli_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    coeffs = ",".join(
+        f"({s},{a},{b})" for s, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    return f"""
 WITH words AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
@@ -550,14 +556,17 @@ sh AS (
     FROM words
   )
 ),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM sh
+),
 mh AS (
-  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || gram)) AS mhv
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  SELECT doc_id, seed, min((a * h + b) % {MINHASH_PRIME}) AS mhv
+  FROM hashed CROSS JOIN (VALUES {coeffs}) seeds(seed, a, b)
   GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(mhv, '|' ORDER BY seed)) AS bh
+         md5(string_agg(mhv::VARCHAR, '|' ORDER BY seed)) AS bh
   FROM mh GROUP BY doc_id, seed // 4
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -787,7 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "events_changelog_projection": O_CHANGELOG_PROJECTION,
         "events_upsert_merge": O_UPSERT_MERGE,
         "documents_dedup_exact": O_DEDUP_EXACT,
-        "documents_minhash_lsh": O_MINHASH_LSH,
+        "documents_minhash_lsh": _o_minhash(),
         "documents_ngram_jaccard": O_NGRAM_JACCARD,
         "documents_simhash": _o_simhash(),
         "documents_text_metrics": O_TEXT_METRICS,

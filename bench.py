@@ -13,6 +13,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
 from kamu_cli_spark.session import get_spark
 
 HEADLINE = [
@@ -40,6 +42,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="kamu-cli-spark-bench")
+
+    # JVM/codegen warmup so per-query numbers measure the query, not
+    # session boot (first parquet read + first shuffle initialize pools)
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.mode(
+        "overwrite"
+    ).format("noop").save()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        10_000
+    ).write.mode("overwrite").format("noop").save()
 
     queries = entry.queries()
     times: dict[str, float] = {}

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kamu_cli_spark.operators.text import fingerprint, tokens
+from kamu_cli_spark.operators.util import spread as _spread
 
 
 def dedup_exact(
@@ -28,7 +29,7 @@ def dedup_exact(
     """Group by normalized-text fingerprint; keep the min-id survivor.
     Returns (id, fingerprint, group_size, is_canonical) per input row."""
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
-    with_fp = df.select(F.col(id_col), fp)
+    with_fp = df.select(F.col(id_col), fp).persist()  # read by agg + join
     groups = with_fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),
@@ -42,16 +43,34 @@ def dedup_exact(
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), as space-joined strings."""
+def shingles(text: Column, n: int = 3, distinct: bool = False) -> Column:
+    """Word n-gram shingles, as space-joined strings.
+
+    `distinct` de-dups within the document — needed for set semantics
+    (Jaccard); MIN-based sketches are duplicate-insensitive, so skipping
+    array_distinct saves an interpreted higher-order pass."""
     toks = tokens(F.lower(text))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array())
-    )
+    out = F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    return F.array_distinct(out) if distinct else out
+
+
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-hash coefficients (a, b), a odd, both < 2^30
+    so a*h (h < 2^32) stays well inside int64 — portable to engines that
+    trap on signed overflow (DuckDB)."""
+    out = []
+    for s in range(num_hashes):
+        a = ((1103515245 * (s + 1) + 12345) % (1 << 30)) | 1
+        b = (1103515245 * (s + 7) + 54321) % (1 << 30)
+        out.append((a, b))
+    return out
 
 
 def minhash_signature(
@@ -63,18 +82,23 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-document MinHash signature.
 
-    Hash family h_s(x) = md5(s || '|' || x) (hex string); the signature
-    element for seed s is the lexicographic MIN over the document's
-    shingles — string order is engine-independent (ASCII hex), so the
-    oracle reproduces it exactly. One explode + one groupBy-agg:
-    shuffle moves K min-candidates per doc (map-side combined).
+    Base hash = first 8 hex chars of md5(shingle) as a 32-bit int
+    (engine-portable); the K signature elements are mins of affine
+    variants ``(a_s*h + b_s) mod p`` — ONE md5 per shingle plus K
+    bigint multiply-adds, instead of K md5s (~K× cheaper on the hot
+    path). One explode + one groupBy-agg: the shuffle moves K
+    min-candidates per doc (map-side combined).
     """
-    sh = df.select(
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("__sh")))).alias(f"mh{s}")
-        for s in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{s}"
+        )
+        for s, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -95,9 +119,13 @@ def lsh_candidate_pairs(
         band_exprs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
         )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("__b")
-    ).select(id_col, "__b.band", "__b.bh")
+    banded = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("__b"))
+        .select(id_col, "__b.band", "__b.bh")
+        # both sides of the self-join read this — without caching, the
+        # whole shingle→minhash pipeline would run twice
+        .persist()
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
@@ -123,10 +151,10 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) with jaccard rounded to 6 for cross-engine
     determinism.
     """
-    sh = df.select(
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+        F.explode(shingles(F.col(text_col), shingle_n, distinct=True)).alias("sh"),
+    ).persist()  # read by both join sides and the size aggregation
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -165,7 +193,7 @@ def simhash(
     sum(±1 per token at bit b). One explode + one groupBy with `bits`
     conditional sums — all JVM expressions.
     """
-    toks = df.select(
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
     ).withColumn(
@@ -208,9 +236,15 @@ def simhash_near_pairs(
         )
         for i in range(nbands)
     ]
-    banded = sim.select(
-        F.col(id_col).alias("id"), F.col("simhash"), F.explode(F.array(*bands)).alias("__b")
-    ).select("id", "simhash", "__b.band", "__b.bv")
+    banded = (
+        sim.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash"),
+            F.explode(F.array(*bands)).alias("__b"),
+        )
+        .select("id", "simhash", "__b.band", "__b.bv")
+        .persist()  # self-joined below
+    )
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
     return (

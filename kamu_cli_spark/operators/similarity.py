@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kamu_cli_spark.operators.util import spread as _spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -55,13 +57,27 @@ def cosine_topk(
     (AQE decides); otherwise this is the exact-but-quadratic baseline —
     use :func:`lsh_bucketed_ann` at scale.
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    # precompute norms once per side — the naive per-pair cosine would
+    # recompute |q| and |c| for every one of the |Q|×|C| pairs
+    queries = _spread(queries)
+    corpus = _spread(corpus)
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     pairs = q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
@@ -79,15 +95,27 @@ def embedding_near_dup_pairs(
     round_digits: int = 6,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (near-duplicate detection)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    df = _spread(df)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cosine"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -141,17 +169,21 @@ def lsh_bucketed_ann(
 
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
     pairs = q.join(c, "bucket").filter(F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (

@@ -97,15 +97,49 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the standard per-document metric columns."""
+    """Attach the standard per-document metric columns.
+
+    Staged so the expensive regex splits run ONCE per row: stage 1
+    materializes the token arrays and raw ratios as columns, stage 2
+    derives every metric from them (Catalyst doesn't reliably CSE
+    repeated split/regexp calls across independent expressions)."""
+    from kamu_cli_spark.operators.util import spread
+
     t = F.col(text_col)
-    return df.select(
+    sw = LANG_MARKERS["en"] + ["a", "in", "that", "it", "for"]
+
+    df = spread(df)
+    staged = df.select(
         "*",
-        token_count(t).alias("n_tokens"),
+        tokens(t).alias("__toks"),
+        tokens(F.lower(t)).alias("__ltoks"),
+        punct_ratio(t).alias("__praw"),
+    )
+    n = F.size(F.col("__ltoks"))
+    hits = F.size(F.filter(F.col("__ltoks"), lambda x: x.isin(sw)))
+    swraw = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+    n_tok = F.size(F.col("__toks"))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("__praw") * 5)
+    sw_score = F.least(swraw * 5, F.lit(1.0))
+
+    def _in_set(words):
+        return lambda x: x.isin(words)
+
+    lang_expr = F.lit("und")
+    best = F.lit(0)
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        h = F.size(F.filter(F.col("__ltoks"), _in_set(markers)))
+        lang_expr = F.when(h > best, F.lit(lang)).otherwise(lang_expr)
+        best = F.when(h > best, h).otherwise(best)
+
+    return staged.select(
+        *df.columns,
+        n_tok.alias("n_tokens"),
         char_count(t).alias("n_chars_computed"),
-        F.round(punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
+        F.round(F.col("__praw"), 4).alias("punct_ratio"),
+        F.round(swraw, 4).alias("stopword_ratio"),
+        F.round((len_score + punct_penalty + sw_score) / 3.0, 4).alias("quality"),
+        lang_expr.alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
