@@ -503,6 +503,209 @@ FROM diff WHERE nop <> 1 AND o_user IS NOT NULL AND n_user IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# Wider SQL surface: rollup, set ops, subqueries, CTEs, JSON, scalars
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+O_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_customer_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = building.intersect(with_orders).select(
+        F.lit("building_with_orders").alias("tag"), "c_custkey"
+    )
+    no_orders = building.exceptAll(with_orders).select(
+        F.lit("building_no_orders").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(no_orders)
+
+
+O_SET_OPS = """
+SELECT 'building_with_orders' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'building_no_orders' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders
+)
+"""
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("__orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __orders o
+        WHERE o_totalprice > 2 * (
+            SELECT avg(o_totalprice) FROM __orders i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+O_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+    SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+def q_cumulative_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+O_CUMULATIVE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+FROM orders
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+O_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_part_scalar_battery(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_up"),
+        F.substring(F.col("p_type"), 1, 5).alias("type5"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("none")), F.lit("?")).alias(
+            "brand_or_q"
+        ),
+        (F.col("p_size") % 5).alias("size_mod"),
+    )
+
+
+O_SCALAR_BATTERY = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_up,
+       substring(p_type, 1, 5) AS type5,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS name_snake,
+       round(p_retailprice * 1.1, 2) AS price_up,
+       coalesce(nullif(p_brand, 'none'), '?') AS brand_or_q,
+       p_size % 5 AS size_mod
+FROM part
+"""
+
+
+def q_top2_global(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return top_n(
+        e.select("event_id", "user_id", "value"),
+        2,
+        order_by=[F.desc("value"), F.asc("event_id")],
+    )
+
+
+O_TOP2_GLOBAL = """
+SELECT event_id, user_id, value, rank FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 2
+"""
+
+
+def q_multi_step_harmonize(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-step transform (each step = temp view; F8 covid pattern)."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("__cust")
+    spark.sql(
+        """
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'physical'
+                    WHEN c_mktsegment IN ('MACHINERY', 'HOUSEHOLD') THEN 'industrial'
+                    ELSE 'other' END AS segment_group,
+               c_acctbal
+        FROM __cust
+        """
+    ).createOrReplaceTempView("__harmonized")
+    return spark.sql(
+        """
+        SELECT segment_group, count(*) AS n,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM __harmonized GROUP BY segment_group
+        """
+    )
+
+
+O_MULTI_STEP = """
+WITH harmonized AS (
+  SELECT c_custkey,
+         CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'physical'
+              WHEN c_mktsegment IN ('MACHINERY', 'HOUSEHOLD') THEN 'industrial'
+              ELSE 'other' END AS segment_group,
+         c_acctbal
+  FROM customer
+)
+SELECT segment_group, count(*) AS n,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM harmonized GROUP BY segment_group
+"""
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline operators: dedup / similarity / text
 # ---------------------------------------------------------------------------
 
@@ -765,6 +968,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_lineitem_interval_join": q_orders_lineitem_interval_join,
         "orders_events_asof_join": q_orders_events_asof_join,
         "events_tail": q_events_tail,
+        "lineitem_rollup": q_lineitem_rollup,
+        "customer_set_ops": q_customer_set_ops,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "cumulative_revenue": q_cumulative_revenue,
+        "events_json_props": q_events_json_props,
+        "part_scalar_battery": q_part_scalar_battery,
+        "top2_global": q_top2_global,
+        "multi_step_harmonize": q_multi_step_harmonize,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
         "orders_ledger_merge": q_orders_ledger_merge,
         "events_changelog_projection": q_events_changelog_projection,
@@ -791,6 +1002,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_interval_join": O_INTERVAL_JOIN,
         "orders_events_asof_join": O_ASOF_JOIN,
         "events_tail": O_EVENTS_TAIL,
+        "lineitem_rollup": O_ROLLUP,
+        "customer_set_ops": O_SET_OPS,
+        "orders_above_cust_avg": O_SUBQUERY,
+        "cumulative_revenue": O_CUMULATIVE,
+        "events_json_props": O_JSON_PROPS,
+        "part_scalar_battery": O_SCALAR_BATTERY,
+        "top2_global": O_TOP2_GLOBAL,
+        "multi_step_harmonize": O_MULTI_STEP,
         "customer_snapshot_cdc": O_SNAPSHOT_CDC,
         "orders_ledger_merge": O_LEDGER_MERGE,
         "events_changelog_projection": O_CHANGELOG_PROJECTION,

@@ -1,0 +1,7 @@
+from kamu_cli_spark.streaming.stream import (
+    read_dataset_stream,
+    stream_ingest,
+    windowed_aggregate,
+)
+
+__all__ = ["read_dataset_stream", "stream_ingest", "windowed_aggregate"]

@@ -1,0 +1,116 @@
+"""Structured Streaming over the dataset layout.
+
+The reference runs streaming transforms on Flink/RisingWave with
+watermark-driven micro-batches (SURVEY.md §2.6, §3.3). Spark-first
+equivalents:
+
+- a dataset's ``data/`` directory IS a valid file-source stream:
+  slices are immutable, append-only, offset-sorted — exactly the
+  contract `readStream.parquet` wants. Checkpointing gives exactly-once
+  per-file accounting (the streaming twin of our offset-interval
+  elaboration);
+- event-time watermarks + windowed aggregations express the TUMBLE
+  patterns; late data beyond the delay is dropped deterministically;
+- ``stream_ingest`` runs foreachBatch → the SAME DataWriter/merge
+  pipeline as batch ingest, so streaming commits are ordinary AddData
+  blocks in the chain — one code path for both modes.
+
+Batch-incremental replay (TransformExecutor) stays the deterministic
+gold path; these wrappers are the continuous-mode layer on top of the
+same storage.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators.merge import MergeStrategy
+from kamu_cli_spark.writer import DataWriter
+
+
+def read_dataset_stream(
+    spark: SparkSession,
+    dataset: Dataset,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open the dataset changelog as a streaming source.
+
+    Schema comes from the chain's SetDataSchema (no inference job);
+    each committed slice file becomes a micro-batch input — the
+    streaming mirror of offset-interval incremental reads.
+    """
+    paths = dataset.slice_paths()
+    if not paths:
+        raise ValueError(f"dataset {dataset.name} has no data to stream")
+    schema = spark.read.parquet(paths[0]).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    import os
+
+    return reader.parquet(os.path.join(dataset.path, "data"))
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    time_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    keys: list[str],
+    aggs: list,
+) -> DataFrame:
+    """TUMBLE(time, duration) with late-data handling — the Flink
+    shipments pattern (`GROUP BY TUMBLE(order_time, INTERVAL '1' DAY)`)."""
+    out = (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(F.col(time_col), window_duration).alias("window"), *keys)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def stream_ingest(
+    source: DataFrame,
+    target: Dataset,
+    strategy: MergeStrategy,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest a stream into a dataset via foreachBatch.
+
+    Every micro-batch goes through the full writer pipeline (merge
+    strategy, deterministic offsets, schema checks, chain commit) — a
+    streaming commit is indistinguishable from a batch one.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if transform is not None:
+            batch_df = transform(batch_df)
+        writer = DataWriter(target, strategy)
+        writer.write(
+            batch_df.sparkSession,
+            batch_df,
+            system_time=datetime.now(timezone.utc),
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
