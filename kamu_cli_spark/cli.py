@@ -1,0 +1,228 @@
+"""Command-line interface — the reference's CLI verb surface
+(SURVEY.md §5 layer 4: add / ingest / pull / sql / tail / log / verify /
+compact / export / lineage / list) over a workspace directory.
+
+Usage: python -m kamu_cli_spark.cli <verb> [args...] [--workspace DIR]
+
+Dataset manifests are YAML (same shape as the reference's
+DatasetSnapshot):
+
+    kind: Root            # or Derivative
+    name: cities
+    merge:
+      kind: snapshot      # append|ledger|snapshot|changelog|upsert
+      primary_key: [city]
+    # derivative only:
+    inputs: {alias: dataset_name}
+    queries:
+      - alias: step1
+        query: SELECT ...
+      - query: SELECT ...  # final unaliased step = output
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+import yaml
+
+
+def _spark():
+    from kamu_cli_spark.session import get_spark
+
+    return get_spark(app_name="kamu-cli-spark")
+
+
+def _dataset(args, name=None):
+    from kamu_cli_spark.dataset import Dataset
+
+    return Dataset(os.path.join(args.workspace, name or args.dataset))
+
+
+def cmd_add(args) -> int:
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.transform import set_transform
+
+    manifest = yaml.safe_load(open(args.manifest))
+    name = manifest["name"]
+    kind = manifest.get("kind", "Root")
+    ds = Dataset.create(args.workspace, name, kind=kind)
+    if manifest.get("merge"):
+        ds.chain.append(
+            {"kind": "SetPollingSource", "merge": manifest["merge"]}
+        )
+    if kind == "Derivative":
+        inputs = {
+            alias: os.path.join(args.workspace, ref)
+            for alias, ref in manifest["inputs"].items()
+        }
+        set_transform(ds, inputs, manifest["queries"])
+    print(f"added dataset {name} ({kind})")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from kamu_cli_spark.operators.merge import make_merge_strategy
+    from kamu_cli_spark.sources.readers import prep_decompress, read_format
+    from kamu_cli_spark.writer import DataWriter
+
+    ds = _dataset(args)
+    src = ds.chain.last_event("SetPollingSource")
+    merge_cfg = (src.event.get("merge") if src else None) or {"kind": "append"}
+    strategy = make_merge_strategy(
+        merge_cfg.get("kind", "append"),
+        merge_cfg.get("primary_key"),
+        merge_cfg.get("compare_columns"),
+        ds.vocab,
+    )
+    spark = _spark()
+    path = args.file
+    if path.endswith((".gz", ".zip")):
+        path = prep_decompress(path)
+    df = read_format(spark, args.format, path)
+    if args.event_time_column and args.event_time_column in df.columns:
+        df = df.withColumnRenamed(args.event_time_column, ds.vocab.event_time_column)
+    ev = DataWriter(ds, strategy).write(spark, df)
+    if ev is None:
+        print("dataset up-to-date — no new data")
+    else:
+        iv = ev["new_data"]["offset_interval"]
+        print(
+            f"committed {ev['new_data']['num_records']} records "
+            f"(offsets {iv['start']}..{iv['end']})"
+        )
+    return 0
+
+
+def cmd_pull(args) -> int:
+    from kamu_cli_spark.transform import TransformExecutor
+
+    ds = _dataset(args)
+    ev = TransformExecutor(ds).execute(_spark())
+    if ev is None:
+        print("up-to-date")
+    elif ev.get("new_data"):
+        print(f"committed {ev['new_data']['num_records']} records")
+    else:
+        print("advanced inputs, no new records")
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from kamu_cli_spark.query import QueryService
+
+    qs = QueryService(_spark(), args.workspace)
+    df = qs.sql(args.query)
+    rows = df.limit(args.limit).collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    return 0
+
+
+def cmd_tail(args) -> int:
+    from kamu_cli_spark.query import QueryService
+
+    qs = QueryService(_spark(), args.workspace)
+    df = qs.tail(args.dataset, limit=args.limit)
+    for r in df.collect():
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    return 0
+
+
+def cmd_log(args) -> int:
+    ds = _dataset(args)
+    for b in reversed(ds.chain.blocks()):
+        kind = b.event.get("kind")
+        extra = ""
+        if b.event.get("new_data"):
+            iv = b.event["new_data"]["offset_interval"]
+            extra = f" offsets={iv['start']}..{iv['end']}"
+        print(f"[{b.sequence_number}] {b.block_hash[:16]} {b.system_time} {kind}{extra}")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from kamu_cli_spark.verification import verify_dataset
+
+    res = verify_dataset(_spark(), _dataset(args))
+    print(f"ok: {res['slices']} slices, {res['blocks']} blocks")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from kamu_cli_spark.compaction import compact
+
+    res = compact(_spark(), _dataset(args), max_slice_records=args.max_records)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from kamu_cli_spark.export import export
+
+    ds = _dataset(args)
+    n = export(ds.read(_spark()), args.output, args.format, args.records_per_file)
+    print(f"exported {n} records to {args.output}")
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    from kamu_cli_spark.provenance import lineage
+
+    print(json.dumps(lineage(args.workspace, args.dataset), indent=2))
+    return 0
+
+
+def cmd_list(args) -> int:
+    from kamu_cli_spark.query import QueryService
+
+    qs = QueryService(_spark(), args.workspace)
+    for name in qs.list_datasets():
+        ds = _dataset(args, name)
+        n = sum(d["num_records"] for d in ds.chain.data_files())
+        print(f"{name}\t{ds.kind}\t{n} records\t{len(ds.chain)} blocks")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kamu-cli-spark")
+    p.add_argument("--workspace", default=os.environ.get("KAMU_WORKSPACE", "."))
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    s = sub.add_parser("add"); s.add_argument("manifest"); s.set_defaults(fn=cmd_add)
+    s = sub.add_parser("ingest")
+    s.add_argument("dataset"); s.add_argument("file")
+    s.add_argument("--format", default="csv")
+    s.add_argument("--event-time-column", default=None)
+    s.set_defaults(fn=cmd_ingest)
+    s = sub.add_parser("pull"); s.add_argument("dataset"); s.set_defaults(fn=cmd_pull)
+    s = sub.add_parser("sql")
+    s.add_argument("query"); s.add_argument("--limit", type=int, default=50)
+    s.set_defaults(fn=cmd_sql)
+    s = sub.add_parser("tail")
+    s.add_argument("dataset"); s.add_argument("--limit", type=int, default=10)
+    s.set_defaults(fn=cmd_tail)
+    s = sub.add_parser("log"); s.add_argument("dataset"); s.set_defaults(fn=cmd_log)
+    s = sub.add_parser("verify"); s.add_argument("dataset"); s.set_defaults(fn=cmd_verify)
+    s = sub.add_parser("compact")
+    s.add_argument("dataset"); s.add_argument("--max-records", type=int, default=1_000_000)
+    s.set_defaults(fn=cmd_compact)
+    s = sub.add_parser("export")
+    s.add_argument("dataset"); s.add_argument("output")
+    s.add_argument("--format", default="parquet")
+    s.add_argument("--records-per-file", type=int, default=None)
+    s.set_defaults(fn=cmd_export)
+    s = sub.add_parser("lineage"); s.add_argument("dataset"); s.set_defaults(fn=cmd_lineage)
+    s = sub.add_parser("list"); s.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

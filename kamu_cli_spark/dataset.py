@@ -126,6 +126,36 @@ class Dataset:
             df = df.filter(f"{off} <= {new_offset}")
         return df
 
+    # -- materialized state (perf: avoids the full-history scan the
+    # -- reference flags as a TODO at writer.rs:232) -------------------
+
+    def state_path(self) -> str:
+        return os.path.join(self.path, "state")
+
+    def read_state(self, spark: SparkSession) -> DataFrame | None:
+        """Latest-per-PK projection (retractions included), maintained
+        incrementally by the writer. None when never materialized."""
+        marker = os.path.join(self.state_path(), "_HEAD")
+        if not os.path.exists(marker):
+            return None
+        head = open(marker).read().strip()
+        if head != (self.head_hash() or ""):
+            return None  # stale (e.g. compaction/reset rewrote history)
+        return spark.read.parquet(os.path.join(self.state_path(), "latest"))
+
+    def write_state(self, df: DataFrame) -> None:
+        """Atomically replace the materialized state for current head."""
+        import shutil
+
+        target = os.path.join(self.state_path(), "latest")
+        tmp = os.path.join(self.state_path(), ".latest.tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+        with open(os.path.join(self.state_path(), "_HEAD"), "w") as f:
+            f.write(self.head_hash() or "")
+
     def schema_event(self) -> dict[str, Any] | None:
         b = self.chain.last_event("SetDataSchema")
         return b.event if b else None

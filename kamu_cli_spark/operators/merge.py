@@ -41,6 +41,33 @@ def _require_columns(df: DataFrame, cols: list[str], what: str) -> None:
         raise MergeError(f"{what}: missing column(s) {missing}; have {df.columns}")
 
 
+def project_changelog_keep_retractions(
+    ledger: DataFrame,
+    primary_key: list[str],
+    vocab: DatasetVocabulary = DEFAULT_VOCAB,
+) -> DataFrame:
+    """Latest record per primary key INCLUDING retracted keys (no op
+    filter) — the canonical materialized-state representation: applying
+    ``op != -R`` afterwards yields the live state, while the full row
+    set preserves every PK ever seen (what ledger-merge dedup needs).
+    Idempotent: projecting a projection returns it unchanged."""
+    _require_columns(ledger, primary_key, "project_changelog")
+    _require_columns(
+        ledger, [vocab.offset_column, vocab.operation_type_column], "project_changelog"
+    )
+    other = [c for c in ledger.columns if c not in primary_key]
+    return (
+        ledger.groupBy(*[F.col(c) for c in primary_key])
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in other]), F.col(vocab.offset_column)
+            ).alias("__latest")
+        )
+        .select(*primary_key, "__latest.*")
+        .select(*ledger.columns)
+    )
+
+
 def project_changelog(
     ledger: DataFrame,
     primary_key: list[str],
@@ -59,23 +86,9 @@ def project_changelog(
     Output preserves the input column set and order (including
     ``offset``/``op``, like the reference's projection).
     """
-    _require_columns(ledger, primary_key, "project_changelog")
-    _require_columns(
-        ledger, [vocab.offset_column, vocab.operation_type_column], "project_changelog"
+    return project_changelog_keep_retractions(ledger, primary_key, vocab).filter(
+        F.col(vocab.operation_type_column) != F.lit(Op.RETRACT)
     )
-    other = [c for c in ledger.columns if c not in primary_key]
-    state = (
-        ledger.groupBy(*[F.col(c) for c in primary_key])
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in other]), F.col(vocab.offset_column)
-            ).alias("__latest")
-        )
-        .select(*primary_key, "__latest.*")
-        .filter(F.col(vocab.operation_type_column) != F.lit(Op.RETRACT))
-        .select(*ledger.columns)  # restore original column order
-    )
-    return state
 
 
 def _is_distinct_from(a: Column, b: Column) -> Column:

@@ -55,14 +55,18 @@ class DataWriter:
         dataset: Dataset,
         strategy: MergeStrategy,
         compute_logical_hash: bool = False,
+        maintain_state: bool = True,
     ):
         """`compute_logical_hash`: also record the order-sensitive row
         digest in AddData (costs a per-row hash collect; physical file
-        hash is always recorded)."""
+        hash is always recorded). `maintain_state`: keep the
+        latest-per-PK materialized state up to date per commit so merges
+        read O(|keys|) instead of O(|history|)."""
         self.dataset = dataset
         self.strategy = strategy
         self.vocab: DatasetVocabulary = dataset.vocab
         self.compute_logical_hash = compute_logical_hash
+        self.maintain_state = maintain_state
 
     # -- pipeline ------------------------------------------------------
 
@@ -169,7 +173,17 @@ class DataWriter:
         v = self.vocab
 
         self.validate_input(new)
-        prev = self.dataset.read(spark)
+        # Prefer the materialized latest-per-PK state over a full-history
+        # scan: every PK-based strategy starts by projecting `prev`, and
+        # projection is idempotent, so the compact state is a drop-in
+        # replacement (fixes the prev-data full-scan debt the reference
+        # documents at writer.rs:232).
+        prev = None
+        pk = getattr(self.strategy, "primary_key", None)
+        if self.maintain_state and pk:
+            prev = self.dataset.read_state(spark)
+        if prev is None:
+            prev = self.dataset.read(spark)
         merged = self.strategy.merge(prev, new)
         merged = self.ensure_event_time(merged)
 
@@ -231,6 +245,16 @@ class DataWriter:
                 **(extra_event or {}),
             }
             self.dataset.chain.append(event, system_time=system_time.isoformat())
+
+            if self.maintain_state and pk:
+                from kamu_cli_spark.operators.merge import (
+                    project_changelog_keep_retractions,
+                )
+
+                combined = full if prev is None else prev.unionByName(full)
+                self.dataset.write_state(
+                    project_changelog_keep_retractions(combined, pk, v)
+                )
             return event
         finally:
             cached = getattr(full, "_kamu_persisted", None)
