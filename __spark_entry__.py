@@ -22,6 +22,7 @@ from kamu_cli_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    winnow_fingerprints,
 )
 from kamu_cli_spark.operators.merge import (
     MergeStrategyLedger,
@@ -814,6 +815,102 @@ WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.2
 """
 
 
+def q_documents_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return winnow_fingerprints(d, "doc_id", shingle_n=3, window=4).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+O_WINNOW = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+pos_grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 8))::BIGINT AS h
+  FROM words, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+winmin AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         count(*) OVER (PARTITION BY doc_id) AS n_pos
+  FROM pos_grams
+)
+SELECT DISTINCT doc_id, win_min AS fp
+FROM winmin WHERE pos <= n_pos - 3
+"""
+
+
+def q_lineitem_cube(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+O_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_currency_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 currency-conversion shape: as-of join trades to the latest
+    prior daily rate per currency (rates derived from events)."""
+    e = load_table(spark, sf, "events")
+    rates = (
+        e.groupBy(
+            F.col("user_id").alias("currency"),
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("rate_day"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("rate"))
+    )
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 15).alias("currency"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        o,
+        rates,
+        on=["currency"],
+        left_time="o_orderdate",
+        right_time="rate_day",
+        right_values=["rate"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "currency",
+        "rate",
+        F.round(F.col("o_totalprice") * F.coalesce(F.col("rate"), F.lit(1.0)), 2).alias(
+            "converted"
+        ),
+    )
+
+
+O_CURRENCY_ASOF = """
+WITH rates AS (
+  SELECT user_id AS currency,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS rate_day,
+         round(avg(value), 4) AS rate
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT o_custkey % 15 AS currency, o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+)
+SELECT o.o_orderkey, o.currency, r.rate,
+       round(o.o_totalprice * coalesce(r.rate, 1.0), 2) AS converted
+FROM o ASOF LEFT JOIN rates r
+  ON o.currency = r.currency AND r.rate_day <= o.o_orderdate
+"""
+
+
 def q_documents_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return simhash(d, "doc_id", bits=32)
@@ -984,6 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_minhash_lsh": q_documents_minhash_lsh,
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash": q_documents_simhash,
+        "documents_winnow": q_documents_winnow,
+        "lineitem_cube": q_lineitem_cube,
+        "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "embeddings_near_dup": q_embeddings_near_dup,
@@ -1018,6 +1118,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_minhash_lsh": _o_minhash(),
         "documents_ngram_jaccard": O_NGRAM_JACCARD,
         "documents_simhash": _o_simhash(),
+        "documents_winnow": O_WINNOW,
+        "lineitem_cube": O_CUBE,
+        "currency_asof": O_CURRENCY_ASOF,
         "documents_text_metrics": O_TEXT_METRICS,
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_near_dup": O_EMBED_NEAR_DUP,

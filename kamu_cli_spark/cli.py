@@ -99,16 +99,31 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_pull(args) -> int:
+    from kamu_cli_spark.provenance import lineage
     from kamu_cli_spark.transform import TransformExecutor
 
-    ds = _dataset(args)
-    ev = TransformExecutor(ds).execute(_spark())
-    if ev is None:
-        print("up-to-date")
-    elif ev.get("new_data"):
-        print(f"committed {ev['new_data']['num_records']} records")
+    spark = _spark()
+    order: list[str] = []
+
+    def topo(node):
+        for sub in node["inputs"]:
+            topo(sub)
+        if node["kind"] == "Derivative" and node["name"] not in order:
+            order.append(node["name"])
+
+    if args.recursive:
+        topo(lineage(args.workspace, args.dataset))
     else:
-        print("advanced inputs, no new records")
+        order = [args.dataset]
+
+    for name in order:
+        ev = TransformExecutor(_dataset(args, name)).execute(spark)
+        if ev is None:
+            print(f"{name}: up-to-date")
+        elif ev.get("new_data"):
+            print(f"{name}: committed {ev['new_data']['num_records']} records")
+        else:
+            print(f"{name}: advanced inputs, no new records")
     return 0
 
 
@@ -200,7 +215,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--format", default="csv")
     s.add_argument("--event-time-column", default=None)
     s.set_defaults(fn=cmd_ingest)
-    s = sub.add_parser("pull"); s.add_argument("dataset"); s.set_defaults(fn=cmd_pull)
+    s = sub.add_parser("pull")
+    s.add_argument("dataset")
+    s.add_argument("--recursive", action="store_true")
+    s.set_defaults(fn=cmd_pull)
     s = sub.add_parser("sql")
     s.add_argument("query"); s.add_argument("--limit", type=int, default=50)
     s.set_defaults(fn=cmd_sql)

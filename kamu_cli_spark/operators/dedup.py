@@ -16,7 +16,7 @@ Design notes (100 TB first):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kamu_cli_spark.operators.text import fingerprint, tokens
@@ -177,6 +177,44 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    Classic winnowing (Schleimer et al.): hash every n-gram, slide a
+    window of `window` consecutive hashes, keep each window's minimum —
+    guarantees matches of length >= window+n-1 share a fingerprint.
+    Implemented as a positional explode + a sliding-window MIN (window
+    frame over position, per document) — one shuffle on the doc id.
+    Returns distinct (id, fingerprint-hash) rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(F.col(text_col), shingle_n)).alias("pos", "gram"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    n_sh = Window.partitionBy("id")
+    return (
+        toks.withColumn("win_min", F.min("h").over(w))
+        .withColumn("n_pos", F.count(F.lit(1)).over(n_sh))
+        # a full window must fit starting at this position
+        .filter(F.col("pos") <= F.col("n_pos") - window)
+        .select("id", F.col("win_min").alias("fp"))
+        .distinct()
     )
 
 
