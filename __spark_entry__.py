@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from kamu_cli_spark.operators.asof import asof_join
 from kamu_cli_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signature,
@@ -382,6 +383,64 @@ SELECT CASE WHEN ok IS NULL THEN 0 WHEN nk IS NULL THEN 1 ELSE 3 END AS op,
 FROM cdc
 UNION ALL
 SELECT 2 AS op, ok, onm, oa FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL
+"""
+
+
+def q_events_snapshot_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """BASELINE.md bench 1 shape: snapshot-merge a full-size state vs a
+    perturbed snapshot of the events table keyed by event_id (~100k rows
+    at sf0.1: 10% removed, ~14% changed, plus synthetic additions)."""
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    prev = e.select(
+        F.col("event_id").alias("offset"),
+        F.lit(Op.APPEND).cast("int").alias("op"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    new = (
+        e.filter(F.col("event_id") % 10 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        )
+        .unionByName(
+            e.filter(F.col("event_id") % 13 == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                F.lit(0.5).alias("value"),
+            )
+        )
+        .select("event_id", "user_id", "value")
+    )
+    return MergeStrategySnapshot(["event_id"]).merge(prev, new)
+
+
+O_EVENTS_SNAPSHOT_CDC = """
+WITH state AS (SELECT event_id, user_id, value FROM events),
+new AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 10 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, user_id, 0.5 FROM events WHERE event_id % 13 = 0
+),
+cdc AS (
+  SELECT o.event_id AS ok, o.user_id AS ou, o.value AS ov,
+         n.event_id AS nk, n.user_id AS nu, n.value AS nv
+  FROM state o FULL OUTER JOIN new n ON o.event_id = n.event_id
+  WHERE (o.user_id IS DISTINCT FROM n.user_id)
+     OR (o.value IS DISTINCT FROM n.value)
+)
+SELECT CASE WHEN ok IS NULL THEN 0 WHEN nk IS NULL THEN 1 ELSE 3 END AS op,
+       CASE WHEN nk IS NULL THEN ok ELSE nk END AS event_id,
+       CASE WHEN nk IS NULL THEN ou ELSE nu END AS user_id,
+       CASE WHEN nk IS NULL THEN ov ELSE nv END AS value
+FROM cdc
+UNION ALL
+SELECT 2 AS op, ok, ou, ov FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL
 """
 
 
@@ -779,6 +838,36 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_documents_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs (MinHash LSH) clustered into connected components."""
+    d = load_table(spark, sf, "documents")
+    sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def _o_dup_clusters() -> str:
+    minhash_sql = _o_minhash().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({minhash_sql}) __mh
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 def q_documents_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return ngram_jaccard_pairs(d, "doc_id", shingle_n=3, threshold=0.2).select(
@@ -1074,11 +1163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_global": q_top2_global,
         "multi_step_harmonize": q_multi_step_harmonize,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
+        "events_snapshot_cdc": q_events_snapshot_cdc,
         "orders_ledger_merge": q_orders_ledger_merge,
         "events_changelog_projection": q_events_changelog_projection,
         "events_upsert_merge": q_events_upsert_merge,
         "documents_dedup_exact": q_documents_dedup_exact,
         "documents_minhash_lsh": q_documents_minhash_lsh,
+        "documents_dup_clusters": q_documents_dup_clusters,
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash": q_documents_simhash,
         "documents_winnow": q_documents_winnow,
@@ -1111,11 +1202,13 @@ def oracle_sql() -> dict[str, str]:
         "top2_global": O_TOP2_GLOBAL,
         "multi_step_harmonize": O_MULTI_STEP,
         "customer_snapshot_cdc": O_SNAPSHOT_CDC,
+        "events_snapshot_cdc": O_EVENTS_SNAPSHOT_CDC,
         "orders_ledger_merge": O_LEDGER_MERGE,
         "events_changelog_projection": O_CHANGELOG_PROJECTION,
         "events_upsert_merge": O_UPSERT_MERGE,
         "documents_dedup_exact": O_DEDUP_EXACT,
         "documents_minhash_lsh": _o_minhash(),
+        "documents_dup_clusters": _o_dup_clusters(),
         "documents_ngram_jaccard": O_NGRAM_JACCARD,
         "documents_simhash": _o_simhash(),
         "documents_winnow": O_WINNOW,

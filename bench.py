@@ -27,12 +27,16 @@ HEADLINE = [
     "orders_lineitem_interval_join",
     "orders_events_asof_join",
     "customer_snapshot_cdc",
+    "events_snapshot_cdc",
     "orders_ledger_merge",
     "events_changelog_projection",
     "events_upsert_merge",
+    "currency_asof",
     "documents_dedup_exact",
     "documents_minhash_lsh",
+    "documents_dup_clusters",
     "documents_simhash",
+    "documents_winnow",
     "documents_text_metrics",
     "embeddings_cosine_topk",
 ]

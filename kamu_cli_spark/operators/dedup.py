@@ -180,6 +180,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, component)
+    where component = min id reachable.
+
+    Min-label propagation to fixpoint: each iteration joins labels
+    across edges and keeps the per-node minimum — the standard
+    large-scale connected-components loop (alternating join + hash-agg;
+    no driver-side graph). Iterations are bounded by graph diameter;
+    dedup-cluster graphs are shallow (near-clique), so convergence is
+    fast. Each pass shuffles on the node id.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for every edge, propose dst's label to src
+        proposals = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            proposals.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        old = labels
+        labels = proposals
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("component"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -196,21 +252,31 @@ def winnow_fingerprints(
     frame over position, per document) — one shuffle on the doc id.
     Returns distinct (id, fingerprint-hash) rows.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(shingles(F.col(text_col), shingle_n)).alias("pos", "gram"),
+    from kamu_cli_spark.operators.util import spread
+
+    # Materialize the gram arrays: the interpreted higher-order shingle
+    # expression is referenced by BOTH size() and posexplode(), and
+    # Catalyst's projection collapse would re-evaluate it per reference.
+    with_grams = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), shingle_n).alias("__g"),
+        )
+        .persist()
+    )
+    # carry the shingle count through the explode — computing it with a
+    # second (orderless) window would force another pass over the sort
+    toks = with_grams.select(
+        "id",
+        F.size("__g").alias("n_pos"),
+        F.posexplode("__g").alias("pos", "gram"),
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
     )
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
-    n_sh = Window.partitionBy("id")
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
         toks.withColumn("win_min", F.min("h").over(w))
-        .withColumn("n_pos", F.count(F.lit(1)).over(n_sh))
         # a full window must fit starting at this position
         .filter(F.col("pos") <= F.col("n_pos") - window)
         .select("id", F.col("win_min").alias("fp"))
