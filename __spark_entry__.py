@@ -34,6 +34,7 @@ from kamu_cli_spark.operators.merge import (
 from kamu_cli_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_ann,
     lsh_bucketed_ann,
 )
 from kamu_cli_spark.operators.text import text_metrics
@@ -1125,6 +1126,13 @@ WHERE round(list_inner_product(a.ve, b.ve)
 """
 
 
+def q_embeddings_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (KMeans cells, n_probe probing) — approximate, rows-only."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return ivf_ann(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=5)
+
+
 def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN (LSH-bucketed) — recall<1 by design, no SQL oracle;
     driver records rows-only."""
@@ -1179,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "embeddings_near_dup": q_embeddings_near_dup,
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
+        "embeddings_ivf_ann": q_embeddings_ivf_ann,
     }
 
 

@@ -1,0 +1,163 @@
+"""REST data API — the reference's HTTP adapter surface
+(SURVEY.md §2.8: POST /query, GET /tail, POST /ingest, GET /metadata,
+POST /verify; adapter/http/src/data/query_types.rs).
+
+Minimal stdlib implementation (no web framework in this environment):
+one worker SparkSession behind a threaded HTTP server. Response
+formats follow the reference's JSON AoS (array-of-structures) /
+SoA / AoA data formats.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _df_payload(df: DataFrame, fmt: str = "aos", limit: int = 1000) -> dict:
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    if fmt == "aos":
+        data = [{c: _j(v) for c, v in zip(cols, r)} for r in rows]
+    elif fmt == "soa":
+        data = {c: [_j(r[i]) for r in rows] for i, c in enumerate(cols)}
+    elif fmt == "aoa":
+        data = [[_j(v) for v in r] for r in rows]
+    else:
+        raise ValueError(f"unknown data format: {fmt}")
+    schema = [
+        {"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields
+    ]
+    return {"schema": schema, "data": data, "dataFormat": fmt}
+
+
+def _j(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "kamu-cli-spark/0.1"
+    qs = None  # QueryService, injected
+    spark: SparkSession = None
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, msg: str):
+        self._send(code, {"error": msg})
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/tail":
+                df = self.qs.tail(
+                    q["dataset"],
+                    skip=int(q.get("skip", 0)),
+                    limit=int(q.get("limit", 100)),
+                )
+                self._send(200, _df_payload(df, q.get("dataFormat", "aos")))
+            elif url.path == "/metadata":
+                ds = self.qs.dataset(q["dataset"])
+                blocks = [
+                    json.loads(b.to_json()) for b in ds.chain.blocks()
+                ]
+                self._send(200, {"name": ds.name, "blocks": blocks})
+            elif url.path == "/datasets":
+                self._send(200, {"datasets": self.qs.list_datasets()})
+            else:
+                self._error(404, f"no route {url.path}")
+        except KeyError as e:
+            self._error(400, f"missing/unknown parameter or dataset: {e}")
+        except Exception as e:  # pragma: no cover
+            self._error(500, str(e))
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        n = int(self.headers.get("Content-Length", 0))
+        try:
+            body = json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError:
+            return self._error(400, "invalid JSON body")
+        try:
+            if url.path == "/query":
+                df = self.qs.sql(body["query"])
+                self._send(
+                    200,
+                    _df_payload(
+                        df,
+                        body.get("dataFormat", "aos"),
+                        int(body.get("limit", 1000)),
+                    ),
+                )
+            elif url.path == "/ingest":
+                from kamu_cli_spark.operators.merge import make_merge_strategy
+                from kamu_cli_spark.writer import DataWriter
+
+                ds = self.qs.dataset(body["dataset"])
+                src = ds.chain.last_event("SetPollingSource") or ds.chain.last_event(
+                    "AddPushSource"
+                )
+                cfg = (src.event.get("merge") if src else None) or {"kind": "append"}
+                strategy = make_merge_strategy(
+                    cfg.get("kind", "append"),
+                    cfg.get("primary_key"),
+                    cfg.get("compare_columns"),
+                    ds.vocab,
+                )
+                rows = body["data"]  # JSON AoS
+                df = self.spark.createDataFrame(rows)
+                ev = DataWriter(ds, strategy).write(self.spark, df)
+                self._send(200, {"committed": ev["new_data"] if ev else None})
+            elif url.path == "/verify":
+                from kamu_cli_spark.verification import verify_dataset
+
+                ds = self.qs.dataset(body["dataset"])
+                res = verify_dataset(self.spark, ds)
+                self._send(200, {"ok": True, **res})
+            else:
+                self._error(404, f"no route {url.path}")
+        except KeyError as e:
+            self._error(400, f"missing/unknown parameter or dataset: {e}")
+        except Exception as e:
+            self._error(500, str(e))
+
+
+def serve(
+    spark: SparkSession,
+    workspace: str,
+    port: int = 8080,
+    background: bool = False,
+) -> ThreadingHTTPServer:
+    """Start the REST server; returns the server object (call
+    `.shutdown()` to stop when background=True)."""
+    from kamu_cli_spark.query import QueryService
+
+    handler = type(
+        "Handler",
+        (_Handler,),
+        {"qs": QueryService(spark, workspace), "spark": spark},
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    if background:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv
+    srv.serve_forever()
+    return srv

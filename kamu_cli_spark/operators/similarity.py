@@ -121,6 +121,79 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    round_digits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Train KMeans centroids on the corpus (Spark ML, distributed), assign
+    every corpus vector to its centroid cell, then score each query only
+    against its `n_probe` nearest cells. At 100 TB the corpus pass is
+    one narrow pipeline, the candidate join shuffles on the (small) cell
+    id, and per-query work drops from |corpus| to |corpus|·n_probe/n_centroids.
+    Approximate by construction → no SQL oracle (exact baseline:
+    :func:`cosine_topk`).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _spread(corpus).select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    ).persist()
+    model = KMeans(k=n_centroids, seed=seed).fit(c.select("features"))
+    assigned = model.transform(c).select("cid", "cv", "cn", F.col("prediction").alias("cell"))
+
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    centers_df = queries.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    )
+    q = _spread(queries).select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    # each query probes its n_probe closest cells (centroid table is tiny
+    # → broadcast cross join, then rank)
+    qc = q.crossJoin(F.broadcast(centers_df)).select(
+        "qid", "qv", "qn", "cell",
+        (
+            dot(F.col("qv"), F.col("center"))
+            / (F.col("qn") * norm(F.col("center")))
+        ).alias("cell_sim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probes = qc.withColumn("p", F.row_number().over(wq)).filter(F.col("p") <= n_probe)
+
+    cand = probes.join(assigned, "cell").filter(F.col("qid") != F.col("cid"))
+    scored = cand.select(
+        "qid",
+        "cid",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
     across runs/engines without RNG state."""
@@ -140,50 +213,75 @@ def lsh_bucketed_ann(
     corpus_id: str,
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
     k: int = 5,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: sign-of-dot-product LSH bucketing.
+    """Approximate top-k: multi-table sign-of-dot-product LSH.
 
-    Each vector maps to a `num_planes`-bit bucket (sign pattern against
-    deterministic hyperplanes); queries only score candidates in their
-    bucket. At 100 TB: corpus bucketing is one narrow pass, the join
-    shuffles on the bucket id, and per-bucket work is |bucket| — tune
-    `num_planes` so buckets fit executor memory. Recall < 1.0 by
-    construction; the exact baseline above is the oracle.
+    `num_tables` independent hash tables of `num_planes` bits each
+    (deterministic md5-derived hyperplanes); a pair is a candidate if it
+    collides in ANY table — the classic L-tables construction, which
+    turns per-table recall p^planes into 1-(1-p^planes)^tables. At
+    100 TB the candidate join shuffles on the (table, bucket) key; tune
+    planes (bucket size) against tables (recall).
+
+    Measured on the driver's synthetic embeddings (near-orthogonal
+    vectors — worst case for angular LSH): recall@5 ≈ 0.17 at 4×8 vs
+    :func:`ivf_ann` ≈ 0.65 — prefer IVF when the corpus clusters.
     """
-    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    all_planes = [
+        [_hyperplane(dim, t * num_planes + p) for p in range(num_planes)]
+        for t in range(num_tables)
+    ]
 
-    def bucket(vec: Column) -> Column:
-        bits = []
-        for p_idx, p in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in p])
-            bits.append(
-                F.when(dot(vec, arr) >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-            )
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+    def buckets(vec: Column) -> Column:
+        entries = []
+        for t, planes in enumerate(all_planes):
+            bits = []
+            for p_idx, p in enumerate(planes):
+                arr = F.array(*[F.lit(x) for x in p])
+                bits.append(
+                    F.when(dot(vec, arr) >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+                )
+            b = bits[0]
+            for x in bits[1:]:
+                b = b + x
+            entries.append(F.struct(F.lit(t).alias("t"), b.alias("bucket")))
+        return F.array(*entries)
 
-    q = queries.select(
-        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"),
+    q = _spread(queries).select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
-        bucket(F.col(vec_col)).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"),
+        buckets(F.col(vec_col)).alias("__b"),
+    ).persist()
+    c = _spread(corpus).select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        buckets(F.col(vec_col)).alias("__b"),
+    ).persist()
+    qb = q.select("qid", F.explode("__b").alias("e")).select("qid", "e.t", "e.bucket")
+    cb = c.select("cid", F.explode("__b").alias("e")).select("cid", "e.t", "e.bucket")
+    cand = (
+        qb.join(cb, ["t", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
     )
-    pairs = q.join(c, "bucket").filter(F.col("qid") != F.col("cid"))
-    scored = pairs.select(
-        "qid",
-        "cid",
-        F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
-        ).alias("cosine"),
+    scored = (
+        cand.join(q.select("qid", "qv", "qn"), "qid")
+        .join(c.select("cid", "cv", "cn"), "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (

@@ -84,6 +84,41 @@ class DataWriter:
                     f"event_time column must be Date or Timestamp, got {dt}"
                 )
 
+    def coerce_to_declared(self, new: DataFrame) -> DataFrame:
+        """Cast incoming columns to the declared SetDataSchema types
+        (reference coerce_schema, writer.rs:387-515): push-ingested JSON
+        arrives with inferred wide types (bigint for int, double for
+        float) that must narrow to the committed schema."""
+        declared = self.dataset.schema_event()
+        if declared is None:
+            return new
+
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        times = {"timestamp", "timestamp_ntz", "date"}
+
+        def coercible(have: str, want: str) -> bool:
+            if have in numeric and want in numeric:
+                return True
+            if have.startswith("decimal") and (
+                want in numeric or want.startswith("decimal")
+            ):
+                return True
+            if have in numeric and want.startswith("decimal"):
+                return True
+            return have in times and want in times
+
+        types = {f["name"]: f["type"] for f in declared["fields"]}
+        out = new
+        for c in new.columns:
+            want = types.get(c)
+            have = dict(new.dtypes)[c]
+            # only same-family coercions (ODF compat rules reject type
+            # changes across families — writer.rs:413-515); incompatible
+            # columns fall through to validate_schema_compatible
+            if want is not None and have != want and coercible(have, want):
+                out = out.withColumn(c, F.col(c).cast(want))
+        return out
+
     def ensure_event_time(self, df: DataFrame) -> DataFrame:
         if self.vocab.event_time_column not in df.columns:
             df = df.withColumn(
@@ -173,6 +208,7 @@ class DataWriter:
         v = self.vocab
 
         self.validate_input(new)
+        new = self.coerce_to_declared(new)
         # Prefer the materialized latest-per-PK state over a full-history
         # scan: every PK-based strategy starts by projecting `prev`, and
         # projection is idempotent, so the compact state is a drop-in
