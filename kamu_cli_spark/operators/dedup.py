@@ -210,6 +210,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    prev_sum = None
     for _ in range(max_iterations):
         # neighbor labels: for every edge, propose dst's label to src
         proposals = (
@@ -220,18 +221,16 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            proposals.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # labels only ever decrease, so the label sum is a monotone
+        # convergence witness — one cheap aggregation instead of an
+        # anti-join diff per iteration
+        cur_sum = proposals.agg(F.sum("component")).collect()[0][0]
         old = labels
         labels = proposals
         old.unpersist()
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("id"), F.col("component"))
 
