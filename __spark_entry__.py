@@ -729,6 +729,79 @@ SELECT event_id, user_id, value, rank FROM (
 """
 
 
+def q_lineitem_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__li")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM __li
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+O_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_suppliers_with_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated subqueries."""
+    load_table(spark, sf, "supplier").createOrReplaceTempView("__sup")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__li2")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               EXISTS (SELECT 1 FROM __li2 l
+                       WHERE l.l_suppkey = s.s_suppkey
+                         AND l.l_extendedprice > 90000) AS has_big_item
+        FROM __sup s
+        WHERE EXISTS (SELECT 1 FROM __li2 l WHERE l.l_suppkey = s.s_suppkey)
+        """
+    )
+
+
+O_EXISTS_SUBQUERY = """
+SELECT s_suppkey, s_name,
+       EXISTS (SELECT 1 FROM lineitem l
+               WHERE l.l_suppkey = s.s_suppkey
+                 AND l.l_extendedprice > 90000) AS has_big_item
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+"""
+
+
+def q_events_sliding_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range sliding window: per-user 7-day trailing event count,
+    evaluated at each event (RANGE frame over epoch seconds)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+    )
+
+
+O_SLIDING_7D = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_7d,
+       round(sum(value) OVER w, 4) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_multi_step_harmonize(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-step transform (each step = temp view; F8 covid pattern)."""
     load_table(spark, sf, "customer").createOrReplaceTempView("__cust")
@@ -1170,6 +1243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_scalar_battery": q_part_scalar_battery,
         "top2_global": q_top2_global,
         "multi_step_harmonize": q_multi_step_harmonize,
+        "lineitem_grouping_sets": q_lineitem_grouping_sets,
+        "suppliers_with_large_orders": q_suppliers_with_large_orders,
+        "events_sliding_7d": q_events_sliding_7d,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
         "events_snapshot_cdc": q_events_snapshot_cdc,
         "orders_ledger_merge": q_orders_ledger_merge,
@@ -1210,6 +1286,9 @@ def oracle_sql() -> dict[str, str]:
         "part_scalar_battery": O_SCALAR_BATTERY,
         "top2_global": O_TOP2_GLOBAL,
         "multi_step_harmonize": O_MULTI_STEP,
+        "lineitem_grouping_sets": O_GROUPING_SETS,
+        "suppliers_with_large_orders": O_EXISTS_SUBQUERY,
+        "events_sliding_7d": O_SLIDING_7D,
         "customer_snapshot_cdc": O_SNAPSHOT_CDC,
         "events_snapshot_cdc": O_EVENTS_SNAPSHOT_CDC,
         "orders_ledger_merge": O_LEDGER_MERGE,

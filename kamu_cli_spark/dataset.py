@@ -156,6 +156,21 @@ class Dataset:
         with open(os.path.join(self.state_path(), "_HEAD"), "w") as f:
             f.write(self.head_hash() or "")
 
+    def clean_orphan_slices(self) -> list[str]:
+        """Remove data files not referenced by the chain — leftovers of a
+        writer that crashed between slice write and commit. Explicit
+        (not automatic) so concurrent writers can't race it."""
+        live = {d["path"] for d in self.chain.data_files()}
+        data_dir = os.path.join(self.path, "data")
+        removed = []
+        if os.path.isdir(data_dir):
+            for fn in os.listdir(data_dir):
+                rel = "data/" + fn
+                if rel not in live and fn.endswith(".parquet"):
+                    os.remove(os.path.join(data_dir, fn))
+                    removed.append(rel)
+        return removed
+
     def schema_event(self) -> dict[str, Any] | None:
         b = self.chain.last_event("SetDataSchema")
         return b.event if b else None

@@ -185,17 +185,45 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, component)
     where component = min id reachable.
 
-    Min-label propagation to fixpoint: each iteration joins labels
-    across edges and keeps the per-node minimum — the standard
-    large-scale connected-components loop (alternating join + hash-agg;
-    no driver-side graph). Iterations are bounded by graph diameter;
-    dedup-cluster graphs are shallow (near-clique), so convergence is
-    fast. Each pass shuffles on the node id.
+    Adaptive: candidate-pair graphs are usually MUCH smaller than the
+    corpus (that's the point of LSH), so when the edge list fits under
+    `driver_threshold` we run union-find on the driver — one job to
+    collect, zero iterations. Above the threshold, min-label propagation
+    to fixpoint: each iteration joins labels across edges and keeps the
+    per-node minimum (alternating join + hash-agg, no driver-side
+    graph). Iterations are bounded by graph diameter; dedup clusters are
+    shallow near-cliques, so convergence is fast.
     """
+    n_pairs = pairs.persist().count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = pairs.select(a_col, b_col).collect()
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        schema = pairs.select(
+            pairs[a_col].alias("id"), pairs[a_col].alias("component")
+        ).schema
+        pairs.unpersist()
+        return spark.createDataFrame(labels, schema)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
