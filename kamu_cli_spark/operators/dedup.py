@@ -29,17 +29,18 @@ def dedup_exact(
     """Group by normalized-text fingerprint; keep the min-id survivor.
     Returns (id, fingerprint, group_size, is_canonical) per input row."""
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
-    with_fp = df.select(F.col(id_col), fp).persist()  # read by agg + join
-    groups = with_fp.groupBy("fingerprint").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return with_fp.join(groups, "fingerprint").select(
+    with_fp = df.select(F.col(id_col), fp)
+    # group stats via window over the fingerprint partition — ONE shuffle
+    # on the fingerprint, no aggregate+rejoin round trip
+    w = Window.partitionBy("fingerprint")
+    return with_fp.select(
         id_col,
         "fingerprint",
-        "canonical_id",
-        "group_size",
-        (F.col(id_col) == F.col("canonical_id")).cast("boolean").alias("is_canonical"),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn(
+        "is_canonical",
+        (F.col(id_col) == F.col("canonical_id")).cast("boolean"),
     )
 
 

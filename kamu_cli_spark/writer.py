@@ -56,17 +56,23 @@ class DataWriter:
         strategy: MergeStrategy,
         compute_logical_hash: bool = False,
         maintain_state: bool = True,
+        max_slice_records: int | None = None,
     ):
         """`compute_logical_hash`: also record the order-sensitive row
         digest in AddData (costs a per-row hash collect; physical file
         hash is always recorded). `maintain_state`: keep the
         latest-per-PK materialized state up to date per commit so merges
-        read O(|keys|) instead of O(|history|)."""
+        read O(|keys|) instead of O(|history|). `max_slice_records`:
+        split oversized batches into multiple sequential slice commits —
+        each ODF slice is one sorted file, so a single-file write of a
+        huge backfill would bottleneck on one task; chunking keeps every
+        file bounded while offsets stay dense across the chunks."""
         self.dataset = dataset
         self.strategy = strategy
         self.vocab: DatasetVocabulary = dataset.vocab
         self.compute_logical_hash = compute_logical_hash
         self.maintain_state = maintain_state
+        self.max_slice_records = max_slice_records
 
     # -- pipeline ------------------------------------------------------
 
@@ -244,43 +250,54 @@ class DataWriter:
                     system_time=system_time.isoformat(),
                 )
 
-            seq = len(self.dataset.chain)
-            rel = self.write_slice(full, seq, stats["min_off"], stats["max_off"])
-
             from kamu_cli_spark.verification import logical_hash, physical_hash
-
-            phash = physical_hash(os.path.join(self.dataset.path, rel))
-            lhash = (
-                logical_hash(full, v.offset_column) if self.compute_logical_hash
-                else None
-            )
 
             prev_wm = self.dataset.chain.current_watermark()
             max_et = stats["max_et"]
-            new_wm = None
             if max_et is not None:
                 et_iso = max_et.replace(tzinfo=timezone.utc).isoformat()
                 new_wm = et_iso if prev_wm is None or et_iso > prev_wm else prev_wm
             else:
                 new_wm = prev_wm
 
-            event = {
-                "kind": event_kind,
-                "new_data": {
-                    "path": rel,
-                    "offset_interval": {
-                        "start": int(stats["min_off"]),
-                        "end": int(stats["max_off"]),
+            lo, hi = int(stats["min_off"]), int(stats["max_off"])
+            step = self.max_slice_records or (hi - lo + 1)
+            bounds = [
+                (a, min(a + step - 1, hi)) for a in range(lo, hi + 1, step)
+            ]
+            event = None
+            for a, b in bounds:
+                last = b == hi
+                part = (
+                    full
+                    if len(bounds) == 1
+                    else full.filter(
+                        (F.col(v.offset_column) >= a) & (F.col(v.offset_column) <= b)
+                    )
+                )
+                seq = len(self.dataset.chain)
+                rel = self.write_slice(part, seq, a, b)
+                phash = physical_hash(os.path.join(self.dataset.path, rel))
+                lhash = (
+                    logical_hash(part, v.offset_column)
+                    if self.compute_logical_hash
+                    else None
+                )
+                event = {
+                    "kind": event_kind,
+                    "new_data": {
+                        "path": rel,
+                        "offset_interval": {"start": a, "end": b},
+                        "num_records": b - a + 1,
+                        "size": os.path.getsize(os.path.join(self.dataset.path, rel)),
+                        "physical_hash": phash,
+                        **({"logical_hash": lhash} if lhash else {}),
                     },
-                    "num_records": int(stats["n"]),
-                    "size": os.path.getsize(os.path.join(self.dataset.path, rel)),
-                    "physical_hash": phash,
-                    **({"logical_hash": lhash} if lhash else {}),
-                },
-                "new_watermark": new_wm,
-                **(extra_event or {}),
-            }
-            self.dataset.chain.append(event, system_time=system_time.isoformat())
+                    # watermark advances once the batch is fully durable
+                    "new_watermark": new_wm if last else prev_wm,
+                    **((extra_event or {}) if last else {}),
+                }
+                self.dataset.chain.append(event, system_time=system_time.isoformat())
 
             if self.maintain_state and pk:
                 from kamu_cli_spark.operators.merge import (
