@@ -23,6 +23,7 @@ from kamu_cli_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
     winnow_fingerprints,
 )
 from kamu_cli_spark.operators.merge import (
@@ -978,6 +979,26 @@ WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.2
 """
 
 
+def q_documents_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole banding —
+    lossless vs brute force (k+1 bands), which the oracle uses."""
+    d = load_table(spark, sf, "documents")
+    sim = simhash(d, "doc_id", bits=32)
+    return simhash_near_pairs(sim, "doc_id", max_hamming=3, bits=32).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+def _o_simhash_pairs() -> str:
+    return f"""
+WITH sims AS ({_o_simhash()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_documents_winnow(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return winnow_fingerprints(d, "doc_id", shingle_n=3, window=4).select(
@@ -1256,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dup_clusters": q_documents_dup_clusters,
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash": q_documents_simhash,
+        "documents_simhash_pairs": q_documents_simhash_pairs,
         "documents_winnow": q_documents_winnow,
         "lineitem_cube": q_lineitem_cube,
         "currency_asof": q_currency_asof,
@@ -1299,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_dup_clusters": _o_dup_clusters(),
         "documents_ngram_jaccard": O_NGRAM_JACCARD,
         "documents_simhash": _o_simhash(),
+        "documents_simhash_pairs": _o_simhash_pairs(),
         "documents_winnow": O_WINNOW,
         "lineitem_cube": O_CUBE,
         "currency_asof": O_CURRENCY_ASOF,

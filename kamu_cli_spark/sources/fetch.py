@@ -35,6 +35,106 @@ def _last_source_state(ds: Dataset) -> dict[str, Any] | None:
     return None
 
 
+def fetch_url(
+    url: str,
+    staging_path: str,
+    source_state: dict[str, Any] | None = None,
+    timeout: float = 30.0,
+) -> tuple[str | None, dict[str, Any]]:
+    """Conditional HTTP fetch with ETag / Last-Modified caching
+    (reference: fetch_service/http.rs savepoint semantics).
+
+    Sends If-None-Match / If-Modified-Since from the previous
+    `source_state`; returns ``(staged_path_or_None, new_state)`` —
+    None when the server answered 304 Not Modified (up-to-date poll).
+    """
+    import urllib.error
+    import urllib.request
+
+    headers = {}
+    state = source_state or {}
+    if state.get("etag"):
+        headers["If-None-Match"] = state["etag"]
+    if state.get("last_modified"):
+        headers["If-Modified-Since"] = state["last_modified"]
+
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+            new_state = {
+                "kind": "url",
+                "url": url,
+                "etag": resp.headers.get("ETag"),
+                "last_modified": resp.headers.get("Last-Modified"),
+            }
+    except urllib.error.HTTPError as e:
+        if e.code == 304:
+            return None, {**state, "kind": "url", "url": url}
+        raise
+    os.makedirs(os.path.dirname(staging_path) or ".", exist_ok=True)
+    with open(staging_path, "wb") as f:
+        f.write(body)
+    return staging_path, new_state
+
+
+def ingest_url(
+    spark: SparkSession,
+    dataset: Dataset,
+    strategy: MergeStrategy,
+    url: str,
+    fmt: str = "csv",
+    event_time_column: str | None = None,
+    **reader_options,
+) -> dict[str, Any] | None:
+    """Polling ingest from a URL: conditional fetch → prep → read →
+    merge → commit, recording the HTTP cache state in the chain.
+    Returns None when the source is unchanged (304)."""
+    import tempfile
+
+    prev_state = _last_source_state(dataset)
+    staged, new_state = fetch_url(
+        url,
+        os.path.join(tempfile.mkdtemp(), os.path.basename(url) or "fetched"),
+        prev_state if prev_state and prev_state.get("kind") == "url" else None,
+    )
+    if staged is None:
+        return None
+    if staged.endswith((".gz", ".zip")):
+        staged = prep_decompress(staged)
+    df = read_format(spark, fmt, staged, **reader_options)
+    if event_time_column and event_time_column in df.columns:
+        df = df.withColumnRenamed(event_time_column, dataset.vocab.event_time_column)
+    writer = DataWriter(dataset, strategy)
+    return writer.write(
+        spark,
+        df,
+        system_time=datetime.now(timezone.utc),
+        extra_event={"source_state": new_state},
+    )
+
+
+def fetch_container(*args, **kwargs):  # pragma: no cover
+    """FetchStep::Container — run an OCI image and capture stdout.
+    Requires a container runtime, not available in this environment."""
+    raise NotImplementedError(
+        "container fetch requires docker/podman; stage the output with "
+        "any runtime and ingest via read_format + DataWriter"
+    )
+
+
+def fetch_mqtt(*args, **kwargs):  # pragma: no cover
+    """FetchStep::Mqtt — bounded subscribe. Requires an MQTT client
+    library (paho), not available in this environment."""
+    raise NotImplementedError("mqtt fetch requires the paho-mqtt package")
+
+
+def fetch_ethereum_logs(*args, **kwargs):  # pragma: no cover
+    """FetchStep::EthereumLogs — eth_getLogs scan with SQL prefilter.
+    Requires a web3 provider, not available in this environment."""
+    raise NotImplementedError("ethereum fetch requires a web3 provider")
+
+
 def ingest_files_glob(
     spark: SparkSession,
     dataset: Dataset,
