@@ -798,7 +798,7 @@ SELECT event_id, user_id,
        count(*) OVER w AS n_7d,
        round(sum(value) OVER w, 4) AS sum_7d
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 """
 
