@@ -99,7 +99,7 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_pull(args) -> int:
-    from kamu_cli_spark.provenance import lineage
+    from kamu_cli_spark.provenance import lineage, topological_order
     from kamu_cli_spark.transform import TransformExecutor
 
     spark = _spark()
@@ -111,7 +111,9 @@ def cmd_pull(args) -> int:
         if node["kind"] == "Derivative" and node["name"] not in order:
             order.append(node["name"])
 
-    if args.recursive:
+    if args.dataset == "--all" or args.all:
+        order = topological_order(args.workspace)
+    elif args.recursive:
         topo(lineage(args.workspace, args.dataset))
     else:
         order = [args.dataset]
@@ -170,8 +172,12 @@ def cmd_verify(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from kamu_cli_spark.compaction import compact
+    from kamu_cli_spark.compaction import compact, reset_keep_metadata_only
 
+    if args.keep_metadata_only:
+        reset_keep_metadata_only(_dataset(args))
+        print("reset to metadata-only")
+        return 0
     res = compact(_spark(), _dataset(args), max_slice_records=args.max_records)
     print(json.dumps(res))
     return 0
@@ -216,8 +222,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--event-time-column", default=None)
     s.set_defaults(fn=cmd_ingest)
     s = sub.add_parser("pull")
-    s.add_argument("dataset")
+    s.add_argument("dataset", nargs="?", default="")
     s.add_argument("--recursive", action="store_true")
+    s.add_argument("--all", action="store_true")
     s.set_defaults(fn=cmd_pull)
     s = sub.add_parser("sql")
     s.add_argument("query"); s.add_argument("--limit", type=int, default=50)
@@ -229,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("verify"); s.add_argument("dataset"); s.set_defaults(fn=cmd_verify)
     s = sub.add_parser("compact")
     s.add_argument("dataset"); s.add_argument("--max-records", type=int, default=1_000_000)
+    s.add_argument("--keep-metadata-only", action="store_true")
     s.set_defaults(fn=cmd_compact)
     s = sub.add_parser("export")
     s.add_argument("dataset"); s.add_argument("output")

@@ -55,6 +55,7 @@ def compact(
     dataset: Dataset,
     max_slice_records: int = 1_000_000,
     max_slice_size: int = 300 * 1024 * 1024,
+    compute_logical_hash: bool = False,
 ) -> dict[str, Any]:
     """Execute compaction: merge slice batches, rewrite the chain."""
     batches = plan_compaction(dataset, max_slice_records, max_slice_size)
@@ -87,19 +88,19 @@ def compact(
         os.replace(os.path.join(tmp_dir, part), os.path.join(dataset.path, rel))
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
-        from kamu_cli_spark.verification import physical_hash
+        from kamu_cli_spark.verification import logical_hash, physical_hash
 
-        new_files.append(
-            (
-                rel,
-                {
-                    "offset_interval": {"start": start, "end": end},
-                    "num_records": n,
-                    "size": os.path.getsize(os.path.join(dataset.path, rel)),
-                    "physical_hash": physical_hash(os.path.join(dataset.path, rel)),
-                },
+        desc = {
+            "offset_interval": {"start": start, "end": end},
+            "num_records": n,
+            "size": os.path.getsize(os.path.join(dataset.path, rel)),
+            "physical_hash": physical_hash(os.path.join(dataset.path, rel)),
+        }
+        if compute_logical_hash:
+            desc["logical_hash"] = logical_hash(
+                spark.read.parquet(os.path.join(dataset.path, rel)), off
             )
-        )
+        new_files.append((rel, desc))
         data_events.append(batch[-1])  # carries the latest watermark
 
     # rewrite chain: non-data blocks in order, then one AddData per batch

@@ -29,6 +29,43 @@ def lineage(workspace: str, name: str, _seen: set[str] | None = None) -> dict[st
     return node
 
 
+def topological_order(workspace: str) -> list[str]:
+    """All derivative datasets in the workspace, dependency-first —
+    the `pull --all` schedule. Roots are excluded (they pull from
+    external sources on their own cadence)."""
+    datasets = [
+        d
+        for d in sorted(os.listdir(workspace))
+        if os.path.exists(os.path.join(workspace, d, "metadata.jsonl"))
+    ]
+    deps: dict[str, list[str]] = {}
+    for d in datasets:
+        ds = Dataset(os.path.join(workspace, d))
+        b = ds.chain.last_event("SetTransform")
+        deps[d] = (
+            [os.path.basename(p.rstrip("/")) for p in b.event["inputs"].values()]
+            if b
+            else []
+        )
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(n: str, stack: tuple[str, ...]):
+        if n in seen or n not in deps:
+            return
+        if n in stack:
+            raise ValueError(f"dependency cycle: {' -> '.join(stack + (n,))}")
+        for dep in deps[n]:
+            visit(dep, stack + (n,))
+        seen.add(n)
+        if deps[n]:  # derivative
+            order.append(n)
+
+    for d in datasets:
+        visit(d, ())
+    return order
+
+
 def downstream(workspace: str, name: str) -> list[str]:
     """Datasets in the workspace that consume `name` directly."""
     out = []
