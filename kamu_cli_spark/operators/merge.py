@@ -99,6 +99,11 @@ def _is_distinct_from(a: Column, b: Column) -> Column:
 class MergeStrategy:
     """Base: merge(prev, new) -> changelog events; sort_order() for offsets."""
 
+    # True for strategies whose INPUT legitimately carries the op column
+    # (changelog/upsert streams); others stamp their own and must reject
+    # clashing input columns.
+    consumes_op_column = False
+
     def __init__(self, vocab: DatasetVocabulary = DEFAULT_VOCAB):
         self.vocab = vocab
 
@@ -282,6 +287,8 @@ class MergeStrategyChangelogStream(MergeStrategy):
     Reference: changelog_stream.rs:36-74 (RFC-015).
     """
 
+    consumes_op_column = True
+
     def __init__(self, primary_key: list[str], vocab: DatasetVocabulary = DEFAULT_VOCAB):
         super().__init__(vocab)
         self.primary_key = primary_key
@@ -303,6 +310,7 @@ class MergeStrategyChangelogStream(MergeStrategy):
 
 
 class MergeStrategyUpsertStream(MergeStrategy):
+    consumes_op_column = True
     """Upserts + retractions without old values → full changelog stream.
 
     Reference: upsert_stream.rs:209-349 (SQL spec). Steps:

@@ -27,7 +27,9 @@ from kamu_cli_spark.dataset import Dataset
 from kamu_cli_spark.operators.merge import project_changelog
 
 
-_TO_TABLE_RE = re.compile(r"to_table\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+_TO_TABLE_RE = re.compile(
+    r"to_table\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)", re.IGNORECASE
+)
 
 
 class QueryService:
@@ -74,11 +76,17 @@ class QueryService:
         df.createOrReplaceTempView(name)
         return df
 
-    def register_projection(self, name: str, view_name: str | None = None) -> DataFrame:
+    def register_projection(
+        self,
+        name: str,
+        view_name: str | None = None,
+        as_of: str | None = None,
+    ) -> DataFrame:
         """Register the dataset's latest-state projection (changelog →
-        state by PK) as a view. Reference: get_changelog_projection."""
+        state by PK) as a view, optionally pinned to a block hash
+        (time travel). Reference: get_changelog_projection."""
         ds = self.dataset(name)
-        df = ds.read(self.spark)
+        df = ds.read(self.spark, as_of)
         if df is None:
             raise KeyError(f"dataset has no data: {name}")
         pk = self.primary_key_of(ds)
@@ -93,12 +101,15 @@ class QueryService:
         """Run SQL; any `to_table('name')` calls are rewritten to state-
         projection views registered on the fly; bare dataset names used
         as tables are auto-registered."""
-        for i, ref in enumerate(set(_TO_TABLE_RE.findall(statement))):
+        for i, (ref, as_of) in enumerate(set(_TO_TABLE_RE.findall(statement))):
             view = f"__to_table_{i}_{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
-            self.register_projection(ref, view)
-            statement = re.sub(
-                r"to_table\(\s*'" + re.escape(ref) + r"'\s*\)", view, statement
+            self.register_projection(ref, view, as_of=as_of or None)
+            pat = (
+                r"to_table\(\s*'" + re.escape(ref) + r"'\s*"
+                + (r",\s*'" + re.escape(as_of) + r"'\s*" if as_of else "")
+                + r"\)"
             )
+            statement = re.sub(pat, view, statement)
         for name in self.list_datasets():
             if re.search(rf"\b{re.escape(name)}\b", statement):
                 self.register(name)

@@ -38,6 +38,8 @@ class _PassthroughOps(MergeStrategy):
     corrections from the input flow through map-style transforms
     unchanged (reference: test_engine_transform.rs:395+)."""
 
+    consumes_op_column = True
+
     def merge(self, prev: DataFrame | None, new: DataFrame) -> DataFrame:
         op = self.vocab.operation_type_column
         others = [c for c in new.columns if c != op]

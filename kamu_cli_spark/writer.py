@@ -80,7 +80,12 @@ class DataWriter:
         """Reject data columns clashing with system columns and malformed
         event_time (reference: writer.rs:106-160)."""
         v = self.vocab
-        for c in (v.offset_column, v.system_time_column):
+        clashes = [v.offset_column, v.system_time_column]
+        # strategies that stamp their own op column must not receive one
+        # (changelog/upsert inputs legitimately carry it)
+        if not getattr(self.strategy, "consumes_op_column", False):
+            clashes.append(v.operation_type_column)
+        for c in clashes:
             if c in new.columns:
                 raise WriterError(f"input column clashes with system column: {c}")
         if v.event_time_column in new.columns:

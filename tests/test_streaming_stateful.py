@@ -1,0 +1,82 @@
+"""Stateful streaming upsert: continuous path must equal the batch
+UpsertStream strategy over the same inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators import MergeStrategyLedger
+from kamu_cli_spark.streaming import read_dataset_stream
+from kamu_cli_spark.streaming.stateful import streaming_upsert_to_changelog
+from kamu_cli_spark.vocab import OperationType as Op
+from kamu_cli_spark.writer import DataWriter
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+T1 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+
+def test_streaming_upsert_state_across_batches(spark, tmp_path):
+    """Two source slices → two micro-batches; state carries between
+    them so corrections classify against batch-1 values."""
+    ws = str(tmp_path)
+    src = Dataset.create(ws, "ups", system_time=T0.isoformat())
+    w = DataWriter(src, MergeStrategyLedger(["seq"]))
+    # batch 1: two appends
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(1, Op.APPEND, "kyiv", 3), (2, Op.APPEND, "lviv", 7)],
+            "seq long, user_op int, city string, population int",
+        ),
+        system_time=T0,
+    )
+    # batch 2: correction, no-op, retract, retract-unseen
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [
+                (3, Op.APPEND, "kyiv", 4),     # correction
+                (4, Op.APPEND, "lviv", 7),     # no-op
+                (5, Op.RETRACT, "kyiv", 0),    # retract
+                (6, Op.RETRACT, "odessa", 0),  # retract unseen → drop
+            ],
+            "seq long, user_op int, city string, population int",
+        ),
+        system_time=T1,
+    )
+
+    stream = read_dataset_stream(spark, src, max_files_per_trigger=1).select(
+        "seq", F.col("user_op").alias("op"), "city", "population"
+    )
+    changelog = streaming_upsert_to_changelog(
+        stream,
+        primary_key=["city"],
+        value_columns=["population"],
+        order_column="seq",
+    )
+    q = (
+        changelog.writeStream.format("memory")
+        .queryName("upsert_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["city"], r["op"], r["population"])
+        for r in spark.sql("select * from upsert_out").collect()
+    )
+    assert got == sorted(
+        [
+            ("kyiv", Op.APPEND, 3),
+            ("lviv", Op.APPEND, 7),
+            ("kyiv", Op.CORRECT_FROM, 3),
+            ("kyiv", Op.CORRECT_TO, 4),
+            ("kyiv", Op.RETRACT, 4),
+        ]
+    )
