@@ -67,13 +67,19 @@ class QueryService:
 
     # -- view registration --------------------------------------------
 
+    @staticmethod
+    def _view_name(name: str) -> str:
+        """Dataset names may contain chars temp views can't (`-`, `.`);
+        views get a sanitized alias and `sql()` rewrites references."""
+        return re.sub(r"\W", "_", name)
+
     def register(self, name: str, as_of: str | None = None) -> DataFrame | None:
-        """Register dataset as temp view `name` pinned to `as_of`."""
+        """Register dataset as temp view (sanitized name), pinned to `as_of`."""
         ds = self.dataset(name)
         df = ds.read(self.spark, as_of)
         if df is None:
             return None
-        df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(self._view_name(name))
         return df
 
     def register_projection(
@@ -111,8 +117,10 @@ class QueryService:
             )
             statement = re.sub(pat, view, statement)
         for name in self.list_datasets():
-            if re.search(rf"\b{re.escape(name)}\b", statement):
-                self.register(name)
+            pattern = rf"`{re.escape(name)}`|(?<![\w.`-]){re.escape(name)}(?![\w.`-])"
+            if re.search(pattern, statement):
+                if self.register(name) is not None:
+                    statement = re.sub(pattern, self._view_name(name), statement)
         return self.spark.sql(statement)
 
     def get_data(self, name: str, as_of: str | None = None) -> DataFrame | None:
