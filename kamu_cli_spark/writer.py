@@ -57,6 +57,7 @@ class DataWriter:
         compute_logical_hash: bool = False,
         maintain_state: bool = True,
         max_slice_records: int | None = None,
+        object_link_columns: list[str] | None = None,
     ):
         """`compute_logical_hash`: also record the order-sensitive row
         digest in AddData (costs a per-row hash collect; physical file
@@ -73,6 +74,7 @@ class DataWriter:
         self.compute_logical_hash = compute_logical_hash
         self.maintain_state = maintain_state
         self.max_slice_records = max_slice_records
+        self.object_link_columns = object_link_columns or []
 
     # -- pipeline ------------------------------------------------------
 
@@ -94,6 +96,34 @@ class DataWriter:
                 raise WriterError(
                     f"event_time column must be Date or Timestamp, got {dt}"
                 )
+
+    def verify_object_links(self, df: DataFrame) -> dict[str, Any] | None:
+        """ObjectLink columns hold content hashes referencing external
+        objects under the dataset's ``objects/`` store; every reference
+        must resolve, and the commit records count + total linked size
+        (reference: writer.rs:714-904 linked-objects summary).
+
+        Distributed-safe: Spark reduces to the DISTINCT link set; only
+        that bounded set reaches the driver for existence checks.
+        """
+        if not self.object_link_columns:
+            return None
+        links: set[str] = set()
+        for c in self.object_link_columns:
+            if c not in df.columns:
+                raise WriterError(f"object link column missing: {c}")
+            links.update(
+                r[0]
+                for r in df.select(c).filter(F.col(c).isNotNull()).distinct().collect()
+            )
+        obj_dir = os.path.join(self.dataset.path, "objects")
+        total = 0
+        for link in sorted(links):
+            path = os.path.join(obj_dir, link)
+            if not os.path.exists(path):
+                raise WriterError(f"object link does not resolve: {link}")
+            total += os.path.getsize(path)
+        return {"count": len(links), "total_size": total}
 
     def coerce_to_declared(self, new: DataFrame) -> DataFrame:
         """Cast incoming columns to the declared SetDataSchema types
@@ -265,6 +295,8 @@ class DataWriter:
             else:
                 new_wm = prev_wm
 
+            linked = self.verify_object_links(full)
+
             lo, hi = int(stats["min_off"]), int(stats["max_off"])
             step = self.max_slice_records or (hi - lo + 1)
             bounds = [
@@ -300,6 +332,7 @@ class DataWriter:
                     },
                     # watermark advances once the batch is fully durable
                     "new_watermark": new_wm if last else prev_wm,
+                    **({"linked_objects": linked} if linked and last else {}),
                     **((extra_event or {}) if last else {}),
                 }
                 self.dataset.chain.append(event, system_time=system_time.isoformat())
