@@ -803,6 +803,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 """
 
 
+def q_orders_date_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time scalar function battery + LEFT SEMI/ANTI joins."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("__ord")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__li3")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS m,
+               dayofweek(o_orderdate) AS dow,
+               CAST(date_add(CAST(o_orderdate AS DATE), 30) AS DATE) AS due,
+               datediff(CAST('1998-12-31' AS DATE), CAST(o_orderdate AS DATE)) AS age_days,
+               date_format(o_orderdate, 'yyyy-MM') AS ym
+        FROM __ord o
+        WHERE EXISTS (SELECT 1 FROM __li3 l WHERE l.l_orderkey = o.o_orderkey)
+          AND o.o_orderkey NOT IN (
+              SELECT l_orderkey FROM __li3 WHERE l_quantity > 49.5)
+        """
+    )
+
+
+O_DATE_BATTERY = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       dayofweek(o_orderdate) + 1 AS dow,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS age_days,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND o.o_orderkey NOT IN (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity > 49.5)
+"""
+
+
 def q_multi_step_harmonize(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-step transform (each step = temp view; F8 covid pattern)."""
     load_table(spark, sf, "customer").createOrReplaceTempView("__cust")
@@ -1267,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "suppliers_with_large_orders": q_suppliers_with_large_orders,
         "events_sliding_7d": q_events_sliding_7d,
+        "orders_date_battery": q_orders_date_battery,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
         "events_snapshot_cdc": q_events_snapshot_cdc,
         "orders_ledger_merge": q_orders_ledger_merge,
@@ -1311,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_grouping_sets": O_GROUPING_SETS,
         "suppliers_with_large_orders": O_EXISTS_SUBQUERY,
         "events_sliding_7d": O_SLIDING_7D,
+        "orders_date_battery": O_DATE_BATTERY,
         "customer_snapshot_cdc": O_SNAPSHOT_CDC,
         "events_snapshot_cdc": O_EVENTS_SNAPSHOT_CDC,
         "orders_ledger_merge": O_LEDGER_MERGE,

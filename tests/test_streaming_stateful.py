@@ -80,3 +80,49 @@ def test_streaming_upsert_state_across_batches(spark, tmp_path):
             ("kyiv", Op.RETRACT, 4),
         ]
     )
+
+
+def test_continuous_cdc_into_dataset(spark, tmp_path):
+    """Full continuous path: upsert stream → stateful changelog →
+    foreachBatch → ChangelogStream writer → committed dataset whose
+    state projection reflects the latest values."""
+    from kamu_cli_spark.operators import MergeStrategyChangelogStream, project_changelog
+    from kamu_cli_spark.streaming import stream_ingest
+
+    ws = str(tmp_path)
+    src = Dataset.create(ws, "ups2", system_time=T0.isoformat())
+    w = DataWriter(src, MergeStrategyLedger(["seq"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [
+                (1, Op.APPEND, "kyiv", 3),
+                (2, Op.APPEND, "kyiv", 4),   # intra-stream correction
+                (3, Op.APPEND, "lviv", 7),
+                (4, Op.RETRACT, "lviv", 0),
+            ],
+            "seq long, user_op int, city string, population int",
+        ),
+        system_time=T0,
+    )
+
+    stream = read_dataset_stream(spark, src).select(
+        "seq", F.col("user_op").alias("op"), "city", "population"
+    )
+    changelog = streaming_upsert_to_changelog(
+        stream, ["city"], ["population"], order_column="seq"
+    )
+    dst = Dataset.create(ws, "cdc", system_time=T0.isoformat())
+    q = stream_ingest(
+        changelog,
+        dst,
+        MergeStrategyChangelogStream(["city"]),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(180)
+
+    full = dst.read(spark)
+    assert full.count() == 5  # +A,-C,+C kyiv; +A,-R lviv
+    state = project_changelog(full, ["city"])
+    assert {(r["city"], r["population"]) for r in state.collect()} == {("kyiv", 4)}
+    dst.chain.verify()
