@@ -1211,6 +1211,34 @@ FROM m
 """
 
 
+def q_embeddings_array_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Array/nested function battery (size, indexing, aggregate, sort,
+    max) — the functions_nested surface of §2.5."""
+    e = load_table(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n"),
+        F.round(F.element_at(dbl, 1), 6).alias("elem1"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("s"),
+        F.round(F.array_max(dbl), 6).alias("mx"),
+        F.round(F.element_at(F.array_sort(dbl), 1), 6).alias("mn"),
+    )
+
+
+O_ARRAY_BATTERY = """
+SELECT vec_id,
+       len(embedding) AS n,
+       round(embedding[1]::DOUBLE, 6) AS elem1,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS s,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS mx,
+       round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 6) AS mn
+FROM embeddings
+"""
+
+
 def q_embeddings_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") % 25 == 0)
@@ -1319,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": q_lineitem_cube,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
+        "embeddings_array_battery": q_embeddings_array_battery,
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "embeddings_near_dup": q_embeddings_near_dup,
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
@@ -1364,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_cube": O_CUBE,
         "currency_asof": O_CURRENCY_ASOF,
         "documents_text_metrics": O_TEXT_METRICS,
+        "embeddings_array_battery": O_ARRAY_BATTERY,
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_near_dup": O_EMBED_NEAR_DUP,
         # embeddings_ann_lsh: intentionally no oracle (approximate)
