@@ -55,6 +55,11 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         10_000
     ).write.mode("overwrite").format("noop").save()
+    # boot the Python/Arrow worker pool so mapInPandas operators measure
+    # steady-state, not interpreter startup
+    spark.range(1000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     queries = entry.queries()
     times: dict[str, float] = {}
