@@ -62,11 +62,57 @@ class _Handler(BaseHTTPRequestHandler):
     def _error(self, code: int, msg: str):
         self._send(code, {"error": msg})
 
+    def _odata(self, url, q):
+        """Minimal OData v4 JSON protocol (reference: adapter/odata):
+        service document, $metadata, and entity-set reads with
+        $top/$skip/$select/$orderby."""
+        seg = url.path[len("/odata") :].strip("/")
+        if seg == "":
+            sets = [
+                {"name": n, "kind": "EntitySet", "url": n}
+                for n in self.qs.list_datasets()
+            ]
+            return self._send(200, {"@odata.context": "$metadata", "value": sets})
+        if seg == "$metadata":
+            out = {}
+            for n in self.qs.list_datasets():
+                ds = self.qs.dataset(n)
+                ev = ds.schema_event()
+                out[n] = ev["fields"] if ev else []
+            return self._send(200, {"$Version": "4.0", "entities": out})
+        name = seg
+        df = self.qs.get_data(name)
+        if df is None:
+            return self._error(404, f"entity set not found or empty: {name}")
+        from pyspark.sql import functions as F
+
+        if "$orderby" in q:
+            parts = [p.strip() for p in q["$orderby"].split(",")]
+            cols = [
+                F.col(p.split()[0]).desc()
+                if p.lower().endswith(" desc")
+                else F.col(p.split()[0]).asc()
+                for p in parts
+            ]
+            df = df.orderBy(*cols)
+        if "$select" in q:
+            df = df.select(*[c.strip() for c in q["$select"].split(",")])
+        skip = int(q.get("$skip", 0))
+        top = int(q.get("$top", 100))
+        if skip:
+            df = df.offset(skip)
+        rows = [{c: _j(v) for c, v in r.asDict().items()} for r in df.limit(top).collect()]
+        return self._send(
+            200, {"@odata.context": f"$metadata#{name}", "value": rows}
+        )
+
     def do_GET(self):
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         try:
-            if url.path == "/tail":
+            if url.path == "/odata" or url.path.startswith("/odata/"):
+                self._odata(url, q)
+            elif url.path == "/tail":
                 df = self.qs.tail(
                     q["dataset"],
                     skip=int(q.get("skip", 0)),

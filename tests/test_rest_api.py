@@ -86,6 +86,17 @@ def test_rest_api_roundtrip(spark, tmp_path):
         v = _post(port, "/verify", {"dataset": "cities"})
         assert v["ok"] and v["slices"] == 2
 
+        # OData protocol
+        svc = _get(port, "/odata/")
+        assert [s["name"] for s in svc["value"]] == ["cities"]
+        meta = _get(port, "/odata/$metadata")
+        assert any(f["name"] == "city" for f in meta["entities"]["cities"])
+        ent = _get(
+            port,
+            "/odata/cities?$top=1&$orderby=population%20desc&$select=city,population",
+        )
+        assert ent["value"] == [{"city": "lviv", "population": 7}]
+
         # error paths
         try:
             _post(port, "/query", {})
