@@ -446,6 +446,50 @@ SELECT 2 AS op, ok, ou, ov FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL
 """
 
 
+def q_customer_snapshot_cdc_compare_cols(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot CDC with an explicit compare_columns subset: only
+    c_acctbal participates in change detection, so c_name edits alone
+    don't produce events (dtos MergeStrategySnapshot.compareColumns)."""
+    prev = _customer_prev(spark, sf)
+    c = load_table(spark, sf, "customer")
+    new = c.select(
+        "c_custkey",
+        # name perturbation must be INVISIBLE to the diff
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("-X")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    strat = MergeStrategySnapshot(["c_custkey"], compare_columns=["c_acctbal"])
+    return strat.merge(prev, new)
+
+
+O_SNAPSHOT_COMPARE_COLS = """
+WITH state AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_name || '-X' ELSE c_name END AS c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+),
+cdc AS (
+  SELECT o.c_custkey AS ok, o.c_name AS onm, o.c_acctbal AS oa,
+         n.c_custkey AS nk, n.c_name AS nn, n.c_acctbal AS na
+  FROM state o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+  WHERE o.c_acctbal IS DISTINCT FROM n.c_acctbal
+)
+SELECT CASE WHEN ok IS NULL THEN 0 WHEN nk IS NULL THEN 1 ELSE 3 END AS op,
+       CASE WHEN nk IS NULL THEN ok ELSE nk END AS c_custkey,
+       CASE WHEN nk IS NULL THEN onm ELSE nn END AS c_name,
+       CASE WHEN nk IS NULL THEN oa ELSE na END AS c_acctbal
+FROM cdc
+UNION ALL
+SELECT 2 AS op, ok, onm, oa FROM cdc WHERE ok IS NOT NULL AND nk IS NOT NULL
+"""
+
+
 def q_orders_ledger_merge(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     prev = o.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -1334,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_date_battery": q_orders_date_battery,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
         "events_snapshot_cdc": q_events_snapshot_cdc,
+        "customer_snapshot_cdc_compare_cols": q_customer_snapshot_cdc_compare_cols,
         "orders_ledger_merge": q_orders_ledger_merge,
         "events_changelog_projection": q_events_changelog_projection,
         "events_upsert_merge": q_events_upsert_merge,
@@ -1380,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_date_battery": O_DATE_BATTERY,
         "customer_snapshot_cdc": O_SNAPSHOT_CDC,
         "events_snapshot_cdc": O_EVENTS_SNAPSHOT_CDC,
+        "customer_snapshot_cdc_compare_cols": O_SNAPSHOT_COMPARE_COLS,
         "orders_ledger_merge": O_LEDGER_MERGE,
         "events_changelog_projection": O_CHANGELOG_PROJECTION,
         "events_upsert_merge": O_UPSERT_MERGE,

@@ -164,10 +164,41 @@ def cmd_log(args) -> int:
 
 
 def cmd_verify(args) -> int:
-    from kamu_cli_spark.verification import verify_dataset
+    from kamu_cli_spark.verification import verify_dataset, verify_transform_replay
 
-    res = verify_dataset(_spark(), _dataset(args))
+    spark = _spark()
+    res = verify_dataset(spark, _dataset(args))
     print(f"ok: {res['slices']} slices, {res['blocks']} blocks")
+    if args.replay:
+        same = verify_transform_replay(spark, _dataset(args))
+        print("replay deterministic:", same)
+        return 0 if same else 1
+    return 0
+
+
+def cmd_schema(args) -> int:
+    """Expose the dataset schema in DDL / ODF forms (reference:
+    services/schema_service_impl.rs)."""
+    from kamu_cli_spark.odf_schema import spark_to_odf_type
+
+    ds = _dataset(args)
+    ev = ds.schema_event()
+    if ev is None:
+        print("no schema committed yet")
+        return 1
+    if args.format == "ddl":
+        print(", ".join(f"{f['name']} {f['type']}" for f in ev["fields"]))
+    else:  # odf
+        df = ds.read(_spark())
+        out = [
+            {
+                "name": f.name,
+                "type": spark_to_odf_type(f.dataType),
+                "nullable": f.nullable,
+            }
+            for f in df.schema.fields
+        ]
+        print(json.dumps(out, indent=2))
     return 0
 
 
@@ -233,7 +264,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("dataset"); s.add_argument("--limit", type=int, default=10)
     s.set_defaults(fn=cmd_tail)
     s = sub.add_parser("log"); s.add_argument("dataset"); s.set_defaults(fn=cmd_log)
-    s = sub.add_parser("verify"); s.add_argument("dataset"); s.set_defaults(fn=cmd_verify)
+    s = sub.add_parser("verify")
+    s.add_argument("dataset")
+    s.add_argument("--replay", action="store_true")
+    s.set_defaults(fn=cmd_verify)
+    s = sub.add_parser("schema")
+    s.add_argument("dataset")
+    s.add_argument("--format", choices=["ddl", "odf"], default="ddl")
+    s.set_defaults(fn=cmd_schema)
     s = sub.add_parser("compact")
     s.add_argument("dataset"); s.add_argument("--max-records", type=int, default=1_000_000)
     s.add_argument("--keep-metadata-only", action="store_true")
