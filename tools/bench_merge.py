@@ -36,6 +36,11 @@ def main() -> None:
     N = 1_000_000
     times: dict[str, float] = {}
 
+    # JVM/shuffle warmup so workloads measure steady state
+    spark.range(N).groupBy((F.col("id") % 100).alias("k")).count().write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     # --- snapshot CDC diff -------------------------------------------
     prev = spark.range(N).select(
         F.col("id").alias("offset"),
