@@ -223,6 +223,51 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_set_info(args) -> int:
+    """Attach descriptive metadata (SetInfo / SetLicense / SetAttachments)."""
+    ds = _dataset(args)
+    if args.description or args.keywords:
+        ds.chain.append(
+            {
+                "kind": "SetInfo",
+                "description": args.description,
+                "keywords": (args.keywords or "").split(",") if args.keywords else [],
+            }
+        )
+    if args.license:
+        ds.chain.append(
+            {"kind": "SetLicense", "short_name": args.license, "name": args.license}
+        )
+    if args.attachment:
+        ds.chain.append(
+            {
+                "kind": "SetAttachments",
+                "attachments": [
+                    {"name": os.path.basename(a), "content": open(a).read()}
+                    for a in args.attachment
+                ],
+            }
+        )
+    print("metadata updated")
+    return 0
+
+
+def cmd_info(args) -> int:
+    ds = _dataset(args)
+    out = {"name": ds.name, "kind": ds.kind, "blocks": len(ds.chain)}
+    for b in ds.chain.blocks():
+        k = b.event.get("kind")
+        if k == "SetInfo":
+            out["description"] = b.event.get("description")
+            out["keywords"] = b.event.get("keywords")
+        elif k == "SetLicense":
+            out["license"] = b.event.get("short_name")
+    out["num_records"] = sum(d["num_records"] for d in ds.chain.data_files())
+    out["watermark"] = ds.chain.current_watermark()
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     from kamu_cli_spark.provenance import lineage
 
@@ -281,6 +326,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--format", default="parquet")
     s.add_argument("--records-per-file", type=int, default=None)
     s.set_defaults(fn=cmd_export)
+    s = sub.add_parser("set-info")
+    s.add_argument("dataset")
+    s.add_argument("--description", default=None)
+    s.add_argument("--keywords", default=None)
+    s.add_argument("--license", default=None)
+    s.add_argument("--attachment", action="append", default=None)
+    s.set_defaults(fn=cmd_set_info)
+    s = sub.add_parser("info"); s.add_argument("dataset"); s.set_defaults(fn=cmd_info)
     s = sub.add_parser("lineage"); s.add_argument("dataset"); s.set_defaults(fn=cmd_lineage)
     s = sub.add_parser("list"); s.set_defaults(fn=cmd_list)
 
