@@ -176,10 +176,48 @@ class MetadataChain:
 
     # -- writes --------------------------------------------------------
 
+    def _acquire_lock(self, timeout: float = 30.0) -> str:
+        """Exclusive advisory lock via O_EXCL lockfile — serializes
+        concurrent appends (the prev-hash CAS makes interleaved commits
+        detectable; the lock makes them impossible)."""
+        import time
+
+        lock = self.path + ".lock"
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise ChainIntegrityError(
+                        f"could not acquire chain lock {lock} (held by another writer)"
+                    )
+                time.sleep(0.05)
+
     def append(self, event: dict[str, Any], system_time: str | None = None) -> MetadataBlock:
         kind = event.get("kind")
         if kind not in EVENT_KINDS:
             raise ChainIntegrityError(f"unknown metadata event kind: {kind}")
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        lock = self._acquire_lock()
+        try:
+            return self._append_locked(event, system_time)
+        finally:
+            os.remove(lock)
+
+    def _append_locked(
+        self, event: dict[str, Any], system_time: str | None = None
+    ) -> MetadataBlock:
+        kind = event.get("kind")
+        # prev-hash CAS: if another process appended since we loaded,
+        # reload before validating so we chain onto the true head
+        if os.path.exists(self.path):
+            on_disk = sum(1 for line in open(self.path, encoding="utf-8") if line.strip())
+            if on_disk != len(self._blocks):
+                self._blocks = MetadataChain(self.path)._blocks
         head = self.head()
         if head is None and kind != "Seed":
             raise ChainIntegrityError("chain must start with a Seed block")
@@ -214,7 +252,6 @@ class MetadataChain:
             event=event,
         )
         block.block_hash = block.compute_hash()
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(block.to_json() + "\n")
         self._blocks.append(block)

@@ -216,9 +216,14 @@ class DataWriter:
 
     def write_slice(self, df: DataFrame, seq: int, start: int, end: int) -> str:
         """Write ONE sorted snappy Parquet file for the slice."""
+        import uuid
+
         rel = f"data/{seq:06d}-{start}-{end}.parquet"
         final_path = os.path.join(self.dataset.path, rel)
-        tmp_dir = os.path.join(self.dataset.path, f".tmp-{seq:06d}")
+        # unique staging dir: concurrent writers racing the same seq must
+        # fail at the chain CAS (clean ChainIntegrityError), not collide
+        # in the filesystem
+        tmp_dir = os.path.join(self.dataset.path, f".tmp-{uuid.uuid4().hex[:8]}")
         (
             df.coalesce(1)
             .sortWithinPartitions(self.vocab.offset_column)
