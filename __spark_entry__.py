@@ -1203,6 +1203,35 @@ SELECT doc_id, {sim} AS simhash FROM sums
 """
 
 
+def q_documents_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace words and the BPE-ish regex
+    sub-word estimate (SURVEY training-data ops)."""
+    from kamu_cli_spark.operators.text import bpe_ish_token_count, token_count
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        F.round(
+            bpe_ish_token_count(F.col("text"))
+            / F.greatest(token_count(F.col("text")), F.lit(1)),
+            4,
+        ).alias("tokens_per_word"),
+    )
+
+
+O_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe,
+       round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+             / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 1)::DOUBLE,
+             4) AS tokens_per_word
+FROM documents
+"""
+
+
 def q_documents_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return text_metrics(d, "text").select(
@@ -1392,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": q_lineitem_cube,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
+        "documents_token_counts": q_documents_token_counts,
         "embeddings_array_battery": q_embeddings_array_battery,
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "embeddings_near_dup": q_embeddings_near_dup,
@@ -1439,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_cube": O_CUBE,
         "currency_asof": O_CURRENCY_ASOF,
         "documents_text_metrics": O_TEXT_METRICS,
+        "documents_token_counts": O_TOKEN_COUNTS,
         "embeddings_array_battery": O_ARRAY_BATTERY,
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_near_dup": O_EMBED_NEAR_DUP,

@@ -38,6 +38,17 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-style token estimate: letter runs, single digits, and
+    individual punctuation each count as one token — the cheap
+    JVM-regex proxy for a BPE tokenizer's count (real tokenizers plug
+    in via pandas_udf when the library is available)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation."""
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
