@@ -1284,6 +1284,98 @@ FROM m
 """
 
 
+def q_documents_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion counts against the ground-truth column."""
+    d = load_table(spark, sf, "documents")
+    return (
+        text_metrics(d, "text")
+        .groupBy(F.col("lang").alias("lang_true"), F.col("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_LANG_CONFUSION = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+         len(list_filter(ltoks, x -> x IN ('the','and','of','to','is'))) AS h_en,
+         len(list_filter(ltoks, x -> x IN ('el','de','la','que','es'))) AS h_es,
+         len(list_filter(ltoks, x -> x IN ('le','la','et','les','est'))) AS h_fr,
+         len(list_filter(ltoks, x -> x IN ('的','是','了','在','我'))) AS h_zh
+  FROM base
+)
+SELECT lang AS lang_true,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_fr = greatest(h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       count(*) AS n
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_documents_two_stage_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical scale dedup pipeline: MinHash-LSH candidate
+    generation (sub-quadratic) → exact n-gram Jaccard verification →
+    threshold. Candidates not meeting the exact threshold are dropped —
+    LSH recall/precision tuning stays an index concern, correctness
+    comes from the verifier."""
+    d = load_table(spark, sf, "documents")
+    sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    exact = ngram_jaccard_pairs(d, "doc_id", shingle_n=3, threshold=0.3)
+    return (
+        cand.join(
+            exact,
+            (cand.id_a == exact.id_a) & (cand.id_b == exact.id_b),
+        )
+        .select(exact.id_a.alias("doc_a"), exact.id_b.alias("doc_b"), "jaccard")
+    )
+
+
+def _o_two_stage() -> str:
+    minhash_sql = _o_minhash().strip()
+    return f"""
+WITH cand AS (SELECT * FROM ({minhash_sql}) __mh),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) >= 0.3
+)
+SELECT e.doc_a, e.doc_b, e.jaccard
+FROM cand c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+"""
+
+
 def q_embeddings_array_battery(spark: SparkSession, sf: str) -> DataFrame:
     """Array/nested function battery (size, indexing, aggregate, sort,
     max) — the functions_nested surface of §2.5."""
@@ -1422,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
         "documents_token_counts": q_documents_token_counts,
+        "documents_lang_confusion": q_documents_lang_confusion,
+        "documents_two_stage_dedup": q_documents_two_stage_dedup,
         "embeddings_array_battery": q_embeddings_array_battery,
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "embeddings_near_dup": q_embeddings_near_dup,
@@ -1470,6 +1564,8 @@ def oracle_sql() -> dict[str, str]:
         "currency_asof": O_CURRENCY_ASOF,
         "documents_text_metrics": O_TEXT_METRICS,
         "documents_token_counts": O_TOKEN_COUNTS,
+        "documents_lang_confusion": O_LANG_CONFUSION,
+        "documents_two_stage_dedup": _o_two_stage(),
         "embeddings_array_battery": O_ARRAY_BATTERY,
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_near_dup": O_EMBED_NEAR_DUP,
