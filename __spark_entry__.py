@@ -304,6 +304,49 @@ ASOF LEFT JOIN events e
 """
 
 
+def q_events_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap; per-session
+    event count, value sum and duration."""
+    from kamu_cli_spark.operators.windows import sessionize
+
+    e = load_table(spark, sf, "events")
+    s = sessionize(e, "ts", ["user_id"], gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("duration_s"),
+    )
+
+
+O_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def q_events_tail(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     return (
@@ -1485,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_lineitem_interval_join": q_orders_lineitem_interval_join,
         "orders_events_asof_join": q_orders_events_asof_join,
         "events_tail": q_events_tail,
+        "events_sessionization": q_events_sessionization,
         "lineitem_rollup": q_lineitem_rollup,
         "customer_set_ops": q_customer_set_ops,
         "orders_above_cust_avg": q_orders_above_cust_avg,
@@ -1535,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_interval_join": O_INTERVAL_JOIN,
         "orders_events_asof_join": O_ASOF_JOIN,
         "events_tail": O_EVENTS_TAIL,
+        "events_sessionization": O_SESSIONIZATION,
         "lineitem_rollup": O_ROLLUP,
         "customer_set_ops": O_SET_OPS,
         "orders_above_cust_avg": O_SUBQUERY,

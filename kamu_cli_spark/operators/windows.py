@@ -65,6 +65,31 @@ def interval_join(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session starts
+    when the gap to the previous event of the same key exceeds
+    `gap_seconds`. Adds `session_id` (0-based per key).
+
+    One shuffle on the keys; the lag + running-sum windows share the
+    same sort. This is the deterministic batch formulation of
+    `F.session_window` (whose emitted bounds are engine-specific).
+    """
+    ts = F.unix_timestamp(F.col(time_col).cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy(ts)
+    new_session = (
+        (ts - F.lag(ts).over(w) > gap_seconds) | F.lag(ts).over(w).isNull()
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        "session_id", (F.sum(new_session).over(wsum) - 1).cast("long")
+    )
+
+
 def top_n(
     df: DataFrame,
     n: int,
