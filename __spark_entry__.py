@@ -311,9 +311,13 @@ def q_events_sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "events")
     s = sessionize(e, "ts", ["user_id"], gap_seconds=1800)
+    # Sum over exact DECIMAL so the result is independent of Spark-vs-DuckDB
+    # float summation order; final cast pins the representation both sides.
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("decimal(18,4)")
+        .alias("sum_value"),
         (
             F.unix_timestamp(F.max("ts").cast("timestamp"))
             - F.unix_timestamp(F.min("ts").cast("timestamp"))
@@ -341,7 +345,7 @@ sessions AS (
 )
 SELECT user_id, session_id,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(18,4)) AS sum_value,
        max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
 FROM sessions GROUP BY user_id, session_id
 """
@@ -753,9 +757,11 @@ FROM orders
 def q_events_json_props(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # DuckDB sum(BIGINT) widens to HUGEINT; pin both sides to BIGINT so the
+    # driver's value canonicalization sees identical widths.
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
+        F.sum(k).cast("long").alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
@@ -763,7 +769,7 @@ def q_events_json_props(spark: SparkSession, sf: str) -> DataFrame:
 
 O_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'k' AS BIGINT)) AS min_k,
        max(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
