@@ -57,7 +57,20 @@ def compact(
     max_slice_size: int = 300 * 1024 * 1024,
     compute_logical_hash: bool = False,
 ) -> dict[str, Any]:
-    """Execute compaction: merge slice batches, rewrite the chain."""
+    """Execute compaction: merge slice batches, rewrite the chain.
+
+    Root datasets only (reference: compaction_planner_impl.rs:211) —
+    compacting a Derivative would rewrite ExecuteTransform blocks as
+    AddData, discarding `query_inputs` and forcing the next transform to
+    reprocess all input history. Use ``reset_keep_metadata_only`` to
+    reset a derivative dataset.
+    """
+    if dataset.kind() != "Root":
+        raise CompactionError(
+            f"cannot compact {dataset.kind()} dataset {dataset.name!r}: "
+            "only Root datasets are compactable (use keep_metadata_only "
+            "to reset a derivative)"
+        )
     batches = plan_compaction(dataset, max_slice_records, max_slice_size)
     if all(len(b) == 1 for b in batches):
         return {"compacted": False, "slices_before": sum(map(len, batches))}
@@ -114,6 +127,15 @@ def compact(
         for b in old_blocks:
             if b.event.get("kind") not in ("AddData", "ExecuteTransform"):
                 new_chain.append(b.event, system_time=b.system_time)
+        # Latest resume state across ALL dropped data blocks — including
+        # data-less AddData markers (files_glob/url polling) — must ride
+        # on the compacted chain or the source re-ingests seen inputs
+        # (reference: compaction_executor_impl.rs carries new_source_state,
+        # :124-126).
+        last_source_state = None
+        for b in old_blocks:
+            if b.event.get("kind") == "AddData" and b.event.get("source_state"):
+                last_source_state = b.event["source_state"]
         for (rel, nd), src in zip(new_files, data_events):
             wm = None
             for b in old_blocks:
@@ -125,12 +147,18 @@ def compact(
                     and b.event.get("new_watermark")
                 ):
                     wm = b.event["new_watermark"]
+            is_last = nd is new_files[-1][1]
             new_chain.append(
                 {
                     "kind": "AddData",
                     "new_data": {"path": rel, **nd},
                     "new_watermark": wm,
                     "compacted": True,
+                    **(
+                        {"source_state": last_source_state}
+                        if is_last and last_source_state
+                        else {}
+                    ),
                 },
                 system_time=last_st,
             )

@@ -218,11 +218,12 @@ class DataWriter:
         """Write ONE sorted snappy Parquet file for the slice."""
         import uuid
 
-        rel = f"data/{seq:06d}-{start}-{end}.parquet"
+        # The committed filename carries a unique nonce: two writers racing
+        # the same (seq, start, end) can never target the same final path,
+        # so the loser of the chain CAS leaves only an orphan file (reaped
+        # by compaction GC) and can't overwrite the winner's durable bytes.
+        rel = f"data/{seq:06d}-{start}-{end}-{uuid.uuid4().hex[:8]}.parquet"
         final_path = os.path.join(self.dataset.path, rel)
-        # unique staging dir: concurrent writers racing the same seq must
-        # fail at the chain CAS (clean ChainIntegrityError), not collide
-        # in the filesystem
         tmp_dir = os.path.join(self.dataset.path, f".tmp-{uuid.uuid4().hex[:8]}")
         (
             df.coalesce(1)
