@@ -36,6 +36,7 @@ from kamu_cli_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_ann,
+    ivf_ann_seeded,
     lsh_bucketed_ann,
 )
 from kamu_cli_spark.operators.text import text_metrics
@@ -311,13 +312,16 @@ def q_events_sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "events")
     s = sessionize(e, "ts", ["user_id"], gap_seconds=1800)
-    # Sum over exact DECIMAL so the result is independent of Spark-vs-DuckDB
-    # float summation order; final cast pins the representation both sides.
+    # Sum over exact DECIMAL (order-independent), then emit the total as
+    # fixed-point INTEGER ten-thousandths: BIGINT has exactly one
+    # canonical rendering everywhere, so the driver's value hash cannot
+    # diverge on Decimal-vs-float stringification (the move that turned
+    # events_json_props hash-green).
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(28,6)"))
-        .cast("decimal(18,4)")
-        .alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")) * 10000)
+        .cast("bigint")
+        .alias("sum_value_e4"),
         (
             F.unix_timestamp(F.max("ts").cast("timestamp"))
             - F.unix_timestamp(F.min("ts").cast("timestamp"))
@@ -345,7 +349,7 @@ sessions AS (
 )
 SELECT user_id, session_id,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(18,4)) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))) * 10000) AS BIGINT) AS sum_value_e4,
        max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
 FROM sessions GROUP BY user_id, session_id
 """
@@ -1499,18 +1503,117 @@ WHERE round(list_inner_product(a.ve, b.ve)
 
 
 def q_embeddings_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (KMeans cells, n_probe probing) — approximate, rows-only."""
+    """IVF ANN with deterministic md5-selected seed centroids — same
+    broadcast-centroid / cell-shuffle plan as the KMeans-trained
+    `ivf_ann` (which stays in the API for clustered corpora), but every
+    step is reproducible, so the FULL output is strictly oracle-checked."""
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") % 25 == 0)
-    return ivf_ann(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=5)
+    return ivf_ann_seeded(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=5)
+
+
+O_IVF_ANN = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+seeds AS (
+  SELECT ve AS center,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16
+),
+assigned AS (
+  SELECT vec_id, ve, cell FROM (
+    SELECT v.vec_id, v.ve, s.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ve, s.center)
+                            / (sqrt(list_inner_product(v.ve, v.ve))
+                               * sqrt(list_inner_product(s.center, s.center))), 6) DESC,
+                      s.cell ASC) AS r
+    FROM v CROSS JOIN seeds s
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT v.vec_id AS qid, v.ve AS qv, s.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ve, s.center)
+                            / (sqrt(list_inner_product(v.ve, v.ve))
+                               * sqrt(list_inner_product(s.center, s.center))), 6) DESC,
+                      s.cell ASC) AS p
+    FROM v CROSS JOIN seeds s WHERE v.vec_id % 25 = 0
+  ) WHERE p <= 4
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS cid,
+         round(list_inner_product(p.qv, a.ve)
+               / (sqrt(list_inner_product(p.qv, p.qv))
+                  * sqrt(list_inner_product(a.ve, a.ve))), 6) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.qid <> a.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate NN (LSH-bucketed) — recall<1 by design, no SQL oracle;
-    driver records rows-only."""
+    """Approximate NN via multi-table sign-LSH. The hyperplanes are
+    md5-derived (similarity.py:_hyperplane) — fully deterministic, so
+    DuckDB recomputes the identical buckets, candidates and scores for
+    a strict hash-match oracle."""
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") % 25 == 0)
     return lsh_bucketed_ann(q, e, "vec_id", "vec_id", dim=64, num_planes=8, k=5)
+
+
+# Mirrors _hyperplane(): val = (int(md5('plane{i}|{d}')[:8], 16) / 0xFFFFFFFF) * 2 - 1,
+# with plane index i = t * num_planes + p (8 tables x 8 planes, dim 64).
+O_ANN_LSH = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+planes AS (
+  SELECT i // 8 AS t, i % 8 AS p, list(val ORDER BY d) AS plane
+  FROM (
+    SELECT pg.i AS i, dg.d AS d,
+           (CAST(concat('0x', substr(md5('plane' || CAST(pg.i AS VARCHAR) || '|'
+                                     || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 63) pg(i), generate_series(0, 63) dg(d)
+  )
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT v.vec_id, pl.t,
+         sum(CASE WHEN list_inner_product(v.ve, pl.plane) >= 0
+                  THEN (1 << pl.p) ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cid
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id % 25 = 0 AND qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT cand.qid, cand.cid,
+         round(list_inner_product(q.ve, c.ve)
+               / (sqrt(list_inner_product(q.ve, q.ve))
+                  * sqrt(list_inner_product(c.ve, c.ve))), 6) AS cosine
+  FROM cand
+  JOIN v q ON q.vec_id = cand.qid
+  JOIN v c ON c.vec_id = cand.cid
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1620,5 +1723,6 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_array_battery": O_ARRAY_BATTERY,
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_near_dup": O_EMBED_NEAR_DUP,
-        # embeddings_ann_lsh: intentionally no oracle (approximate)
+        "embeddings_ann_lsh": O_ANN_LSH,
+        "embeddings_ivf_ann": O_IVF_ANN,
     }

@@ -65,9 +65,9 @@ def compact(
     reprocess all input history. Use ``reset_keep_metadata_only`` to
     reset a derivative dataset.
     """
-    if dataset.kind() != "Root":
+    if dataset.kind != "Root":
         raise CompactionError(
-            f"cannot compact {dataset.kind()} dataset {dataset.name!r}: "
+            f"cannot compact {dataset.kind} dataset {dataset.name!r}: "
             "only Root datasets are compactable (use keep_metadata_only "
             "to reset a derivative)"
         )

@@ -4,7 +4,7 @@ A dataset is a directory::
 
     <workspace>/<name>/
         metadata.jsonl     # hash-chained metadata ledger
-        data/<seq>-<start>-<end>.parquet   # immutable sorted slices
+        data/<seq>-<start>-<end>-<nonce>.parquet   # immutable sorted slices
 
 Mirrors the ODF dataset model (reference: MetadataBlock chain +
 Parquet slices, dtos_generated.rs:1231/:990) with a Spark-first

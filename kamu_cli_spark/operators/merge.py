@@ -231,8 +231,19 @@ class MergeStrategySnapshot(MergeStrategy):
             c for c in out_cols if c not in self.primary_key
         ]
 
-        o = old.select([F.col(c).alias("__o_" + c) for c in old.columns])
-        n = new.select([F.col(c).alias("__n_" + c) for c in new.columns])
+        # Explicit per-side presence markers: the join matches with
+        # eqNullSafe, so a matched row may legitimately have NULL in
+        # every PK column — `pk IS NOT NULL` would misclassify it
+        # (stale +A on the old side / dropped retraction). The literal
+        # True marker is NULL if and only if the side is absent.
+        o = old.select(
+            F.lit(True).alias("__o_present"),
+            *[F.col(c).alias("__o_" + c) for c in old.columns],
+        )
+        n = new.select(
+            F.lit(True).alias("__n_present"),
+            *[F.col(c).alias("__n_" + c) for c in new.columns],
+        )
         cond = [
             F.col("__o_" + c).eqNullSafe(F.col("__n_" + c)) for c in self.primary_key
         ]
@@ -246,9 +257,8 @@ class MergeStrategySnapshot(MergeStrategy):
             _cdc_change_filter("__o_", "__n_", cmp_cols, self.vocab.event_time_column)
         )
 
-        pk0 = self.primary_key[0]
-        old_present = F.col("__o_" + pk0).isNotNull()
-        new_present = F.col("__n_" + pk0).isNotNull()
+        old_present = F.col("__o_present").isNotNull()
+        new_present = F.col("__n_present").isNotNull()
 
         classified_op = (
             F.when(~old_present, F.lit(Op.APPEND))
@@ -399,7 +409,11 @@ class MergeStrategyUpsertStream(MergeStrategy):
         data_cols = [c for c in new.columns if c != op]  # output = op + data cols
         cmp_cols = [c for c in data_cols if c not in self.primary_key]
 
-        o = old.select([F.col(c).alias("__o_" + c) for c in old.columns])
+        # Presence marker instead of `pk IS NOT NULL` — see _cdc_diff.
+        o = old.select(
+            F.lit(True).alias("__o_present"),
+            *[F.col(c).alias("__o_" + c) for c in old.columns],
+        )
         n = new.select([F.col(c).alias("__n_" + c) for c in new.columns])
         joined = n.join(
             o,
@@ -407,8 +421,7 @@ class MergeStrategyUpsertStream(MergeStrategy):
             how="left",
         )
 
-        pk0 = self.primary_key[0]
-        old_present = F.col("__o_" + pk0).isNotNull()
+        old_present = F.col("__o_present").isNotNull()
         is_retract = F.col("__n_" + op) == F.lit(Op.RETRACT)
         changed = _cdc_change_filter(
             "__o_", "__n_", cmp_cols, self.vocab.event_time_column

@@ -194,6 +194,95 @@ def ivf_ann(
     )
 
 
+def ivf_ann_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic IVF ANN: cells are seeded by the `n_centroids`
+    corpus vectors with the smallest ``md5(corpus_id)`` — a
+    deterministic pseudo-random sample any engine reproduces bit-for-bit
+    (no RNG state, no training step), which makes the FULL ANN output
+    strictly SQL-oracle-checkable, unlike the KMeans-trained
+    :func:`ivf_ann` (approximate training → rows-only check).
+
+    Scale shape is identical to :func:`ivf_ann`: the seed selection is a
+    per-partition top-k (`TakeOrderedAndProject`, no global sort), the
+    centroid table is broadcast, assignment is one narrow pipeline over
+    the corpus, and the candidate join shuffles on the small cell id.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    seeds = (
+        c.select("cid", "cv", F.md5(F.col("cid").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centers = [
+        (i, [float(x) for x in r["cv"]])
+        for i, r in enumerate(sorted(seeds, key=lambda r: r["h"]))
+    ]
+    centers_df = F.broadcast(
+        queries.sparkSession.createDataFrame(centers, "cell int, center array<double>")
+    )
+
+    def cell_sim(vec: Column, vnorm: Column) -> Column:
+        return F.round(
+            dot(vec, F.col("center")) / (vnorm * norm(F.col("center"))),
+            round_digits,
+        )
+
+    ac = _spread(c).crossJoin(centers_df).select(
+        "cid", "cv", "cn", "cell", cell_sim(F.col("cv"), F.col("cn")).alias("sim")
+    )
+    wa = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        ac.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("cid", "cv", "cn", "cell")
+    )
+
+    q = _spread(queries).select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    qc = q.crossJoin(centers_df).select(
+        "qid", "qv", "qn", "cell", cell_sim(F.col("qv"), F.col("qn")).alias("sim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= n_probe)
+        .select("qid", "qv", "qn", "cell")
+    )
+
+    cand = probes.join(assigned, "cell").filter(F.col("qid") != F.col("cid"))
+    scored = cand.select(
+        "qid",
+        "cid",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
     across runs/engines without RNG state."""

@@ -146,7 +146,14 @@ def ingest_files_glob(
     **reader_options,
 ) -> list[dict[str, Any]]:
     """Poll `pattern`; ingest each not-yet-seen file as ONE commit in
-    order, advancing the source state (last ingested file marker)."""
+    order, advancing the source state (last ingested file marker).
+
+    Resume state is ORDER-AWARE: for ``by_mtime`` the marker is the
+    ``(mtime, name)`` sort key, not the bare name — comparing names
+    alone would silently skip a newer file whose name sorts before the
+    last-ingested one (reference: fetch_service/file.rs keeps the full
+    ordering key in FetchSavepoint for the same reason).
+    """
     files = globmod.glob(pattern)
     if order == "by_name":
         files.sort()
@@ -157,11 +164,23 @@ def ingest_files_glob(
 
     state = _last_source_state(dataset)
     last_seen = state.get("last_file") if state else None
+    last_mtime = state.get("last_mtime") if state else None
     events = []
     for path in files:
         marker = os.path.basename(path)
-        if last_seen is not None and marker <= last_seen:
+        if order == "by_mtime":
+            mtime = os.path.getmtime(path)
+            if (
+                last_seen is not None
+                and last_mtime is not None
+                and (mtime, marker) <= (last_mtime, last_seen)
+            ):
+                continue
+        elif last_seen is not None and marker <= last_seen:
             continue
+        new_state = {"kind": "files_glob", "order": order, "last_file": marker}
+        if order == "by_mtime":
+            new_state["last_mtime"] = os.path.getmtime(path)
         staged = path
         if path.endswith((".gz", ".zip")):
             staged = prep_decompress(path)
@@ -175,7 +194,7 @@ def ingest_files_glob(
             spark,
             df,
             system_time=datetime.now(timezone.utc),
-            extra_event={"source_state": {"kind": "files_glob", "last_file": marker}},
+            extra_event={"source_state": new_state},
         )
         if ev is None:
             # up-to-date poll: still advance the marker with a data-less
@@ -184,9 +203,10 @@ def ingest_files_glob(
                 "kind": "AddData",
                 "new_data": None,
                 "new_watermark": dataset.chain.current_watermark(),
-                "source_state": {"kind": "files_glob", "last_file": marker},
+                "source_state": new_state,
             }
             dataset.chain.append(ev)
         events.append(ev)
         last_seen = marker
+        last_mtime = new_state.get("last_mtime")
     return events

@@ -32,6 +32,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from kamu_cli_spark.vocab import OperationType as Op
 
 
+def _null_safe_equal(a: Any, b: Any) -> bool:
+    """SQL `a IS NOT DISTINCT FROM b` over pandas scalars: two nulls
+    (None/NaN/NaT) compare EQUAL — plain `!=` treats NaN as different
+    from itself, which made repeated upserts with a null value column
+    emit spurious -C/+C pairs every micro-batch."""
+    try:
+        a_na, b_na = bool(pd.isna(a)), bool(pd.isna(b))
+    except (TypeError, ValueError):  # non-scalar (list-valued column)
+        a_na = b_na = False
+    if a_na or b_na:
+        return a_na and b_na
+    return a == b
+
+
+def _tuples_equal(xs: tuple, ys: tuple) -> bool:
+    return all(_null_safe_equal(a, b) for a, b in zip(xs, ys))
+
+
 def streaming_upsert_to_changelog(
     stream: DataFrame,
     primary_key: list[str],
@@ -75,7 +93,7 @@ def streaming_upsert_to_changelog(
             elif prev_vals is None:
                 out.append({op_column: Op.APPEND, **dict(zip(value_columns, vals))})
                 prev_vals = vals
-            elif vals != prev_vals:
+            elif not _tuples_equal(vals, prev_vals):
                 out.append(
                     {
                         op_column: Op.CORRECT_FROM,

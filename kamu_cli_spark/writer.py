@@ -341,7 +341,20 @@ class DataWriter:
                     **({"linked_objects": linked} if linked and last else {}),
                     **((extra_event or {}) if last else {}),
                 }
-                self.dataset.chain.append(event, system_time=system_time.isoformat())
+                try:
+                    self.dataset.chain.append(
+                        event, system_time=system_time.isoformat()
+                    )
+                except Exception:
+                    # A CAS-losing / failed append must not leave its slice
+                    # behind: read_dataset_stream globs data/ directly, so
+                    # an orphan would surface uncommitted rows in streaming
+                    # output until clean_orphan_slices() runs.
+                    try:
+                        os.remove(os.path.join(self.dataset.path, rel))
+                    except OSError:
+                        pass
+                    raise
 
             if self.maintain_state and pk:
                 from kamu_cli_spark.operators.merge import (

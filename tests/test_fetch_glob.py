@@ -29,3 +29,39 @@ def test_files_glob_one_commit_per_file_and_resume(spark, tmp_path):
     assert evs3[0]["new_data"]["num_records"] == 1  # b deduped by ledger
     assert ds.read(spark).count() == 3
     ds.chain.verify()
+
+
+def test_files_glob_by_mtime_resume_name_order_mismatch(spark, tmp_path):
+    """by_mtime resume must key on the (mtime, name) sort key, not the
+    bare name: a NEWER file whose name sorts before the last-ingested
+    one was silently skipped forever (regression: ADVICE r1/r2)."""
+    import os
+
+    inbox = tmp_path / "inbox2"
+    inbox.mkdir()
+    f_z = inbox / "zzz.csv"
+    f_z.write_text("k,v\na,1\n")
+    os.utime(f_z, (1_700_000_000, 1_700_000_000))
+
+    ds = Dataset.create(str(tmp_path), "globm")
+    strat = MergeStrategyLedger(["k"])
+    evs = ingest_files_glob(
+        spark, ds, strat, str(inbox / "*.csv"), order="by_mtime"
+    )
+    assert len(evs) == 1
+
+    # newer mtime but lexically-smaller name → must still be ingested
+    f_a = inbox / "aaa.csv"
+    f_a.write_text("k,v\nb,2\n")
+    os.utime(f_a, (1_700_000_100, 1_700_000_100))
+    evs2 = ingest_files_glob(
+        spark, ds, strat, str(inbox / "*.csv"), order="by_mtime"
+    )
+    assert len(evs2) == 1
+    assert ds.read(spark).count() == 2
+
+    # idempotent re-poll
+    assert (
+        ingest_files_glob(spark, ds, strat, str(inbox / "*.csv"), order="by_mtime")
+        == []
+    )

@@ -7,6 +7,7 @@ the SQL specs embedded in merge_strategies/*.rs; see FIXTURES.md F1-F4).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kamu_cli_spark.operators import (
@@ -247,3 +248,62 @@ def test_upsert_retract_of_unseen_key_dropped(spark):
     )
     out = MergeStrategyUpsertStream(["city"]).merge(prev, new)
     assert rows(out) == []
+
+
+def test_snapshot_null_pk_classification(spark):
+    """A PK that is literally NULL must still classify correctly: the
+    sides join with eqNullSafe, so presence is NOT derivable from
+    `pk IS NOT NULL` (regression: ADVICE r1/r2 — matched null-PK rows
+    were misclassified as +A with stale values / dropped -R)."""
+    prev = spark.createDataFrame(
+        [
+            (0, Op.APPEND, "x", 10),
+            (1, Op.APPEND, "a", 1),
+            (2, Op.APPEND, "b", 9),
+        ],
+        LEDGER_SCHEMA,
+    ).withColumn("city", F.when(F.col("city") == "x", None).otherwise(F.col("city")))
+    # new poll: null-PK row changed, "a" gone, "b" unchanged
+    new = spark.createDataFrame(
+        [("x", 20), ("b", 9)], "city string, population int"
+    ).withColumn("city", F.when(F.col("city") == "x", None).otherwise(F.col("city")))
+    out = MergeStrategySnapshot(["city"]).merge(prev, new)
+    got = rows(out, "city", "op")
+    assert got == [
+        (Op.CORRECT_FROM, None, 10),
+        (Op.CORRECT_TO, None, 20),
+        (Op.RETRACT, "a", 1),
+    ]
+
+
+def test_upsert_null_pk_retract_and_correct(spark):
+    """UpsertStream: retraction and correction of a NULL primary key
+    must not be dropped (same presence-marker regression)."""
+    prev = spark.createDataFrame(
+        [(0, Op.APPEND, None, 10), (1, Op.APPEND, "a", 1)],
+        T.StructType(
+            [
+                T.StructField("offset", T.LongType(), False),
+                T.StructField("op", T.IntegerType(), False),
+                T.StructField("city", T.StringType(), True),
+                T.StructField("population", T.IntegerType(), False),
+            ]
+        ),
+    )
+    batch = spark.createDataFrame(
+        [(Op.RETRACT, None, 0), (Op.APPEND, "a", 5)],
+        T.StructType(
+            [
+                T.StructField("op", T.IntegerType(), False),
+                T.StructField("city", T.StringType(), True),
+                T.StructField("population", T.IntegerType(), False),
+            ]
+        ),
+    )
+    out = MergeStrategyUpsertStream(["city"]).merge(prev, batch)
+    got = rows(out, "city", "op")
+    assert got == [
+        (Op.RETRACT, None, 10),        # old values, not dropped
+        (Op.CORRECT_FROM, "a", 1),
+        (Op.CORRECT_TO, "a", 5),
+    ]

@@ -223,3 +223,43 @@ def test_multimodal_plumbing(spark, tmp_path):
     # deterministic stub: same payload → same feature
     feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
     assert rows[1]["feature"] == feats2[1]["feature"]
+
+
+def test_compaction_rejects_derivative(spark, tmp_path):
+    """Root-only guard (reference: compaction_planner_impl.rs:211) —
+    compacting a Derivative would rewrite ExecuteTransform blocks as
+    AddData and lose query_inputs."""
+    from kamu_cli_spark.compaction import CompactionError
+
+    deriv = Dataset.create(
+        str(tmp_path), "drv", kind="Derivative", system_time=T0.isoformat()
+    )
+    with pytest.raises(CompactionError, match="Root"):
+        compact(spark, deriv)
+
+
+def test_compaction_preserves_source_state(spark, tmp_path):
+    """The latest source_state from dropped AddData blocks must ride on
+    the last compacted block so a files_glob re-poll ingests nothing
+    (reference: compaction_executor_impl.rs:124-126)."""
+    from kamu_cli_spark.sources.fetch import _last_source_state, ingest_files_glob
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(4):
+        (inbox / f"f{i}.csv").write_text(f"k,v\nk{i},{i}\n")
+
+    ds = Dataset.create(str(tmp_path), "gsrc", system_time=T0.isoformat())
+    strat = MergeStrategyLedger(["k"])
+    evs = ingest_files_glob(spark, ds, strat, str(inbox / "*.csv"))
+    assert len(evs) == 4
+
+    res = compact(spark, ds)
+    assert res["compacted"] and res["slices_after"] == 1
+    st = _last_source_state(ds)
+    assert st is not None and st["last_file"] == "f3.csv"
+
+    # re-poll after compaction: nothing ingested, no rows duplicated
+    assert ingest_files_glob(spark, ds, strat, str(inbox / "*.csv")) == []
+    assert ds.read(spark).count() == 4
+    ds.chain.verify()

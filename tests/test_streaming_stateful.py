@@ -126,3 +126,54 @@ def test_continuous_cdc_into_dataset(spark, tmp_path):
     state = project_changelog(full, ["city"])
     assert {(r["city"], r["population"]) for r in state.collect()} == {("kyiv", 4)}
     dst.chain.verify()
+
+
+def test_streaming_upsert_null_value_no_spurious_corrections(spark, tmp_path):
+    """Repeated upserts carrying a NULL value column are no-ops; the
+    NaN-unsafe `vals != prev_vals` compare used to emit a spurious
+    -C/+C pair every micro-batch (regression: ADVICE r1/r2)."""
+    ws = str(tmp_path)
+    src = Dataset.create(ws, "upsnull", system_time=T0.isoformat())
+    w = DataWriter(src, MergeStrategyLedger(["seq"]))
+    # two slices → two micro-batches, same null-valued upsert in each
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(1, Op.APPEND, "kyiv", None)],
+            "seq long, user_op int, city string, population int",
+        ),
+        system_time=T0,
+    )
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(2, Op.APPEND, "kyiv", None), (3, Op.APPEND, "lviv", 7)],
+            "seq long, user_op int, city string, population int",
+        ),
+        system_time=T1,
+    )
+
+    stream = read_dataset_stream(spark, src, max_files_per_trigger=1).select(
+        "seq", F.col("user_op").alias("op"), "city", "population"
+    )
+    changelog = streaming_upsert_to_changelog(
+        stream, ["city"], ["population"], order_column="seq"
+    )
+    q = (
+        changelog.writeStream.format("memory")
+        .queryName("upsert_null_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckptn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["city"], r["op"], r["population"])
+        for r in spark.sql("select * from upsert_null_out").collect()
+    )
+    # exactly one +A per key — no -C/+C churn from the null value
+    assert got == sorted(
+        [("kyiv", Op.APPEND, None), ("lviv", Op.APPEND, 7)]
+    )
