@@ -1002,7 +1002,7 @@ FROM fp JOIN groups g USING (fingerprint)
 def q_documents_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
-    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).select(
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=64).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
@@ -1039,6 +1039,7 @@ bands AS (
   SELECT doc_id, seed // 4 AS band,
          md5(string_agg(mhv::VARCHAR, '|' ORDER BY seed)) AS bh
   FROM mh GROUP BY doc_id, seed // 4
+  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 64
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
@@ -1050,7 +1051,7 @@ def q_documents_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs (MinHash LSH) clustered into connected components."""
     d = load_table(spark, sf, "documents")
     sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
-    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=64)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
@@ -1382,7 +1383,7 @@ def q_documents_two_stage_dedup(spark: SparkSession, sf: str) -> DataFrame:
     comes from the verifier."""
     d = load_table(spark, sf, "documents")
     sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
-    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=64)
     exact = ngram_jaccard_pairs(d, "doc_id", shingle_n=3, threshold=0.3)
     return (
         cand.join(

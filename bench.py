@@ -38,7 +38,11 @@ HEADLINE = [
     "documents_simhash",
     "documents_winnow",
     "documents_text_metrics",
-    "embeddings_cosine_topk",
+    # bucketed ANN operators — the scale path (exact cosine_topk stays
+    # oracle-graded but out of the headline: its crossJoin is the
+    # documented quadratic baseline, not the plan we'd run at 100 TB)
+    "embeddings_ann_lsh",
+    "embeddings_ivf_ann",
 ]
 
 

@@ -179,10 +179,20 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate
     pairs (id_a < id_b, distinct). Shuffles on the band hash — the
-    classic sub-quadratic LSH join."""
+    classic sub-quadratic LSH join.
+
+    `max_bucket_size`: drop buckets holding more than this many docs
+    (standard hot-bucket cap). A degenerate bucket of m near-identical
+    docs yields m² candidate pairs — the one place banding can go
+    quadratic at scale. Dropped buckets are overwhelmingly boilerplate
+    collisions, and a true near-dup pair still surfaces through any of
+    its OTHER bands. The cap is enforced with a map-side-combined
+    count + broadcast anti-join (hot buckets are few by definition),
+    not a window, so it adds no extra sort."""
     rows_per_band = num_hashes // bands
     band_exprs = []
     for b in range(bands):
@@ -197,6 +207,14 @@ def lsh_candidate_pairs(
         # whole shingle→minhash pipeline would run twice
         .persist()
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (

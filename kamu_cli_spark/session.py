@@ -28,10 +28,15 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    # local mode runs every task inside the driver JVM, so the driver
+    # heap IS the executor memory; the 1g default OOMs the first big
+    # broadcast build. Must be set before the JVM launches.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -16,12 +16,20 @@ TABLES = [
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table = directory of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     times = {}
     for name, sql in entry.oracle_sql().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         con.execute(sql).fetchall()
         times[name] = round(time.time() - t0, 3)
