@@ -38,6 +38,7 @@ from kamu_cli_spark.operators.similarity import (
     ivf_ann,
     ivf_ann_seeded,
     lsh_bucketed_ann,
+    lsh_bucketed_ann_self,
 )
 from kamu_cli_spark.operators.text import text_metrics
 from kamu_cli_spark.operators.windows import interval_join, top_n, tumbling_window
@@ -1568,8 +1569,9 @@ def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB recomputes the identical buckets, candidates and scores for
     a strict hash-match oracle."""
     e = load_table(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") % 25 == 0)
-    return lsh_bucketed_ann(q, e, "vec_id", "vec_id", dim=64, num_planes=8, k=5)
+    return lsh_bucketed_ann_self(
+        e, "vec_id", lambda c: c % 25 == 0, dim=64, num_planes=8, k=5
+    )
 
 
 # Mirrors _hyperplane(): val = (int(md5('plane{i}|{d}')[:8], 16) / 0xFFFFFFFF) * 2 - 1,

@@ -73,6 +73,10 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
+        # operators persist() intermediates scoped to their own run;
+        # drop them so later queries aren't measured against a session
+        # polluted by earlier queries' cached blocks
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -13,6 +13,8 @@ matching any engine that sums in list order).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,7 +78,8 @@ def cosine_topk(
         "qid",
         "cid",
         F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+            pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            round_digits,
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -113,7 +116,7 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 round_digits,
             ).alias("cosine"),
         )
@@ -228,23 +231,41 @@ def ivf_ann_seeded(
         .limit(n_centroids)
         .collect()
     )
-    centers = [
-        (i, [float(x) for x in r["cv"]])
-        for i, r in enumerate(sorted(seeds, key=lambda r: r["h"]))
+    center_vecs = [
+        [float(x) for x in r["cv"]] for r in sorted(seeds, key=lambda r: r["h"])
     ]
-    centers_df = F.broadcast(
-        queries.sparkSession.createDataFrame(centers, "cell int, center array<double>")
-    )
 
-    def cell_sim(vec: Column, vnorm: Column) -> Column:
-        return F.round(
-            dot(vec, F.col("center")) / (vnorm * norm(F.col("center"))),
-            round_digits,
+    def _seq_norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:  # left-to-right, matching norm()/list_inner_product
+            acc += x * x
+        return acc**0.5
+
+    center_norms = F.array(*[F.lit(_seq_norm(v)) for v in center_vecs])
+
+    # all cell dots in one vectorized pass per row (plane_dots), then
+    # posexplode — replaces a crossJoin whose per-pair interpreted dot
+    # was the pipeline's hot spot; round/divide stay JVM-side
+    def cell_sims(df: DataFrame, id_c: str, v: str, n: str) -> DataFrame:
+        return (
+            df.withColumn("__cd", plane_dots(F.col(v), center_vecs))
+            .select(
+                id_c,
+                v,
+                n,
+                F.posexplode("__cd").alias("cell", "__d"),
+            )
+            .withColumn(
+                "sim",
+                F.round(
+                    F.col("__d")
+                    / (F.col(n) * F.element_at(center_norms, F.col("cell") + 1)),
+                    round_digits,
+                ),
+            )
         )
 
-    ac = _spread(c).crossJoin(centers_df).select(
-        "cid", "cv", "cn", "cell", cell_sim(F.col("cv"), F.col("cn")).alias("sim")
-    )
+    ac = cell_sims(_spread(c), "cid", "cv", "cn")
     wa = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("cell"))
     assigned = (
         ac.withColumn("r", F.row_number().over(wa))
@@ -257,9 +278,7 @@ def ivf_ann_seeded(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    qc = q.crossJoin(centers_df).select(
-        "qid", "qv", "qn", "cell", cell_sim(F.col("qv"), F.col("qn")).alias("sim")
-    )
+    qc = cell_sims(q, "qid", "qv", "qn")
     wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
     probes = (
         qc.withColumn("p", F.row_number().over(wq))
@@ -272,7 +291,8 @@ def ivf_ann_seeded(
         "qid",
         "cid",
         F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
+            pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            round_digits,
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -281,6 +301,65 @@ def ivf_ann_seeded(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+def plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """All dot products of `vec` against a fixed plane matrix, as one
+    Arrow-batched Pandas UDF (numpy, vectorized over rows and planes).
+
+    The JVM-expression form (`transform(planes, p -> aggregate(...))`)
+    is interpreted per scalar — ~100-300ns/flop — which made LSH bucket
+    assignment the slowest step of the ANN pipeline. Batched numpy does
+    the same flops ~1000× faster; this is the documented "UDFs are the
+    slow path EXCEPT vectorized math over arrays" carve-out.
+
+    Summation is accumulated dimension-by-dimension (explicit d-loop),
+    i.e. strict left-to-right per dot — bit-identical to
+    `aggregate(zip_with(...))` and DuckDB's `list_inner_product`, so
+    sign-threshold bucket bits match the SQL oracle exactly (BLAS
+    `np.dot` would sum in an unspecified order and could flip a
+    near-zero dot's sign).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _dots(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
+        acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+        for d in range(P.shape[1]):
+            acc += V[:, d : d + 1] * P[:, d][None, :]
+        return pd.Series(list(acc))
+
+    return _dots(vec)
+
+
+def pair_dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns as an Arrow-batched Pandas UDF —
+    the per-pair rescoring analogue of :func:`plane_dots`, with the same
+    dimension-order accumulation so results are bit-identical to
+    `aggregate(zip_with(...))` / DuckDB `list_inner_product`. Division
+    by norms and rounding stay JVM-side in the caller, so rounding
+    semantics are untouched."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += A[:, d] * B[:, d]
+        return pd.Series(acc)
+
+    return _dot(a, b)
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
@@ -320,54 +399,74 @@ def lsh_bucketed_ann(
     vectors — worst case for angular LSH): recall@5 ≈ 0.17 at 4×8 vs
     :func:`ivf_ann` ≈ 0.65 — prefer IVF when the corpus clusters.
     """
-    all_planes = [
-        [_hyperplane(dim, t * num_planes + p) for p in range(num_planes)]
-        for t in range(num_tables)
-    ]
+    planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
+    q = _with_buckets(
+        _spread(queries), query_id, "qid", "qv", "qn", vec_col, planes,
+        num_tables, num_planes,
+    )
+    c = _with_buckets(
+        _spread(corpus), corpus_id, "cid", "cv", "cn", vec_col, planes,
+        num_tables, num_planes,
+    )
+    return _lsh_score(q, c, k, round_digits)
 
-    def buckets(vec: Column) -> Column:
-        entries = []
-        for t, planes in enumerate(all_planes):
-            bits = []
-            for p_idx, p in enumerate(planes):
-                arr = F.array(*[F.lit(x) for x in p])
-                bits.append(
-                    F.when(dot(vec, arr) >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-                )
-            b = bits[0]
-            for x in bits[1:]:
-                b = b + x
-            entries.append(F.struct(F.lit(t).alias("t"), b.alias("bucket")))
-        return F.array(*entries)
 
-    q = _spread(queries).select(
-        F.col(query_id).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
-        buckets(F.col(vec_col)).alias("__b"),
-    ).persist()
-    c = _spread(corpus).select(
-        F.col(corpus_id).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-        buckets(F.col(vec_col)).alias("__b"),
-    ).persist()
+def _with_buckets(
+    df: DataFrame,
+    id_in: str,
+    id_out: str,
+    v: str,
+    n: str,
+    vec_col: str,
+    planes: list[list[float]],
+    num_tables: int,
+    num_planes: int,
+) -> DataFrame:
+    dotted = df.select(
+        F.col(id_in).alias(id_out),
+        F.col(vec_col).alias(v),
+        norm(F.col(vec_col)).alias(n),
+        plane_dots(F.col(vec_col), planes).alias("__dots"),
+    )
+    # one F.expr, not num_tables*num_planes Column ops — each Python
+    # Column operation is a py4j round trip, and the expanded form
+    # spent >1s of driver time building this (tiny) expression
+    bucket_expr = (
+        f"transform(sequence(0, {num_tables - 1}), t -> named_struct("
+        f"'t', t, 'bucket', aggregate(sequence(0, {num_planes - 1}), 0, "
+        f"(acc, p) -> acc + IF(element_at(__dots, t * {num_planes} + p + 1) "
+        f">= 0D, shiftleft(1, p), 0))))"
+    )
+    return dotted.select(id_out, v, n, F.expr(bucket_expr).alias("__b")).persist()
+
+
+def _lsh_score(
+    q: DataFrame, c: DataFrame, k: int, round_digits: int, broadcast_q: bool = False
+) -> DataFrame:
     qb = q.select("qid", F.explode("__b").alias("e")).select("qid", "e.t", "e.bucket")
     cb = c.select("cid", F.explode("__b").alias("e")).select("cid", "e.t", "e.bucket")
+    if broadcast_q:
+        # queries are a known-small slice of the corpus: broadcasting the
+        # exploded query buckets (|Q|·tables rows of three ints) removes
+        # the corpus-side shuffle from the candidate join entirely
+        qb = F.broadcast(qb)
     cand = (
         qb.join(cb, ["t", "bucket"])
         .filter(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
         .distinct()
     )
+    qside = q.select("qid", "qv", "qn")
+    if broadcast_q:
+        qside = F.broadcast(qside)
     scored = (
-        cand.join(q.select("qid", "qv", "qn"), "qid")
+        cand.join(qside, "qid")
         .join(c.select("cid", "cv", "cn"), "cid")
         .select(
             "qid",
             "cid",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 round_digits,
             ).alias("cosine"),
         )
@@ -378,3 +477,36 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+def lsh_bucketed_ann_self(
+    corpus: DataFrame,
+    id_col: str,
+    query_filter,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`lsh_bucketed_ann` specialized for queries that are a
+    subset of the corpus (`query_filter`: Column predicate over the id
+    column, e.g. ``lambda c: c % 25 == 0``) — the "find neighbors of
+    THESE corpus rows" shape. Buckets and norms are computed in ONE
+    cached pass over the corpus instead of once per side, and the
+    (structurally small) query slice is broadcast into both the
+    candidate join and the rescoring join, removing two corpus-side
+    shuffles relative to the general two-table form."""
+    planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
+    c = _with_buckets(
+        _spread(corpus), id_col, "cid", "cv", "cn", vec_col, planes,
+        num_tables, num_planes,
+    )
+    q = c.filter(query_filter(F.col("cid"))).select(
+        F.col("cid").alias("qid"),
+        F.col("cv").alias("qv"),
+        F.col("cn").alias("qn"),
+        "__b",
+    )
+    return _lsh_score(q, c, k, round_digits, broadcast_q=True)

@@ -30,8 +30,11 @@ def get_spark(
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
     # local mode runs every task inside the driver JVM, so the driver
     # heap IS the executor memory; the 1g default OOMs the first big
-    # broadcast build. Must be set before the JVM launches.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # broadcast build. Must be set before the JVM launches. 8g, not
+    # bigger: measured A/B showed a 32g heap makes long multi-query
+    # sessions 3-4x slower on later queries (GC geometry), while
+    # 4g/8g behave like 1g and still fit sf1-scale broadcasts.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -52,6 +55,7 @@ def get_spark(
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.files.maxPartitionBytes", "268435456")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
