@@ -1,27 +1,52 @@
 """Arrow Flight SQL endpoint — the reference's FlightSQL adapter shape
-(SURVEY.md §2.8; adapter/flight-sql/src/service.rs): execute a SQL
-statement, stream the result back as Arrow record batches.
+(SURVEY.md §2.8; adapter/flight-sql/src/service.rs:691-810):
 
-Minimal Flight (not full FlightSQL handshake) implementation:
+- **statement queries**: ``get_flight_info`` PLANS the statement
+  (Catalyst analysis only — no execution) and returns the result schema
+  with a ticket; ``do_get`` executes ONCE and streams Arrow record
+  batches collected natively (``DataFrame.toArrow()`` — executors emit
+  Arrow, no pandas materialization on the driver).
+- **prepared statements** (service.rs: CreatePreparedStatement /
+  do_put bind / ClosePreparedStatement): ``do_action("prepare", sql)``
+  returns a handle; ``do_put`` with descriptor ``{"prepared": handle}``
+  binds one row of parameters (column names bind `:name` markers, or
+  positional columns `?` in order); ``do_get`` on
+  ``{"prepared": handle}`` executes with the bound values via Spark
+  parameterized SQL (no string splicing — injection-safe).
+- **catalog metadata** (service.rs: get_catalogs/get_schemas/
+  get_tables): JSON commands ``{"cmd": "get_catalogs" | "get_db_schemas"
+  | "get_tables"}`` stream the same column shapes FlightSQL defines,
+  including the optional serialized Arrow schema per table.
 
-- ``get_flight_info(statement)`` plans the query and returns schema +
-  a ticket;
-- ``do_get(ticket)`` executes on Spark and streams Arrow batches
-  (Spark→Arrow via the Arrow-optimized collect path);
-- ``list_flights`` enumerates datasets with row counts.
-
-Results transfer as columnar Arrow — the same wire shape the reference
-serves — so any Flight client (pyarrow, ADBC) can consume the engine.
+The wire envelope is plain Flight with JSON commands, not the FlightSQL
+protobuf frames — the protobuf stubs aren't available in this
+environment — but each verb maps 1:1 onto a FlightSQL message, so a
+protobuf front-end is a thin translation layer away.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import uuid
 
 import pyarrow as pa
 import pyarrow.flight as flight
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+CATALOG_NAME = "kamu"
+SCHEMA_NAME = "default"
+
+
+def _arrow_schema(df: DataFrame) -> pa.Schema:
+    """Arrow schema from the ANALYZED (not executed) plan."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(df.schema)
+    except Exception:
+        # fallback: zero-row execution (cheap — no shuffle tasks run)
+        return df.limit(0).toArrow().schema
 
 
 class KamuFlightServer(flight.FlightServerBase):
@@ -32,25 +57,131 @@ class KamuFlightServer(flight.FlightServerBase):
         self.spark = spark
         self.qs = QueryService(spark, workspace)
         self.location = location
+        self._prepared: dict[str, dict] = {}
+        self._lock = threading.Lock()
 
-    def _execute(self, sql: str) -> pa.Table:
-        df = self.qs.sql(sql)
-        # Arrow-path collect: executors produce Arrow batches directly
-        return pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+    # -- command routing ----------------------------------------------
+
+    @staticmethod
+    def _parse_command(raw: bytes) -> dict:
+        """JSON commands route to prepared/catalog handlers; anything
+        else is a bare SQL statement (pyarrow-client friendly)."""
+        try:
+            cmd = json.loads(raw.decode("utf-8"))
+            if isinstance(cmd, dict):
+                return cmd
+        except (ValueError, UnicodeDecodeError):
+            pass
+        return {"sql": raw.decode("utf-8")}
+
+    def _statement_df(self, cmd: dict) -> DataFrame:
+        if "prepared" in cmd:
+            with self._lock:
+                st = self._prepared.get(cmd["prepared"])
+            if st is None:
+                raise flight.FlightServerError(
+                    f"unknown prepared statement: {cmd['prepared']}"
+                )
+            return self.qs.sql(st["sql"], args=st.get("params"))
+        return self.qs.sql(cmd["sql"])
+
+    # -- catalog metadata (FlightSQL CommandGetCatalogs et al.) -------
+
+    def _metadata_table(self, cmd: dict) -> pa.Table:
+        kind = cmd["cmd"]
+        if kind == "get_catalogs":
+            return pa.table({"catalog_name": [CATALOG_NAME]})
+        if kind == "get_db_schemas":
+            return pa.table(
+                {"catalog_name": [CATALOG_NAME], "db_schema_name": [SCHEMA_NAME]}
+            )
+        if kind == "get_tables":
+            names = self.qs.list_datasets()
+            pat = cmd.get("table_name_filter_pattern")
+            if pat:
+                import fnmatch
+
+                names = [n for n in names if fnmatch.fnmatch(n, pat)]
+            cols: dict = {
+                "catalog_name": [CATALOG_NAME] * len(names),
+                "db_schema_name": [SCHEMA_NAME] * len(names),
+                "table_name": names,
+                "table_type": ["TABLE"] * len(names),
+            }
+            if cmd.get("include_schema"):
+                schemas = []
+                for n in names:
+                    df = self.qs.get_data(n)
+                    schemas.append(
+                        _arrow_schema(df).serialize().to_pybytes()
+                        if df is not None
+                        else b""
+                    )
+                cols["table_schema"] = schemas
+            return pa.table(cols)
+        raise flight.FlightServerError(f"unknown metadata command: {kind}")
+
+    # -- flight verbs --------------------------------------------------
 
     def get_flight_info(self, context, descriptor):
-        sql = descriptor.command.decode("utf-8")
-        table = self._execute(sql)  # small-result surface, like /query
-        ticket = flight.Ticket(sql.encode("utf-8"))
+        cmd = self._parse_command(descriptor.command)
+        if "cmd" in cmd:
+            table = self._metadata_table(cmd)
+            schema, total = table.schema, table.num_rows
+        else:
+            schema, total = _arrow_schema(self._statement_df(cmd)), -1
+        ticket = flight.Ticket(json.dumps(cmd).encode("utf-8"))
         endpoint = flight.FlightEndpoint(ticket, [self.location])
-        return flight.FlightInfo(
-            table.schema, descriptor, [endpoint], table.num_rows, -1
-        )
+        return flight.FlightInfo(schema, descriptor, [endpoint], total, -1)
 
     def do_get(self, context, ticket):
-        sql = ticket.ticket.decode("utf-8")
-        table = self._execute(sql)
+        cmd = self._parse_command(ticket.ticket)
+        if "cmd" in cmd:
+            return flight.RecordBatchStream(self._metadata_table(cmd))
+        table = self._statement_df(cmd).toArrow()
         return flight.RecordBatchStream(table)
+
+    def do_put(self, context, descriptor, reader, writer):
+        cmd = self._parse_command(descriptor.command)
+        handle = cmd.get("prepared")
+        if handle is None:
+            raise flight.FlightServerError("do_put requires a prepared handle")
+        params = reader.read_all()
+        if params.num_rows != 1:
+            raise flight.FlightServerError(
+                f"expected exactly one parameter row, got {params.num_rows}"
+            )
+        row = params.to_pylist()[0]
+        positional = all(
+            name.startswith(("param_", "$")) or name.isdigit()
+            for name in params.column_names
+        ) and len(params.column_names) > 0
+        with self._lock:
+            if handle not in self._prepared:
+                raise flight.FlightServerError(f"unknown prepared statement: {handle}")
+            self._prepared[handle]["params"] = (
+                [row[c] for c in params.column_names] if positional else row
+            )
+
+    def do_action(self, context, action):
+        body = action.body.to_pybytes().decode("utf-8") if action.body else ""
+        if action.type == "prepare":
+            handle = uuid.uuid4().hex
+            with self._lock:
+                self._prepared[handle] = {"sql": body, "params": None}
+            yield json.dumps({"handle": handle}).encode("utf-8")
+        elif action.type == "close_prepared":
+            with self._lock:
+                self._prepared.pop(body, None)
+            yield b"{}"
+        else:
+            raise flight.FlightServerError(f"unknown action: {action.type}")
+
+    def list_actions(self, context):
+        return [
+            ("prepare", "Create a prepared statement; body = SQL text"),
+            ("close_prepared", "Discard a prepared statement; body = handle"),
+        ]
 
     def list_flights(self, context, criteria):
         for name in self.qs.list_datasets():

@@ -47,6 +47,7 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = "kamu-cli-spark/0.1"
     qs = None  # QueryService, injected
     spark: SparkSession = None
+    signer = None  # QuerySigner for /query proofs, injected
 
     def log_message(self, *args):  # quiet
         pass
@@ -143,15 +144,43 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, "invalid JSON body")
         try:
             if url.path == "/query":
-                df = self.qs.sql(body["query"])
-                self._send(
-                    200,
-                    _df_payload(
-                        df,
-                        body.get("dataFormat", "aos"),
-                        int(body.get("limit", 1000)),
-                    ),
-                )
+                fmt = body.get("dataFormat", "aos")
+                limit = int(body.get("limit", 1000))
+                include = set(body.get("include", []))
+                pins = {
+                    d["alias"]: d["blockHash"] for d in body.get("datasets", [])
+                }
+                df, state = self.qs.sql_with_state(body["query"], pins=pins)
+                payload = _df_payload(df, fmt, limit)
+                if "Proof" not in include:
+                    self._send(200, payload)
+                else:
+                    # verifiable-query envelope: pinned input + hash
+                    # commitment + Ed25519 proof (query_types.rs:30-448)
+                    from kamu_cli_spark.commitments import (
+                        make_commitment,
+                        make_proof,
+                    )
+
+                    input_obj = {
+                        "query": body["query"],
+                        "queryDialect": "SqlSpark",
+                        "dataFormat": fmt,
+                        "limit": limit,
+                        "include": sorted(include),
+                        "datasets": state,
+                    }
+                    commitment = make_commitment(input_obj, payload)
+                    self._send(
+                        200,
+                        {
+                            "input": input_obj,
+                            "output": payload,
+                            "subQueries": [],
+                            "commitment": commitment,
+                            "proof": make_proof(self.signer, commitment),
+                        },
+                    )
             elif url.path == "/ingest":
                 from kamu_cli_spark.operators.merge import make_merge_strategy
                 from kamu_cli_spark.writer import DataWriter
@@ -172,11 +201,19 @@ class _Handler(BaseHTTPRequestHandler):
                 ev = DataWriter(ds, strategy).write(self.spark, df)
                 self._send(200, {"committed": ev["new_data"] if ev else None})
             elif url.path == "/verify":
-                from kamu_cli_spark.verification import verify_dataset
+                if "commitment" in body:
+                    # replay-verify a query commitment envelope
+                    from kamu_cli_spark.commitments import verify_query_envelope
 
-                ds = self.qs.dataset(body["dataset"])
-                res = verify_dataset(self.spark, ds)
-                self._send(200, {"ok": True, **res})
+                    self._send(
+                        200, verify_query_envelope(self.qs, body, _df_payload)
+                    )
+                else:
+                    from kamu_cli_spark.verification import verify_dataset
+
+                    ds = self.qs.dataset(body["dataset"])
+                    res = verify_dataset(self.spark, ds)
+                    self._send(200, {"ok": True, **res})
             else:
                 self._error(404, f"no route {url.path}")
         except KeyError as e:
@@ -193,12 +230,17 @@ def serve(
 ) -> ThreadingHTTPServer:
     """Start the REST server; returns the server object (call
     `.shutdown()` to stop when background=True)."""
+    from kamu_cli_spark.commitments import QuerySigner
     from kamu_cli_spark.query import QueryService
 
     handler = type(
         "Handler",
         (_Handler,),
-        {"qs": QueryService(spark, workspace), "spark": spark},
+        {
+            "qs": QueryService(spark, workspace),
+            "spark": spark,
+            "signer": QuerySigner(),
+        },
     )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     if background:

@@ -103,10 +103,27 @@ class QueryService:
 
     # -- query entry points -------------------------------------------
 
-    def sql(self, statement: str) -> DataFrame:
+    def sql(self, statement: str, args: dict | list | None = None) -> DataFrame:
         """Run SQL; any `to_table('name')` calls are rewritten to state-
         projection views registered on the fly; bare dataset names used
-        as tables are auto-registered."""
+        as tables are auto-registered. `args` are Spark parameterized-SQL
+        bindings (dict for `:name` markers, list for positional `?`) —
+        the prepared-statement path of the Flight SQL surface."""
+        return self.sql_with_state(statement, args=args)[0]
+
+    def sql_with_state(
+        self,
+        statement: str,
+        args: dict | list | None = None,
+        pins: dict[str, str] | None = None,
+    ) -> tuple[DataFrame, list[dict]]:
+        """Like :meth:`sql`, but also returns the input state the query
+        was served from: one ``{"alias", "blockHash"}`` entry per
+        auto-registered dataset — the replay parameters of a query
+        commitment (reference: query_types.rs QueryRequest.datasets).
+        `pins` maps dataset name → block hash to serve AS-OF that block
+        instead of head (commitment replay / time travel)."""
+        pins = pins or {}
         for i, (ref, as_of) in enumerate(set(_TO_TABLE_RE.findall(statement))):
             view = f"__to_table_{i}_{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
             self.register_projection(ref, view, as_of=as_of or None)
@@ -116,12 +133,23 @@ class QueryService:
                 + r"\)"
             )
             statement = re.sub(pat, view, statement)
+        state: list[dict] = []
         for name in self.list_datasets():
             pattern = rf"`{re.escape(name)}`|(?<![\w.`-]){re.escape(name)}(?![\w.`-])"
             if re.search(pattern, statement):
-                if self.register(name) is not None:
+                as_of = pins.get(name)
+                if self.register(name, as_of=as_of) is not None:
                     statement = re.sub(pattern, self._view_name(name), statement)
-        return self.spark.sql(statement)
+                    head = self.dataset(name).chain.head()
+                    state.append(
+                        {
+                            "alias": name,
+                            "blockHash": as_of or (head.block_hash if head else None),
+                        }
+                    )
+        if args:
+            return self.spark.sql(statement, args=args), state
+        return self.spark.sql(statement), state
 
     def get_data(self, name: str, as_of: str | None = None) -> DataFrame | None:
         return self.register(name, as_of)
