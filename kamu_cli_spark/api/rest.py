@@ -87,6 +87,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(404, f"entity set not found or empty: {name}")
         from pyspark.sql import functions as F
 
+        if "$filter" in q:
+            from kamu_cli_spark.api.odata_filter import parse_filter
+
+            df = df.filter(parse_filter(q["$filter"]))
         if "$orderby" in q:
             parts = [p.strip() for p in q["$orderby"].split(",")]
             cols = [

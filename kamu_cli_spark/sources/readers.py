@@ -159,38 +159,35 @@ def read_shapefile(
     sub_path: str | None = None,
     schema: Any | None = None,
 ) -> DataFrame:
-    """ODF ReadStepEsriShapefile — requires `pyshp`, which is not baked
-    into this environment; the transcode step (shapes → GeoJSON string +
-    attributes) is gated behind the import. Spark-side plumbing matches
-    read_geojson."""
-    try:
-        import shapefile  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "EsriShapefile reader needs the 'pyshp' package (not available "
-            "in this environment); the geo transcode path is otherwise "
-            "identical to read_geojson"
-        ) from e
+    """ODF ReadStepEsriShapefile (readers/shapefile.rs:58-230): unzip if
+    archived, locate the .shp (optionally narrowed by `sub_path`), parse
+    geometry + .dbf attributes with the built-in spec parser
+    (sources/shapefile.py — no external geo deps), and transcode to the
+    same (attributes..., geometry GeoJSON-string) rows as read_geojson.
+    """
+    from kamu_cli_spark.sources.shapefile import read_features
 
-    workdir = path
-    if path.endswith(".zip"):
-        workdir = tempfile.mkdtemp()
-        with zipfile.ZipFile(path) as z:
-            z.extractall(workdir)
-    shp = None
-    for root, _, files in os.walk(workdir):
-        for fn in files:
-            if fn.endswith(".shp") and (not sub_path or sub_path in fn):
-                shp = os.path.join(root, fn)
-    if shp is None:
-        raise ReaderError(f"no .shp found under {workdir}")
-    rdr = shapefile.Reader(shp)
+    if path.endswith(".shp"):
+        shp = path
+    else:
+        workdir = path
+        if path.endswith(".zip"):
+            workdir = tempfile.mkdtemp()
+            with zipfile.ZipFile(path) as z:
+                z.extractall(workdir)
+        shp = None
+        for root, _, files in os.walk(workdir):
+            for fn in files:
+                if fn.endswith(".shp") and (not sub_path or sub_path in fn):
+                    shp = os.path.join(root, fn)
+        if shp is None:
+            raise ReaderError(f"no .shp found under {workdir}")
     tmp = tempfile.NamedTemporaryFile(
         "w", suffix=".ndjson", delete=False, encoding="utf-8"
     )
     with tmp as f:
-        for sr in rdr.shapeRecords():
-            f.write(json.dumps(_feature_to_record(sr.__geo_interface__)) + "\n")
+        for feature in read_features(shp):
+            f.write(json.dumps(_feature_to_record(feature)) + "\n")
     return read_ndjson(spark, tmp.name, schema)
 
 
