@@ -124,6 +124,108 @@ def embedding_near_dup_pairs(
     )
 
 
+def _ivf_cell_score(
+    probes: DataFrame,
+    assigned: DataFrame,
+    q_norms: DataFrame,
+    c_norms: DataFrame,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Score IVF candidates cell-by-cell with a cogrouped Pandas UDF.
+
+    The naive plan — join probes×assigned on cell, then score each pair
+    — materializes |Q|·n_probe·(|C|/cells) join rows each carrying BOTH
+    full vectors; at sf1 that was ~4 GB of Arrow traffic and 44 s. Here
+    each cell's query and corpus vectors cross the Python boundary ONCE
+    (cogroup on the cell key), the dot matrix is computed in numpy with
+    the same dimension-order accumulation as :func:`pair_dot`, and only
+    skinny (qid, cid, dot) rows come back. Division by norms and
+    rounding stay JVM-side (`F.round` half-up), so scores are
+    bit-identical to the pairwise form and the SQL oracle. At 100 TB
+    this is one shuffle of each side on the cell key; a hot cell is
+    bounded by the centroid fanout, and norms join back skinny.
+    """
+    q_id_t = dict(zip(probes.columns, (f.dataType.simpleString() for f in probes.schema.fields)))["qid"]
+    c_id_t = dict(zip(assigned.columns, (f.dataType.simpleString() for f in assigned.schema.fields)))["cid"]
+    out_schema = f"qid {q_id_t}, cid {c_id_t}, dot double"
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["qid", "cid", "dot"])
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in left["qv"]])
+        C = np.stack([np.asarray(x, dtype=np.float64) for x in right["cv"]])
+        acc = np.zeros((Q.shape[0], C.shape[0]), dtype=np.float64)
+        qsq = np.zeros(Q.shape[0], dtype=np.float64)
+        csq = np.zeros(C.shape[0], dtype=np.float64)
+        for d in range(Q.shape[1]):
+            acc += Q[:, d : d + 1] * C[:, d][None, :]
+            qsq += Q[:, d] * Q[:, d]
+            csq += C[:, d] * C[:, d]
+        nq, nc = acc.shape
+        qids, cids = left["qid"].to_numpy(), right["cid"].to_numpy()
+        # PRUNE inside the cell: the final top-k per query can only come
+        # from each cell's own top-k, so emitting the full nq×nc dot
+        # matrix (4M rows at sf1) wastes the downstream join/window.
+        # Pruning ranks by numpy half-away-from-zero rounding of the
+        # cosine; the authoritative score is still recomputed JVM-side
+        # with F.round, and the keep-threshold carries a 2-rounding-step
+        # margin so a boundary-case disagreement between the two
+        # roundings can never drop a row the JVM ranking would keep.
+        cos = acc / (np.sqrt(qsq)[:, None] * np.sqrt(csq)[None, :])
+        rnd = np.sign(cos) * np.floor(np.abs(cos) * 10.0**round_digits + 0.5) / (
+            10.0**round_digits
+        )
+        self_mask = qids[:, None] == cids[None, :]
+        rnd_valid = np.where(self_mask, -np.inf, rnd)
+        out_q, out_c, out_d = [], [], []
+        margin = 2.0 / 10.0**round_digits
+        for i in range(nq):
+            row = rnd_valid[i]
+            n_valid = int((row > -np.inf).sum())
+            if n_valid > k:
+                kth = np.partition(row, -k)[-k]
+                keep = row >= kth - margin
+            else:
+                keep = row > -np.inf
+            idx = np.nonzero(keep)[0]
+            out_q.append(np.full(len(idx), qids[i]))
+            out_c.append(cids[idx])
+            out_d.append(acc[i, idx])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q) if out_q else [],
+                "cid": np.concatenate(out_c) if out_c else [],
+                "dot": np.concatenate(out_d) if out_d else [],
+            }
+        )
+
+    scores = (
+        probes.select("cell", "qid", "qv")
+        .groupBy("cell")
+        .cogroup(assigned.select("cell", "cid", "cv").groupBy("cell"))
+        .applyInPandas(score, out_schema)
+    )
+    scored = (
+        scores.filter(F.col("qid") != F.col("cid"))
+        .join(q_norms, "qid")
+        .join(c_norms, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.col("dot") / (F.col("qn") * F.col("cn")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def ivf_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -181,19 +283,9 @@ def ivf_ann(
     wq = Window.partitionBy("qid").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probes = qc.withColumn("p", F.row_number().over(wq)).filter(F.col("p") <= n_probe)
 
-    cand = probes.join(assigned, "cell").filter(F.col("qid") != F.col("cid"))
-    scored = cand.select(
-        "qid",
-        "cid",
-        F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "cid", "cosine", "rank")
+    return _ivf_cell_score(
+        probes, assigned, q.select("qid", "qn"), c.select("cid", "cn"),
+        k, round_digits,
     )
 
 
@@ -265,11 +357,25 @@ def ivf_ann_seeded(
             )
         )
 
-    ac = cell_sims(_spread(c), "cid", "cv", "cn")
-    wa = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("cell"))
+    # corpus cell assignment: single-pass argmax over the 16 cell sims —
+    # a strictly-greater scan from cell 0 picks the first maximum, i.e.
+    # the same (sim DESC, cell ASC) winner the window form chose, with
+    # NO explode and NO |corpus|×cells shuffle+sort (that window was the
+    # slowest stage of the sf1 pipeline)
+    argmax_expr = (
+        f"aggregate(sequence(0, {len(center_vecs) - 1}), "
+        f"named_struct('best', cast(-10.0 as double), 'cell', -1), "
+        f"(acc, i) -> IF(round(element_at(__cd, i + 1) "
+        f"/ (cn * element_at(__cns, i + 1)), {round_digits}) > acc.best, "
+        f"named_struct('best', round(element_at(__cd, i + 1) "
+        f"/ (cn * element_at(__cns, i + 1)), {round_digits}), 'cell', i), "
+        f"acc)).cell"
+    )
     assigned = (
-        ac.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
+        _spread(c)
+        .withColumn("__cd", plane_dots(F.col("cv"), center_vecs))
+        .withColumn("__cns", center_norms)
+        .withColumn("cell", F.expr(argmax_expr))
         .select("cid", "cv", "cn", "cell")
     )
 
@@ -286,20 +392,9 @@ def ivf_ann_seeded(
         .select("qid", "qv", "qn", "cell")
     )
 
-    cand = probes.join(assigned, "cell").filter(F.col("qid") != F.col("cid"))
-    scored = cand.select(
-        "qid",
-        "cid",
-        F.round(
-            pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-            round_digits,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "cid", "cosine", "rank")
+    return _ivf_cell_score(
+        probes, assigned, q.select("qid", "qn"), c.select("cid", "cn"),
+        k, round_digits,
     )
 
 

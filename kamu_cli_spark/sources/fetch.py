@@ -14,6 +14,7 @@ Spark-side analogue of the reference's fetch service (SURVEY.md §2.1):
 from __future__ import annotations
 
 import glob as globmod
+import json
 import os
 from datetime import datetime, timezone
 from typing import Any
@@ -289,16 +290,232 @@ def ingest_container(
     return events
 
 
-def fetch_mqtt(*args, **kwargs):  # pragma: no cover
-    """FetchStep::Mqtt — bounded subscribe. Requires an MQTT client
-    library (paho), not available in this environment."""
-    raise NotImplementedError("mqtt fetch requires the paho-mqtt package")
+def fetch_mqtt(
+    staging_path: str,
+    host: str = "localhost",
+    port: int = 1883,
+    topics: list[str] | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    max_messages: int = 10_000,
+    idle_timeout: float = 2.0,
+    client: Any | None = None,
+) -> tuple[str | None, dict[str, Any]]:
+    """FetchStep::Mqtt — bounded subscribe (reference:
+    fetch_service/mqtt.rs; DTO dtos_generated.rs FetchStepMqtt): connect,
+    subscribe to `topics`, drain messages until the broker goes idle for
+    `idle_timeout` seconds (or `max_messages`), stage payloads as NDJSON
+    lines. MQTT is at-least-once fire-hose — there is no resumable
+    source state, so each poll stages whatever arrived (the reference
+    relies on the merge strategy for dedup, same here).
+
+    `client` injects the broker connection — any object with
+    ``connect(host, port, username, password)``,
+    ``subscribe(topics)``, ``poll(timeout) -> (topic, bytes) | None``
+    and ``close()``. Defaults to a paho-mqtt adapter when that package
+    exists; this environment has no broker or client library, so tests
+    inject a fake.
+    """
+    if client is None:  # pragma: no cover - paho not in this environment
+        try:
+            from paho.mqtt.client import Client as _Paho  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "mqtt fetch requires the paho-mqtt package or an injected client"
+            ) from e
+        client = _PahoAdapter(_Paho())
+    client.connect(host, port, username, password)
+    client.subscribe(topics or ["#"])
+    os.makedirs(os.path.dirname(staging_path) or ".", exist_ok=True)
+    n = 0
+    try:
+        with open(staging_path, "wb") as out:
+            while n < max_messages:
+                msg = client.poll(idle_timeout)
+                if msg is None:
+                    break
+                _topic, payload = msg
+                out.write(payload.rstrip(b"\n") + b"\n")
+                n += 1
+    finally:
+        client.close()
+    if n == 0:
+        return None, {"kind": "mqtt"}
+    return staging_path, {"kind": "mqtt"}
 
 
-def fetch_ethereum_logs(*args, **kwargs):  # pragma: no cover
-    """FetchStep::EthereumLogs — eth_getLogs scan with SQL prefilter.
-    Requires a web3 provider, not available in this environment."""
-    raise NotImplementedError("ethereum fetch requires a web3 provider")
+class _PahoAdapter:  # pragma: no cover - requires paho + a broker
+    def __init__(self, client):
+        import queue
+
+        self._c = client
+        self._q = queue.Queue()
+        client.on_message = lambda _c, _u, m: self._q.put((m.topic, m.payload))
+
+    def connect(self, host, port, username, password):
+        if username:
+            self._c.username_pw_set(username, password)
+        self._c.connect(host, port)
+        self._c.loop_start()
+
+    def subscribe(self, topics):
+        for t in topics:
+            self._c.subscribe(t)
+
+    def poll(self, timeout):
+        import queue
+
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def close(self):
+        self._c.loop_stop()
+        self._c.disconnect()
+
+
+def _jsonrpc_http(node_url: str):
+    """Minimal stdlib JSON-RPC transport for an Ethereum node."""
+    import urllib.request
+
+    counter = {"id": 0}
+
+    def call(method: str, params: list) -> Any:
+        counter["id"] += 1
+        req = urllib.request.Request(
+            node_url,
+            data=json.dumps(
+                {
+                    "jsonrpc": "2.0",
+                    "id": counter["id"],
+                    "method": method,
+                    "params": params,
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            body = json.loads(resp.read())
+        if "error" in body:
+            raise RuntimeError(f"{method}: {body['error']}")
+        return body["result"]
+
+    return call
+
+
+def fetch_ethereum_logs(
+    staging_path: str,
+    node_url: str | None = None,
+    filter_address: str | list[str] | None = None,
+    filter_topics: list | None = None,
+    source_state: dict[str, Any] | None = None,
+    block_page: int = 2_000,
+    confirmations: int = 0,
+    rpc: Any | None = None,
+) -> tuple[str | None, dict[str, Any]]:
+    """FetchStep::EthereumLogs — incremental `eth_getLogs` scan
+    (reference: fetch_service/evm.rs; DTO FetchStepEthereumLogs).
+
+    Scans `(last_seen_block, head - confirmations]` in `block_page`
+    windows, staging one NDJSON record per log (block number/hash,
+    tx + log index, address, topics, data — the reference's raw log
+    schema before its SQL prefilter, which here is any Spark filter on
+    the ingested table). Source state carries the last fully-scanned
+    block, so polls resume exactly and reorg-safety comes from the
+    `confirmations` margin.
+
+    `rpc` injects the transport: ``rpc(method, params) -> result``.
+    Defaults to a stdlib JSON-RPC HTTP client against `node_url` (no
+    web3 dependency); tests inject a fake.
+    """
+    if rpc is None:
+        if node_url is None:
+            raise ValueError("fetch_ethereum_logs needs node_url or rpc")
+        rpc = _jsonrpc_http(node_url)
+
+    state = source_state or {}
+    last_seen = int(state.get("last_seen_block", -1))
+    head = int(rpc("eth_blockNumber", []), 16)
+    upper = head - confirmations
+    if upper <= last_seen:
+        return None, {"kind": "ethereum_logs", "last_seen_block": last_seen}
+
+    os.makedirs(os.path.dirname(staging_path) or ".", exist_ok=True)
+    n = 0
+    with open(staging_path, "w", encoding="utf-8") as out:
+        frm = last_seen + 1
+        while frm <= upper:
+            to = min(frm + block_page - 1, upper)
+            flt: dict[str, Any] = {
+                "fromBlock": hex(frm),
+                "toBlock": hex(to),
+            }
+            if filter_address:
+                flt["address"] = filter_address
+            if filter_topics:
+                flt["topics"] = filter_topics
+            for log in rpc("eth_getLogs", [flt]):
+                rec = {
+                    "block_number": int(log["blockNumber"], 16),
+                    "block_hash": log.get("blockHash"),
+                    "transaction_index": int(log.get("transactionIndex", "0x0"), 16),
+                    "log_index": int(log.get("logIndex", "0x0"), 16),
+                    "address": log.get("address"),
+                    "topic0": (log.get("topics") or [None])[0],
+                    "topics": log.get("topics") or [],
+                    "data": log.get("data"),
+                }
+                out.write(json.dumps(rec) + "\n")
+                n += 1
+            frm = to + 1
+    new_state = {"kind": "ethereum_logs", "last_seen_block": upper}
+    if n == 0:
+        os.unlink(staging_path)
+        return None, new_state
+    return staging_path, new_state
+
+
+def ingest_ethereum_logs(
+    spark: SparkSession,
+    dataset: Dataset,
+    strategy: MergeStrategy,
+    rpc: Any = None,
+    node_url: str | None = None,
+    **fetch_options,
+) -> dict[str, Any] | None:
+    """Polling ingest of an EVM log scan: fetch → NDJSON read → merge →
+    commit, carrying the block cursor in the chain's source_state."""
+    import tempfile
+
+    prev = _last_source_state(dataset)
+    staged, new_state = fetch_ethereum_logs(
+        os.path.join(tempfile.mkdtemp(), "logs.ndjson"),
+        node_url=node_url,
+        source_state=prev if prev and prev.get("kind") == "ethereum_logs" else None,
+        rpc=rpc,
+        **fetch_options,
+    )
+    if staged is None:
+        if new_state != prev:
+            # advance the cursor with a data-less block (empty scan range
+            # still moves last_seen_block)
+            ev = {
+                "kind": "AddData",
+                "new_data": None,
+                "new_watermark": dataset.chain.current_watermark(),
+                "source_state": new_state,
+            }
+            dataset.chain.append(ev)
+            return ev
+        return None
+    df = read_format(spark, "ndjson", staged)
+    return DataWriter(dataset, strategy).write(
+        spark,
+        df,
+        system_time=datetime.now(timezone.utc),
+        extra_event={"source_state": new_state},
+    )
 
 
 def ingest_files_glob(
