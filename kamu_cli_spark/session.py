@@ -46,7 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's stock 10 MB: a 64 MB threshold made q5/q3 broadcast a
+        # 15 MB-parquet orders table at sf1 — the single-threaded
+        # driver-side hash-relation build cost more than the shuffle it
+        # avoided (8.0s -> 4.9s warm at sf1 after the revert). True
+        # dimension tables stay far under 10 MB at every SF, and AQE
+        # still upgrades shuffle joins to broadcast from runtime sizes.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # ODF identifiers are case-sensitive (reference:
         # engine_config_embedded.rs:18-30). Spark's default is
         # case-insensitive; we keep Spark's default for SQL-surface
