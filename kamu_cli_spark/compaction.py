@@ -127,16 +127,33 @@ def compact(
         for b in old_blocks:
             if b.event.get("kind") not in ("AddData", "ExecuteTransform"):
                 new_chain.append(b.event, system_time=b.system_time)
-        # Latest resume state across ALL dropped data blocks — including
-        # data-less AddData markers (files_glob/url polling) — must ride
-        # on the compacted chain or the source re-ingests seen inputs
-        # (reference: compaction_executor_impl.rs carries new_source_state,
-        # :124-126).
-        last_source_state = None
+        # Resume state must survive compaction or the source re-ingests
+        # seen inputs. PER BATCH (reference: compaction_executor_impl.rs
+        # :124-158): each compacted AddData carries the latest
+        # source_state among the dropped blocks it absorbs — data-less
+        # polling markers attach to the batch of the preceding data
+        # block — so as-of reads pinned at an intermediate compacted
+        # block see the same resume state the uncompacted chain had at
+        # that offset.
+        batch_ends = [nd["offset_interval"]["end"] for _, nd in new_files]
+        batch_states: list[Any] = [None] * len(new_files)
+        bi = 0
         for b in old_blocks:
-            if b.event.get("kind") == "AddData" and b.event.get("source_state"):
-                last_source_state = b.event["source_state"]
-        for (rel, nd), src in zip(new_files, data_events):
+            ev = b.event
+            if ev.get("kind") not in ("AddData", "ExecuteTransform"):
+                continue
+            nd_old = ev.get("new_data")
+            if nd_old is not None:
+                while (
+                    bi < len(batch_ends)
+                    and nd_old["offset_interval"]["end"] > batch_ends[bi]
+                ):
+                    bi += 1
+            if ev.get("source_state"):
+                batch_states[min(bi, len(batch_states) - 1)] = ev["source_state"]
+        for ((rel, nd), src), b_state in zip(
+            zip(new_files, data_events), batch_states
+        ):
             wm = None
             for b in old_blocks:
                 if (
@@ -147,18 +164,13 @@ def compact(
                     and b.event.get("new_watermark")
                 ):
                     wm = b.event["new_watermark"]
-            is_last = nd is new_files[-1][1]
             new_chain.append(
                 {
                     "kind": "AddData",
                     "new_data": {"path": rel, **nd},
                     "new_watermark": wm,
                     "compacted": True,
-                    **(
-                        {"source_state": last_source_state}
-                        if is_last and last_source_state
-                        else {}
-                    ),
+                    **({"source_state": b_state} if b_state else {}),
                 },
                 system_time=last_st,
             )

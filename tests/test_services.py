@@ -263,3 +263,35 @@ def test_compaction_preserves_source_state(spark, tmp_path):
     assert ingest_files_glob(spark, ds, strat, str(inbox / "*.csv")) == []
     assert ds.read(spark).count() == 4
     ds.chain.verify()
+
+
+def test_compaction_per_batch_source_state(spark, tmp_path):
+    """Each compacted batch carries the latest source_state among the
+    blocks it absorbed (reference: compaction_executor_impl.rs:124-158),
+    so an as-of read pinned at an intermediate compacted block sees the
+    same resume state the uncompacted chain had at that offset."""
+    from kamu_cli_spark.sources.fetch import _last_source_state, ingest_files_glob
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(4):
+        (inbox / f"f{i}.csv").write_text(f"k,v\nk{i},{i}\n")
+
+    ds = Dataset.create(str(tmp_path), "gsrc2", system_time=T0.isoformat())
+    strat = MergeStrategyLedger(["k"])
+    ingest_files_glob(spark, ds, strat, str(inbox / "*.csv"))
+
+    res = compact(spark, ds, max_slice_records=2)
+    assert res["compacted"] and res["slices_after"] == 2
+
+    data_blocks = [
+        b for b in ds.chain.blocks() if b.event.get("kind") == "AddData"
+    ]
+    assert [b.event["source_state"]["last_file"] for b in data_blocks] == [
+        "f1.csv",  # batch 1 absorbed f0+f1
+        "f3.csv",  # batch 2 absorbed f2+f3
+    ]
+    # overall resume unchanged; re-poll is a no-op
+    assert _last_source_state(ds)["last_file"] == "f3.csv"
+    assert ingest_files_glob(spark, ds, strat, str(inbox / "*.csv")) == []
+    ds.chain.verify()
