@@ -134,22 +134,81 @@ class QueryService:
             )
             statement = re.sub(pat, view, statement)
         state: list[dict] = []
+        referenced = self._referenced_tables(statement)
         for name in self.list_datasets():
+            if name not in referenced:
+                continue
             pattern = rf"`{re.escape(name)}`|(?<![\w.`-]){re.escape(name)}(?![\w.`-])"
-            if re.search(pattern, statement):
-                as_of = pins.get(name)
-                if self.register(name, as_of=as_of) is not None:
-                    statement = re.sub(pattern, self._view_name(name), statement)
-                    head = self.dataset(name).chain.head()
-                    state.append(
-                        {
-                            "alias": name,
-                            "blockHash": as_of or (head.block_hash if head else None),
-                        }
-                    )
+            as_of = pins.get(name)
+            if self.register(name, as_of=as_of) is not None:
+                statement = re.sub(pattern, self._view_name(name), statement)
+                head = self.dataset(name).chain.head()
+                state.append(
+                    {
+                        "alias": name,
+                        "blockHash": as_of or (head.block_hash if head else None),
+                    }
+                )
         if args:
             return self.spark.sql(statement, args=args), state
         return self.spark.sql(statement), state
+
+    def _referenced_tables(self, statement: str) -> set[str]:
+        """Table references from Spark's own parser — an AST walk like
+        the reference's (query_service_impl.rs:741-808), not a regex
+        scan: CTE aliases are excluded, subqueries (scalar/IN/EXISTS/
+        lateral) are walked, and dataset names inside string literals or
+        column names are NOT false positives. Falls back to a broad
+        regex match if the statement doesn't parse (the subsequent
+        spark.sql raises the real error either way)."""
+        try:
+            parser = self.spark._jsparkSession.sessionState().sqlParser()
+            plan = parser.parsePlan(statement)
+        except Exception:
+            return {
+                name
+                for name in self.list_datasets()
+                if re.search(
+                    rf"`{re.escape(name)}`|(?<![\w.`-]){re.escape(name)}(?![\w.`-])",
+                    statement,
+                )
+            }
+        names: set[str] = set()
+        ctes: set[str] = set()
+
+        def walk_plan(node) -> None:
+            cls = node.getClass().getSimpleName()
+            if cls == "UnresolvedRelation":
+                ident = node.multipartIdentifier()
+                names.add(".".join(ident.apply(i) for i in range(ident.size())))
+            elif cls == "UnresolvedWith":
+                rels = node.cteRelations()
+                for i in range(rels.size()):
+                    ctes.add(rels.apply(i)._1())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk_plan(ch.apply(i))
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                walk_expr(exprs.apply(i))
+
+        def walk_expr(expr) -> None:
+            if expr.getClass().getSimpleName() in (
+                "ScalarSubquery",
+                "Exists",
+                "ListQuery",
+                "LateralSubquery",
+            ):
+                try:
+                    walk_plan(expr.plan())
+                except Exception:
+                    pass
+            ch = expr.children()
+            for i in range(ch.size()):
+                walk_expr(ch.apply(i))
+
+        walk_plan(plan)
+        return names - ctes
 
     def get_data(self, name: str, as_of: str | None = None) -> DataFrame | None:
         return self.register(name, as_of)

@@ -1,7 +1,13 @@
 from kamu_cli_spark.streaming.stream import (
     read_dataset_stream,
+    session_aggregate,
     stream_ingest,
     windowed_aggregate,
 )
 
-__all__ = ["read_dataset_stream", "stream_ingest", "windowed_aggregate"]
+__all__ = [
+    "read_dataset_stream",
+    "session_aggregate",
+    "stream_ingest",
+    "windowed_aggregate",
+]

@@ -79,6 +79,38 @@ def windowed_aggregate(
     )
 
 
+def session_aggregate(
+    stream: DataFrame,
+    time_col: str,
+    gap_duration: str,
+    watermark_delay: str,
+    keys: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Streaming gap-based sessionization — `F.session_window` with an
+    event-time watermark, the continuous twin of the batch
+    `operators.windows.sessionize` gaps-and-islands formulation. A
+    session closes (and its aggregate emits, in append mode) once the
+    watermark passes session-end + gap; late events inside the
+    watermark re-open/merge sessions, later ones are dropped
+    deterministically. State is hash-partitioned on the keys — the
+    standard scale-out shape for session windows.
+    """
+    out = (
+        stream.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(time_col), gap_duration).alias("session"),
+            *keys,
+        )
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *[c for c in out.columns if c != "session"],
+    )
+
+
 def stream_ingest(
     source: DataFrame,
     target: Dataset,

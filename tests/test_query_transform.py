@@ -107,3 +107,36 @@ def test_incremental_transform(spark, tmp_path):
         (3, Op.APPEND, 4, "M"),
     ]
     deriv.chain.verify()
+
+
+def test_sql_registration_is_ast_based_not_textual(spark, tmp_path):
+    """A dataset name inside a string literal or matching a CTE alias
+    must NOT be auto-registered/rewritten (parser walk, not regex —
+    reference query_service_impl.rs:741-808)."""
+    from kamu_cli_spark.query import QueryService
+
+    ws = str(tmp_path)
+    ds = Dataset.create(ws, "cities", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyLedger(["city"])).write(
+        spark,
+        spark.createDataFrame([("kyiv", 3)], "city string, population int"),
+        system_time=T0,
+    )
+    qs = QueryService(spark, ws)
+
+    # name only in a string literal → no registration, literal untouched
+    df, state = qs.sql_with_state("SELECT 'cities' AS label, 1 AS n")
+    assert state == []
+    assert df.collect()[0]["label"] == "cities"
+
+    # CTE alias shadowing the dataset name → the CTE wins, no state pin
+    df2, state2 = qs.sql_with_state(
+        "WITH cities AS (SELECT 'x' AS city) SELECT city FROM cities"
+    )
+    assert state2 == []
+    assert df2.collect()[0]["city"] == "x"
+
+    # real reference still registers and pins
+    df3, state3 = qs.sql_with_state("SELECT count(*) AS n FROM cities")
+    assert [s["alias"] for s in state3] == ["cities"]
+    assert df3.collect()[0]["n"] == 1
