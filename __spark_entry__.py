@@ -1629,6 +1629,154 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q5(spark, "/root/testdata/sf0.001")
 
 
+def q_customer_window_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-window battery: lag/lead/first_value/ntile over a
+    per-nation ordering (SURVEY §2.5 general SQL — window frames).
+    Monetary values as fixed-point cents to keep the hash engine-proof."""
+    c = load_table(spark, sf, "customer")
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag(cents, 1).over(w).alias("prev_bal_c"),
+        F.lead(cents, 1).over(w).alias("next_bal_c"),
+        F.first(cents).over(w).alias("first_bal_c"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+O_WINDOW_BATTERY = """
+SELECT c_custkey, c_nationkey,
+       row_number() OVER w AS rn,
+       lag(CAST(round(c_acctbal * 100) AS BIGINT), 1) OVER w AS prev_bal_c,
+       lead(CAST(round(c_acctbal * 100) AS BIGINT), 1) OVER w AS next_bal_c,
+       first_value(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS first_bal_c,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey ASC)
+"""
+
+
+def q_lineitem_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation —
+    Spark `percentile` == DuckDB `quantile_cont`), fixed-point output."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "CAST(round(percentile(l_quantity, 0.5) * 100) AS BIGINT)"
+            ).alias("p50_qty_c"),
+            F.expr(
+                "CAST(round(percentile(l_quantity, 0.9) * 100) AS BIGINT)"
+            ).alias("p90_qty_c"),
+            F.expr(
+                "CAST(round(percentile(l_extendedprice, 0.25) * 100) AS BIGINT)"
+            ).alias("p25_price_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O_PERCENTILES = """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_qty_c,
+       CAST(round(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT) AS p90_qty_c,
+       CAST(round(quantile_cont(l_extendedprice, 0.25) * 100) AS BIGINT) AS p25_price_c,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_region_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation per group — `collect_list` sorted then
+    joined (Spark's deterministic listagg) vs `string_agg ... ORDER BY`."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+O_STRING_AGG = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_events_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered/conditional aggregation per day (the portable PIVOT):
+    per-type counts and an exact-decimal value sum for one type —
+    DECIMAL accumulation so the sum is order-independent across engines."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+            F.expr(
+                "CAST(round(sum(CASE WHEN event_type = 'purchase' "
+                "THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) "
+                "END) * 10000) AS BIGINT)"
+            ).alias("purchase_val_e4"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
+O_CONDITIONAL_AGG = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       CAST(round(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6))
+            END) * 10000) AS BIGINT) AS purchase_val_e4,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def q_orders_regex_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex/string-function battery over order attributes."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).alias("prio_num"),
+        F.col("o_orderstatus").rlike("^[OF]$").cast("int").alias("status_of"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_code"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
+    )
+
+
+O_REGEX_BATTERY = """
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^(\\d+)', 1) AS prio_num,
+       CAST(regexp_matches(o_orderstatus, '^[OF]$') AS INT) AS status_of,
+       lower(o_orderpriority) AS prio_lower,
+       string_split(o_orderpriority, '-')[1] AS prio_code,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad
+FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
@@ -1677,6 +1825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_near_dup": q_embeddings_near_dup,
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
         "embeddings_ivf_ann": q_embeddings_ivf_ann,
+        "customer_window_battery": q_customer_window_battery,
+        "lineitem_percentiles": q_lineitem_percentiles,
+        "region_string_agg": q_region_string_agg,
+        "events_conditional_agg": q_events_conditional_agg,
+        "orders_regex_battery": q_orders_regex_battery,
     }
 
 
@@ -1728,4 +1881,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_near_dup": O_EMBED_NEAR_DUP,
         "embeddings_ann_lsh": O_ANN_LSH,
         "embeddings_ivf_ann": O_IVF_ANN,
+        "customer_window_battery": O_WINDOW_BATTERY,
+        "lineitem_percentiles": O_PERCENTILES,
+        "region_string_agg": O_STRING_AGG,
+        "events_conditional_agg": O_CONDITIONAL_AGG,
+        "orders_regex_battery": O_REGEX_BATTERY,
     }
