@@ -286,6 +286,38 @@ def cmd_list(args) -> int:
     return 0
 
 
+# server handles from the last `api-server --no-block` run, so embedding
+# callers (and tests) can shut the daemon-thread servers down cleanly
+_SERVERS: list = []
+
+
+def cmd_api_server(args) -> int:
+    """`kamu system api-server` equivalent: REST (+ OData + GraphQL
+    routes) and optionally Arrow Flight SQL over one shared
+    SparkSession/workspace (reference: api_server.rs wiring)."""
+    from kamu_cli_spark.api import serve
+    from kamu_cli_spark.api.flight import serve_flight
+
+    spark = _spark()
+    _SERVERS.clear()
+    if args.flight_port:
+        _SERVERS.append(
+            serve_flight(
+                spark, args.workspace, port=args.flight_port, background=True
+            )
+        )
+        print(f"flight-sql: grpc://127.0.0.1:{args.flight_port}")
+    print(f"rest: http://127.0.0.1:{args.port}")
+    srv = serve(spark, args.workspace, port=args.port, background=True)
+    _SERVERS.append(srv)
+    if args.block:  # pragma: no cover - interactive mode
+        import time
+
+        while True:
+            time.sleep(3600)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kamu-cli-spark")
     p.add_argument("--workspace", default=os.environ.get("KAMU_WORKSPACE", "."))
@@ -336,6 +368,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("info"); s.add_argument("dataset"); s.set_defaults(fn=cmd_info)
     s = sub.add_parser("lineage"); s.add_argument("dataset"); s.set_defaults(fn=cmd_lineage)
     s = sub.add_parser("list"); s.set_defaults(fn=cmd_list)
+    s = sub.add_parser("api-server")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--flight-port", type=int, default=None)
+    s.add_argument(
+        "--no-block", dest="block", action="store_false", default=True,
+        help="start servers on daemon threads and return (embedding/tests)",
+    )
+    s.set_defaults(fn=cmd_api_server)
 
     args = p.parse_args(argv)
     return args.fn(args)
