@@ -1777,6 +1777,49 @@ FROM orders
 """
 
 
+def q_documents_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: text payloads become
+    opaque binary media columns (attach_binary_column), then the
+    mapInPandas decode/featurize kernel (operators/multimodal.py —
+    deterministic stub standing in for the absent media libs) emits
+    byte counts, content digests, and the payload-derived embedding.
+    Features quantize at 1e3 — coarse enough that float32 storage error
+    (~1e-7) can never cross a rounding boundary (value grid is k/255
+    spaced, ≥9.8e-3 from any half-thousandth)."""
+    from kamu_cli_spark.operators.multimodal import (
+        attach_binary_column,
+        extract_features,
+    )
+
+    d = load_table(spark, sf, "documents")
+    media = attach_binary_column(d, "text", "doc_id", mime="text/plain")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "sha256",
+        F.expr(
+            "transform(feature, x -> CAST(round(x * 1000) AS BIGINT))"
+        ).alias("feature_q"),
+    )
+
+
+O_MULTIMODAL = """
+WITH f AS (
+  SELECT doc_id AS media_id, 'text/plain' AS mime,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha256
+  FROM documents
+)
+SELECT media_id, mime, n_bytes, sha256,
+       list_transform([0,1,2,3,4,5,6,7], i ->
+         CAST(round(((CAST(concat('0x', substr(sha256, 1 + 2*i, 2)) AS INT)
+                      / 255.0) * 2 - 1) * 1000) AS BIGINT)) AS feature_q
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
@@ -1830,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_string_agg": q_region_string_agg,
         "events_conditional_agg": q_events_conditional_agg,
         "orders_regex_battery": q_orders_regex_battery,
+        "documents_multimodal_features": q_documents_multimodal_features,
     }
 
 
@@ -1886,4 +1930,5 @@ def oracle_sql() -> dict[str, str]:
         "region_string_agg": O_STRING_AGG,
         "events_conditional_agg": O_CONDITIONAL_AGG,
         "orders_regex_battery": O_REGEX_BATTERY,
+        "documents_multimodal_features": O_MULTIMODAL,
     }
