@@ -65,18 +65,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # min of two runs per query: run 1 pays one-time Catalyst/codegen
+    # compilation (~0.5-1.5s of driver work that any resident service
+    # amortizes away), run 2 is the steady-state per-query latency.
+    # The cache is cleared between runs, so run 2 re-executes the FULL
+    # pipeline — warm JIT, cold data. bench_duckdb.py measures the same
+    # way.
     queries = entry.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
-        # operators persist() intermediates scoped to their own run;
-        # drop them so later queries aren't measured against a session
-        # polluted by earlier queries' cached blocks
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # operators persist() intermediates scoped to their own run;
+            # drop them so no measurement sees another's cached blocks
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -30,9 +30,13 @@ def main():
     for name, sql in entry.oracle_sql().items():
         if only is not None and name not in only:
             continue
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2, same methodology as bench.py
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir,
                       "total": round(sum(times.values()), 3), "queries": times}))
 
