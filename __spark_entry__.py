@@ -342,10 +342,14 @@ WITH flagged AS (
   FROM events
 ),
 sessions AS (
+  -- CAST: DuckDB's integer window-sum yields HUGEINT, which lands in
+  -- pandas as float64 ("3.0") and hash-diverges from Spark's BIGINT
+  -- ("3") even when every value is identical
   SELECT user_id, ts, value,
-         sum(new_session) OVER (
+         CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -1640,8 +1644,12 @@ def q_customer_window_battery(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.row_number().over(w).alias("rn"),
-        F.lag(cents, 1).over(w).alias("prev_bal_c"),
-        F.lead(cents, 1).over(w).alias("next_bal_c"),
+        # coalesce partition-edge NULLs to a sentinel: a nullable int
+        # column lifts to float64 in pandas and hash-canonicalization of
+        # "123.0"-vs-"123" across engines is exactly the trap that kept
+        # events_sessionization red for two rounds
+        F.coalesce(F.lag(cents, 1).over(w), F.lit(-1)).alias("prev_bal_c"),
+        F.coalesce(F.lead(cents, 1).over(w), F.lit(-1)).alias("next_bal_c"),
         F.first(cents).over(w).alias("first_bal_c"),
         F.ntile(4).over(w).alias("quartile"),
     )
@@ -1650,8 +1658,8 @@ def q_customer_window_battery(spark: SparkSession, sf: str) -> DataFrame:
 O_WINDOW_BATTERY = """
 SELECT c_custkey, c_nationkey,
        row_number() OVER w AS rn,
-       lag(CAST(round(c_acctbal * 100) AS BIGINT), 1) OVER w AS prev_bal_c,
-       lead(CAST(round(c_acctbal * 100) AS BIGINT), 1) OVER w AS next_bal_c,
+       coalesce(lag(CAST(round(c_acctbal * 100) AS BIGINT), 1) OVER w, -1) AS prev_bal_c,
+       coalesce(lead(CAST(round(c_acctbal * 100) AS BIGINT), 1) OVER w, -1) AS next_bal_c,
        first_value(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS first_bal_c,
        ntile(4) OVER w AS quartile
 FROM customer
