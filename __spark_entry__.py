@@ -1828,6 +1828,47 @@ FROM f
 """
 
 
+def q_events_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted GROUP BY (plans/skew.py) under the oracle gate:
+    per-user event stats computed via the hot-key-safe salt/partial/
+    combine plan must equal the plain aggregation DuckDB runs. Value
+    sums go through exact DECIMAL so salting's different add order
+    cannot move the result."""
+    from kamu_cli_spark.plans.skew import salted_aggregate
+
+    e = load_table(spark, sf, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(28,6)")
+    )
+    out = salted_aggregate(
+        e,
+        ["user_id"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_value_d": ("value_d", "sum"),
+            "min_event": ("event_id", "min"),
+            "max_event": ("event_id", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.expr("CAST(round(sum_value_d * 10000) AS BIGINT)").alias("sum_value_e4"),
+        "min_event",
+        "max_event",
+    )
+
+
+O_SALTED_AGG = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))) * 10000) AS BIGINT) AS sum_value_e4,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
@@ -1882,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conditional_agg": q_events_conditional_agg,
         "orders_regex_battery": q_orders_regex_battery,
         "documents_multimodal_features": q_documents_multimodal_features,
+        "events_salted_agg": q_events_salted_agg,
     }
 
 
@@ -1939,4 +1981,5 @@ def oracle_sql() -> dict[str, str]:
         "events_conditional_agg": O_CONDITIONAL_AGG,
         "orders_regex_battery": O_REGEX_BATTERY,
         "documents_multimodal_features": O_MULTIMODAL,
+        "events_salted_agg": O_SALTED_AGG,
     }
