@@ -283,11 +283,17 @@ def connected_components(
     Adaptive: candidate-pair graphs are usually MUCH smaller than the
     corpus (that's the point of LSH), so when the edge list fits under
     `driver_threshold` we run union-find on the driver — one job to
-    collect, zero iterations. Above the threshold, min-label propagation
-    to fixpoint: each iteration joins labels across edges and keeps the
-    per-node minimum (alternating join + hash-agg, no driver-side
-    graph). Iterations are bounded by graph diameter; dedup clusters are
-    shallow near-cliques, so convergence is fast.
+    collect, zero iterations. Above the threshold, distributed min-label
+    propagation with pointer jumping: each round (a) proposes each
+    neighbor's label across the edges, (b) adopts the label OF the
+    current label (path halving), which doubles the effective
+    propagation distance — convergence in O(log diameter) rounds rather
+    than O(diameter). Each round ends in `localCheckpoint` so the
+    logical plan stays O(1) deep instead of growing per iteration
+    (unbounded lineage both slows planning quadratically and can
+    overflow the analyzer stack). On a real cluster swap
+    localCheckpoint for a reliable `checkpoint` dir to survive executor
+    loss; the algorithm is unchanged.
     """
     n_pairs = pairs.persist().count()
     if n_pairs <= driver_threshold:
@@ -326,26 +332,35 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iterations):
-        # neighbor labels: for every edge, propose dst's label to src
+        # (a) neighbor labels: for every edge, propose dst's label to src
         proposals = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "component")
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+        )
+        # (b) pointer jumping: adopt the label of my label. Component
+        # ids are themselves node ids present in `proposals`, so a
+        # self-join resolves one extra hop — doubling reach per round.
+        hop = proposals.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        labels = (
+            proposals.join(hop, proposals.component == hop.p_id, "left")
+            .select(
+                "id", F.least("component", "p_comp").alias("component")
+            )
+            .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so the label sum is a monotone
         # convergence witness — one cheap aggregation instead of an
         # anti-join diff per iteration
-        cur_sum = proposals.agg(F.sum("component")).collect()[0][0]
-        old = labels
-        labels = proposals
-        old.unpersist()
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
