@@ -187,6 +187,202 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join.
+
+    Catalyst plans the semi side as a broadcast/shuffled-hash semi join
+    with the date filter pushed below it — no row multiplication from
+    multi-lineitem orders (the trap of rewriting EXISTS as a plain
+    join + distinct). Reference surface: DataFusion subquery support,
+    query_service_impl.rs:584-602.
+    """
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    late = window.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_dormant_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS decorrelated to a LEFT ANTI join: customers with no
+    order since 2000-01-01, summarized per market segment. Money as
+    fixed-point BIGINT cents — one canonical rendering in every engine.
+    """
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    dormant = c.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            F.round(F.sum("c_acctbal") * 100).cast("bigint").alias("acctbal_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O_CUSTOMERS_DORMANT_ANTI = """
+SELECT c_mktsegment,
+       count(*) AS n_dormant,
+       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS acctbal_c
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Plan: lineitem filtered on l_returnflag='R' (pushed to scan) joins
+    orders (date-pruned) then the small customer/nation dims broadcast;
+    single shuffle on the groupBy key. Total order (revenue desc,
+    custkey) makes the LIMIT deterministic.
+    """
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("bigint")
+            .alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name, c_mktsegment,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name, c_mktsegment
+ORDER BY revenue_c DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year. Nation is joined twice under different roles (supplier
+    side vs customer side) — exercises self-join aliasing; both dim
+    joins broadcast, the fact tables shuffle once on the join keys.
+    """
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ("NATION_1", "NATION_2")
+    return (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .join(n2, F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            F.col("supp_nation").isin(*pair)
+            & F.col("cust_nation").isin(*pair)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("bigint")
+            .alias("volume_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS volume_c,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window / streaming-shaped operators
 # ---------------------------------------------------------------------------
@@ -1875,6 +2071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "customers_dormant_anti": q_customers_dormant_anti,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_daily_tumbling": q_events_daily_tumbling,
         "orders_lineitem_interval_join": q_orders_lineitem_interval_join,
@@ -1933,6 +2133,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": O_TPCH_Q3,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q6": O_TPCH_Q6,
+        "tpch_q4": O_TPCH_Q4,
+        "tpch_q7": O_TPCH_Q7,
+        "tpch_q10": O_TPCH_Q10,
+        "customers_dormant_anti": O_CUSTOMERS_DORMANT_ANTI,
         "top3_orders_per_customer": O_TOP3_ORDERS,
         "events_daily_tumbling": O_EVENTS_TUMBLING,
         "orders_lineitem_interval_join": O_INTERVAL_JOIN,
