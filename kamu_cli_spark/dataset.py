@@ -96,7 +96,9 @@ class Dataset:
         paths = self.slice_paths(as_of)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        st = self.declared_schema(as_of)
+        reader = spark.read.schema(st) if st is not None else spark.read
+        return reader.parquet(*paths)
 
     def read_between(
         self,
@@ -119,7 +121,9 @@ class Dataset:
         ]
         if not files:
             return None
-        df = spark.read.parquet(*[os.path.join(self.path, d["path"]) for d in files])
+        st = self.declared_schema()
+        reader = spark.read.schema(st) if st is not None else spark.read
+        df = reader.parquet(*[os.path.join(self.path, d["path"]) for d in files])
         off = self.vocab.offset_column
         df = df.filter(f"{off} > {lo}")
         if new_offset is not None:
@@ -171,9 +175,25 @@ class Dataset:
                     removed.append(rel)
         return removed
 
-    def schema_event(self) -> dict[str, Any] | None:
-        b = self.chain.last_event("SetDataSchema")
+    def schema_event(self, as_of: str | None = None) -> dict[str, Any] | None:
+        b = self.chain.last_event("SetDataSchema", as_of)
         return b.event if b else None
+
+    def declared_schema(self, as_of: str | None = None):
+        """The ledger-declared schema as a StructType, pinned `as_of` a
+        block. Reads pass this schema explicitly so (a) Spark skips
+        footer inference entirely — at 100 TB / many thousands of slice
+        files, mergeSchema-style footer reconciliation is a driver-side
+        scale killer — and (b) slices written before an additive schema
+        evolution surface the later columns as typed nulls.
+        """
+        from pyspark.sql import types as T
+
+        ev = self.schema_event(as_of)
+        if ev is None:
+            return None
+        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in ev["fields"])
+        return T.StructType.fromDDL(ddl)
 
     def head_hash(self) -> str | None:
         h = self.chain.head()

@@ -48,7 +48,11 @@ def read_dataset_stream(
     paths = dataset.slice_paths()
     if not paths:
         raise ValueError(f"dataset {dataset.name} has no data to stream")
-    schema = spark.read.parquet(paths[0]).schema
+    # ledger-declared schema when available: no footer inference, and
+    # slices from before an additive schema evolution surface the newer
+    # columns as typed nulls instead of pinning the stream to whichever
+    # file's footer happened to be sampled
+    schema = dataset.declared_schema() or spark.read.parquet(paths[0]).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

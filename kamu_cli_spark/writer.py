@@ -201,18 +201,39 @@ class DataWriter:
         return out
 
     def validate_schema_compatible(self, df: DataFrame) -> None:
-        """Schema fixed at first write; later slices must match by name and
-        type (reference: writer.rs:413-515)."""
+        """Columns shared with the declared SetDataSchema must keep their
+        type (the reference fixes the whole schema at first write,
+        writer.rs:413-515, and carries schema evolution as a TODO); this
+        writer goes further and permits ADDITIVE evolution — a batch may
+        introduce new columns (re-declared via a fresh SetDataSchema
+        block) or omit declared ones (null-filled) — but never change an
+        existing column's type, which would corrupt the changelog."""
         declared = self.dataset.schema_event()
         if declared is None:
             return
-        want = {(f["name"], f["type"]) for f in declared["fields"]}
-        have = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
-        if want != have:
-            raise WriterError(
-                f"schema incompatible with declared SetDataSchema: "
-                f"declared={sorted(want)} got={sorted(have)}"
-            )
+        want = {f["name"]: f["type"] for f in declared["fields"]}
+        for f in df.schema.fields:
+            expect = want.get(f.name)
+            if expect is not None and expect != f.dataType.simpleString():
+                raise WriterError(
+                    f"schema incompatible with declared SetDataSchema: "
+                    f"column {f.name!r} declared {expect} got "
+                    f"{f.dataType.simpleString()}"
+                )
+
+    def fill_missing_declared(self, df: DataFrame) -> DataFrame:
+        """Add declared data columns absent from the batch as typed
+        nulls, so merge strategies and slices stay column-complete
+        across additive schema evolution."""
+        declared = self.dataset.schema_event()
+        if declared is None:
+            return df
+        have = set(df.columns)
+        system = set(self.vocab.system_columns())
+        for f in declared["fields"]:
+            if f["name"] not in have and f["name"] not in system:
+                df = df.withColumn(f["name"], F.lit(None).cast(f["type"]))
+        return df
 
     def write_slice(self, df: DataFrame, seq: int, start: int, end: int) -> str:
         """Write ONE sorted snappy Parquet file for the slice."""
@@ -256,6 +277,7 @@ class DataWriter:
 
         self.validate_input(new)
         new = self.coerce_to_declared(new)
+        new = self.fill_missing_declared(new)
         # Prefer the materialized latest-per-PK state over a full-history
         # scan: every PK-based strategy starts by projecting `prev`, and
         # projection is idempotent, so the compact state is a drop-in
@@ -267,6 +289,14 @@ class DataWriter:
             prev = self.dataset.read_state(spark)
         if prev is None:
             prev = self.dataset.read(spark)
+        if prev is not None:
+            # additive evolution: brand-new batch columns appear in prev
+            # as typed nulls so PK strategies diff/union consistent
+            # schemas (a prior value of "absent" IS null — snapshot then
+            # correctly emits +C for rows that gain a value)
+            for f in new.schema.fields:
+                if f.name not in prev.columns:
+                    prev = prev.withColumn(f.name, F.lit(None).cast(f.dataType))
         merged = self.strategy.merge(prev, new)
         merged = self.ensure_event_time(merged)
 
@@ -285,9 +315,28 @@ class DataWriter:
                 return None
 
             self.validate_schema_compatible(full)
-            if self.dataset.schema_event() is None:
+            declared = self.dataset.schema_event()
+            if declared is not None:
+                # keep the declared column order stable across writes;
+                # evolved (new) columns append at the end
+                order = [
+                    f["name"]
+                    for f in declared["fields"]
+                    if f["name"] in full.columns
+                ]
+                extras = [c for c in full.columns if c not in order]
+                if full.columns != order + extras:
+                    persisted = getattr(full, "_kamu_persisted", None)
+                    full = full.select(*order, *extras)
+                    full._kamu_persisted = persisted  # type: ignore[attr-defined]
+            fields = _schema_to_json(full.schema)
+            if declared is None or [
+                (f["name"], f["type"]) for f in declared["fields"]
+            ] != [(f["name"], f["type"]) for f in fields]:
+                # first write, or additive evolution: (re-)declare the
+                # schema ahead of the data blocks that use it
                 self.dataset.chain.append(
-                    {"kind": "SetDataSchema", "fields": _schema_to_json(full.schema)},
+                    {"kind": "SetDataSchema", "fields": fields},
                     system_time=system_time.isoformat(),
                 )
 
