@@ -30,6 +30,11 @@ from bench import HEADLINE
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     conf = json.loads(os.environ.get("SPARK_GRAFT_AB_CONF", "{}"))
+    # SPARK_GRAFT_AB_CONFS: a JSON LIST of conf dicts (runtime-settable
+    # SQL confs only). Each query is run under every conf in sequence
+    # within ONE JVM, so machine-load drift hits all arms equally —
+    # this is the only comparison that's trustworthy on a shared box.
+    confs = json.loads(os.environ.get("SPARK_GRAFT_AB_CONFS", "null"))
     only = os.environ.get("SPARK_GRAFT_AB_ONLY", "")
     names = [n for n in only.split(",") if n] or HEADLINE
     spark = get_spark(app_name="kamu-cli-spark-ab", extra_conf=conf)
@@ -44,29 +49,84 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # SPARK_GRAFT_AB_SPLIT=1 additionally reports, for the best run of
+    # each query: time spent building the DataFrame (Py4J plan
+    # construction + any internal actions the operator runs) vs the
+    # final noop action, plus the number of Spark jobs the query fired
+    # (jobs > 1 means the operator hides extra actions).
+    split = os.environ.get("SPARK_GRAFT_AB_SPLIT") == "1"
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
     queries = entry.queries()
-    times: dict[str, float] = {}
-    for name in names:
+
+    def run_query(name: str) -> tuple[float, dict]:
         fn = queries[name]
         best = None
-        for _ in range(2):
+        best_detail: dict = {}
+        for _run in range(2):
+            jobs_before = len(tracker.getJobIdsForGroup(None)) if split else 0
             t0 = time.time()
             df = fn(spark, sf_dir)
+            t1 = time.time()
             df.write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            t2 = time.time()
+            dt = t2 - t0
+            if best is None or dt < best:
+                best = dt
+                if split:
+                    jobs_after = len(tracker.getJobIdsForGroup(None))
+                    best_detail = {
+                        "build": round(t1 - t0, 3),
+                        "action": round(t2 - t1, 3),
+                        "jobs": jobs_after - jobs_before,
+                    }
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
+        return best, best_detail
 
-    print(
-        json.dumps(
-            {
-                "total": round(sum(times.values()), 3),
-                "queries": times,
-                "conf": conf,
-            }
+    if confs:
+        # Interleaved multi-arm comparison: every query runs under every
+        # conf arm back-to-back, so load drift is shared across arms.
+        arm_times: list[dict[str, float]] = [{} for _ in confs]
+        for name in names:
+            for i, arm in enumerate(confs):
+                for k, v in arm.items():
+                    spark.conf.set(k, str(v))
+                best, _ = run_query(name)
+                arm_times[i][name] = round(best, 3)
+        print(
+            json.dumps(
+                {
+                    "arms": [
+                        {
+                            "conf": arm,
+                            "total": round(sum(t.values()), 3),
+                            "queries": t,
+                        }
+                        for arm, t in zip(confs, arm_times)
+                    ]
+                }
+            )
         )
-    )
+        spark.stop()
+        return
+
+    times: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for name in names:
+        best, best_detail = run_query(name)
+        times[name] = round(best, 3)
+        if split:
+            detail[name] = best_detail
+
+    out = {
+        "total": round(sum(times.values()), 3),
+        "queries": times,
+        "conf": conf,
+    }
+    if split:
+        out["detail"] = detail
+    print(json.dumps(out))
     spark.stop()
 
 
