@@ -60,12 +60,19 @@ def main() -> None:
 
     queries = entry.queries()
 
+    def job_high_water() -> int:
+        # Max job ID, not list length: IDs are monotonic, so the delta
+        # survives spark.ui.retainedJobs evictions and ignores job-group
+        # scoping (getJobIdsForGroup(None) only sees the default group).
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     def run_query(name: str) -> tuple[float, dict]:
         fn = queries[name]
         best = None
         best_detail: dict = {}
         for _run in range(2):
-            jobs_before = len(tracker.getJobIdsForGroup(None)) if split else 0
+            jobs_before = job_high_water() if split else 0
             t0 = time.time()
             df = fn(spark, sf_dir)
             t1 = time.time()
@@ -75,11 +82,10 @@ def main() -> None:
             if best is None or dt < best:
                 best = dt
                 if split:
-                    jobs_after = len(tracker.getJobIdsForGroup(None))
                     best_detail = {
                         "build": round(t1 - t0, 3),
                         "action": round(t2 - t1, 3),
-                        "jobs": jobs_after - jobs_before,
+                        "jobs": job_high_water() - jobs_before,
                     }
             spark.catalog.clearCache()
         return best, best_detail
@@ -87,11 +93,30 @@ def main() -> None:
     if confs:
         # Interleaved multi-arm comparison: every query runs under every
         # conf arm back-to-back, so load drift is shared across arms.
+        # Arms must be independent: before each arm, every key any arm
+        # touches is restored to its pre-run value (or unset) so a key
+        # set by arm N doesn't silently persist into arm N+1.
+        all_keys = sorted({k for arm in confs for k in arm})
+        baseline_vals: dict[str, str | None] = {}
+        for k in all_keys:
+            try:
+                baseline_vals[k] = spark.conf.get(k)
+            except Exception:
+                baseline_vals[k] = None
+
+        def apply_arm(arm: dict) -> None:
+            for k in all_keys:
+                if k in arm:
+                    spark.conf.set(k, str(arm[k]))
+                elif baseline_vals[k] is not None:
+                    spark.conf.set(k, baseline_vals[k])
+                else:
+                    spark.conf.unset(k)
+
         arm_times: list[dict[str, float]] = [{} for _ in confs]
         for name in names:
             for i, arm in enumerate(confs):
-                for k, v in arm.items():
-                    spark.conf.set(k, str(v))
+                apply_arm(arm)
                 best, _ = run_query(name)
                 arm_times[i][name] = round(best, 3)
         print(
