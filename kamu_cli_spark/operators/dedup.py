@@ -190,9 +190,17 @@ def lsh_candidate_pairs(
     docs yields m² candidate pairs — the one place banding can go
     quadratic at scale. Dropped buckets are overwhelmingly boilerplate
     collisions, and a true near-dup pair still surfaces through any of
-    its OTHER bands. The cap is enforced with a map-side-combined
-    count + broadcast anti-join (hot buckets are few by definition),
-    not a window, so it adds no extra sort."""
+    its OTHER bands.
+
+    Pair generation is ONE groupBy on (band, bucket-hash) that
+    collect_lists the member ids and expands i<j pairs per bucket —
+    not a two-sided self-join. That halves the shuffles (the old
+    self-join shuffled the banded rows twice and needed an extra
+    count + anti-join pass for the cap, plus a persist to stop the
+    signature pipeline running twice), and the cap becomes a free
+    `size(ids)` filter. Per-bucket lists are bounded by the cap, so
+    collect_list cannot blow memory at scale; the i<j expansion is a
+    higher-order expression over ≤cap-element arrays."""
     rows_per_band = num_hashes // bands
     band_exprs = []
     for b in range(bands):
@@ -200,29 +208,27 @@ def lsh_candidate_pairs(
         band_exprs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
         )
-    banded = (
-        signatures.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("__b"))
-        .select(id_col, "__b.band", "__b.bh")
-        # both sides of the self-join read this — without caching, the
-        # whole shingle→minhash pipeline would run twice
-        .persist()
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("__b")
+    ).select(id_col, "__b.band", "__b.bh")
+    buckets = banded.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
+    buckets = buckets.filter(F.size("ids") >= 2)
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bh")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # ids are sorted and appear once per bucket, so slicing j>i gives
+    # exactly the id_a < id_b pairs of the old self-join formulation
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by target size (advisory
+        # 64 MB), not up to defaultParallelism: parallelismFirst=true
+        # (Spark's default) keeps ~32 reduce tasks alive for KB-scale
+        # shuffles, pure scheduling overhead. Interleaved A/B at sf0.1
+        # (tools/bench_ab.py, round 5): 35.2s -> 26.4s suite total.
+        # This is also the setting Spark's own docs recommend for real
+        # clusters, so it is scale-correct, not a small-data hack.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark's stock 10 MB: a 64 MB threshold made q5/q3 broadcast a
