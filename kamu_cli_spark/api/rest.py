@@ -202,7 +202,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 rows = body["data"]  # JSON AoS
                 df = self.spark.createDataFrame(rows)
-                ev = DataWriter(ds, strategy).write(self.spark, df)
+                ev = DataWriter(ds, strategy, infer_schema=True).write(self.spark, df)
                 self._send(200, {"committed": ev["new_data"] if ev else None})
             elif url.path == "/verify":
                 if "commitment" in body:

@@ -106,7 +106,7 @@ def ingest_url(
     df = read_format(spark, fmt, staged, **reader_options)
     if event_time_column and event_time_column in df.columns:
         df = df.withColumnRenamed(event_time_column, dataset.vocab.event_time_column)
-    writer = DataWriter(dataset, strategy)
+    writer = DataWriter(dataset, strategy, infer_schema="schema" not in reader_options)
     return writer.write(
         spark,
         df,
@@ -277,7 +277,7 @@ def ingest_container(
             df = df.withColumnRenamed(
                 event_time_column, dataset.vocab.event_time_column
             )
-        ev = DataWriter(dataset, strategy).write(
+        ev = DataWriter(dataset, strategy, infer_schema="schema" not in reader_options).write(
             spark,
             df,
             system_time=datetime.now(timezone.utc),
@@ -510,7 +510,7 @@ def ingest_ethereum_logs(
             return ev
         return None
     df = read_format(spark, "ndjson", staged)
-    return DataWriter(dataset, strategy).write(
+    return DataWriter(dataset, strategy, infer_schema=True).write(
         spark,
         df,
         system_time=datetime.now(timezone.utc),
@@ -572,7 +572,7 @@ def ingest_files_glob(
             df = df.withColumnRenamed(
                 event_time_column, dataset.vocab.event_time_column
             )
-        writer = DataWriter(dataset, strategy)
+        writer = DataWriter(dataset, strategy, infer_schema="schema" not in reader_options)
         ev = writer.write(
             spark,
             df,

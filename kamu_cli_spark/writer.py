@@ -58,6 +58,7 @@ class DataWriter:
         maintain_state: bool = True,
         max_slice_records: int | None = None,
         object_link_columns: list[str] | None = None,
+        infer_schema: bool = False,
     ):
         """`compute_logical_hash`: also record the order-sensitive row
         digest in AddData (costs a per-row hash collect; physical file
@@ -67,7 +68,10 @@ class DataWriter:
         split oversized batches into multiple sequential slice commits —
         each ODF slice is one sorted file, so a single-file write of a
         huge backfill would bottleneck on one task; chunking keeps every
-        file bounded while offsets stay dense across the chunks."""
+        file bounded while offsets stay dense across the chunks.
+        `infer_schema`: apply the reference's best-effort ingest
+        inference (rename system-column clashes, coerce event_time) —
+        the ingest paths enable it; direct writer use stays strict."""
         self.dataset = dataset
         self.strategy = strategy
         self.vocab: DatasetVocabulary = dataset.vocab
@@ -75,8 +79,49 @@ class DataWriter:
         self.maintain_state = maintain_state
         self.max_slice_records = max_slice_records
         self.object_link_columns = object_link_columns or []
+        self.infer_schema = infer_schema
 
     # -- pipeline ------------------------------------------------------
+
+    def preprocess_inferred(self, new: DataFrame) -> DataFrame:
+        """Best-effort inference for externally ingested data, applied
+        before validation (reference preprocess_default,
+        ingest_common.rs:60-177):
+
+        - data columns clashing with system columns are renamed with a
+          leading ``_`` instead of rejected (the op column only counts
+          as a clash for strategies that stamp it themselves — changelog
+          and upsert inputs legitimately carry it);
+        - an integer event_time is treated as a UNIX timestamp in
+          seconds;
+        - a string event_time is parsed as an RFC3339 timestamp (Spark's
+          string→timestamp cast accepts the ISO 8601 forms the
+          reference's to_timestamp_millis accepts).
+
+        The reference applies this only when the READ step declares no
+        explicit schema (``read_step.schema().is_none()``); that gate
+        lives at the caller — ingest paths construct the writer with
+        ``infer_schema=True`` unless the source declares a read schema.
+        The rename is idempotent across polls (offset→_offset every
+        batch), so repeated ingestion keeps a stable schema.
+        """
+        v = self.vocab
+        clashes = {v.offset_column, v.system_time_column}
+        if not getattr(self.strategy, "consumes_op_column", False):
+            clashes.add(v.operation_type_column)
+        for c in list(new.columns):
+            if c in clashes:
+                new = new.withColumnRenamed(c, f"_{c}")
+        if v.event_time_column in new.columns:
+            dt = dict(new.dtypes)[v.event_time_column]
+            et = F.col(v.event_time_column)
+            if dt in ("tinyint", "smallint", "int", "bigint"):
+                new = new.withColumn(
+                    v.event_time_column, F.timestamp_seconds(et)
+                )
+            elif dt == "string":
+                new = new.withColumn(v.event_time_column, et.cast("timestamp"))
+        return new
 
     def validate_input(self, new: DataFrame) -> None:
         """Reject data columns clashing with system columns and malformed
@@ -275,6 +320,8 @@ class DataWriter:
         system_time = system_time or datetime.now(timezone.utc)
         v = self.vocab
 
+        if self.infer_schema:
+            new = self.preprocess_inferred(new)
         self.validate_input(new)
         new = self.coerce_to_declared(new)
         new = self.fill_missing_declared(new)
