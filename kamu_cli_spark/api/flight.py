@@ -18,10 +18,13 @@
   | "get_tables"}`` stream the same column shapes FlightSQL defines,
   including the optional serialized Arrow schema per table.
 
-The wire envelope is plain Flight with JSON commands, not the FlightSQL
-protobuf frames — the protobuf stubs aren't available in this
-environment — but each verb maps 1:1 onto a FlightSQL message, so a
-protobuf front-end is a thin translation layer away.
+Wire envelope: REAL FlightSQL protobuf frames (google.protobuf.Any
+wrapping CommandStatementQuery / CommandPreparedStatementQuery /
+TicketStatementQuery / ActionCreatePreparedStatement* /
+CommandGetCatalogs|DbSchemas|Tables — hand-rolled codec in
+:mod:`kamu_cli_spark.api.flightsql_proto`, mirroring the dispatch in
+service.rs:691-810), with the JSON command envelope kept as a
+pyarrow-client-friendly fallback for frames that aren't an Any.
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ import uuid
 import pyarrow as pa
 import pyarrow.flight as flight
 from pyspark.sql import DataFrame, SparkSession
+
+from kamu_cli_spark.api import flightsql_proto as fsql
 
 CATALOG_NAME = "kamu"
 SCHEMA_NAME = "default"
@@ -64,8 +69,39 @@ class KamuFlightServer(flight.FlightServerBase):
 
     @staticmethod
     def _parse_command(raw: bytes) -> dict:
-        """JSON commands route to prepared/catalog handlers; anything
-        else is a bare SQL statement (pyarrow-client friendly)."""
+        """FlightSQL protobuf Any frames route first (stock ADBC/JDBC
+        clients); JSON commands and bare SQL are kept as a
+        pyarrow-client-friendly fallback. The returned dict carries
+        ``__proto`` with the decoded (message, values) so responses can
+        be framed in protobuf too."""
+        decoded = fsql.unpack_any(raw)
+        if decoded is not None:
+            name, v = decoded
+            if name == "CommandStatementQuery":
+                return {"sql": v["query"], "__proto": (name, v)}
+            if name == "TicketStatementQuery":
+                # reference (service.rs:726-729): the statement handle IS
+                # the encoded CommandStatementQuery
+                inner = fsql.decode_message(
+                    "CommandStatementQuery", v.get("statement_handle", b"")
+                )
+                return {"sql": inner["query"], "__proto": (name, v)}
+            if name == "CommandPreparedStatementQuery":
+                handle = v.get("prepared_statement_handle", b"").decode("utf-8")
+                return {"prepared": handle, "__proto": (name, v)}
+            if name == "CommandGetCatalogs":
+                return {"cmd": "get_catalogs", "__proto": (name, v)}
+            if name == "CommandGetDbSchemas":
+                return {"cmd": "get_db_schemas", "__proto": (name, v)}
+            if name == "CommandGetTables":
+                out = {"cmd": "get_tables", "__proto": (name, v)}
+                if "table_name_filter_pattern" in v:
+                    out["table_name_filter_pattern"] = v[
+                        "table_name_filter_pattern"
+                    ]
+                if v.get("include_schema"):
+                    out["include_schema"] = True
+                return out
         try:
             cmd = json.loads(raw.decode("utf-8"))
             if isinstance(cmd, dict):
@@ -123,6 +159,27 @@ class KamuFlightServer(flight.FlightServerBase):
 
     # -- flight verbs --------------------------------------------------
 
+    @staticmethod
+    def _ticket_bytes(cmd: dict) -> bytes:
+        """Round-trippable ticket for do_get: protobuf framing for
+        protobuf requests (statement queries travel as
+        TicketStatementQuery whose handle is the encoded command, like
+        the reference service.rs:726-729), JSON otherwise."""
+        proto = cmd.get("__proto")
+        if proto is None:
+            return json.dumps(cmd).encode("utf-8")
+        name, values = proto
+        if name in ("CommandStatementQuery", "TicketStatementQuery"):
+            handle = (
+                values.get("statement_handle")
+                if name == "TicketStatementQuery"
+                else fsql.encode_message("CommandStatementQuery", values)
+            )
+            return fsql.pack_any(
+                "TicketStatementQuery", {"statement_handle": handle}
+            )
+        return fsql.pack_any(name, values)
+
     def get_flight_info(self, context, descriptor):
         cmd = self._parse_command(descriptor.command)
         if "cmd" in cmd:
@@ -130,7 +187,7 @@ class KamuFlightServer(flight.FlightServerBase):
             schema, total = table.schema, table.num_rows
         else:
             schema, total = _arrow_schema(self._statement_df(cmd)), -1
-        ticket = flight.Ticket(json.dumps(cmd).encode("utf-8"))
+        ticket = flight.Ticket(self._ticket_bytes(cmd))
         endpoint = flight.FlightEndpoint(ticket, [self.location])
         return flight.FlightInfo(schema, descriptor, [endpoint], total, -1)
 
@@ -164,23 +221,64 @@ class KamuFlightServer(flight.FlightServerBase):
             )
 
     def do_action(self, context, action):
-        body = action.body.to_pybytes().decode("utf-8") if action.body else ""
-        if action.type == "prepare":
+        raw = action.body.to_pybytes() if action.body else b""
+        if action.type == "CreatePreparedStatement":
+            # FlightSQL: body = Any(ActionCreatePreparedStatementRequest);
+            # result = Any(ActionCreatePreparedStatementResult) carrying
+            # the handle + the planned (not executed) result schema
+            decoded = fsql.unpack_any(raw)
+            if decoded is None or decoded[0] != "ActionCreatePreparedStatementRequest":
+                raise flight.FlightServerError(
+                    "CreatePreparedStatement requires an Any-wrapped request"
+                )
+            sql = decoded[1]["query"]
+            handle = uuid.uuid4().hex
+            with self._lock:
+                self._prepared[handle] = {"sql": sql, "params": None}
+            try:
+                # lazily plan (no execution) for the result schema; a
+                # statement with unbound ? markers can't analyze yet —
+                # clients get the schema at get_flight_info time instead
+                schema = _arrow_schema(self.qs.sql(sql))
+            except Exception:
+                schema = pa.schema([])
+            yield fsql.pack_any(
+                "ActionCreatePreparedStatementResult",
+                {
+                    "prepared_statement_handle": handle.encode("utf-8"),
+                    "dataset_schema": schema.serialize().to_pybytes(),
+                    "parameter_schema": pa.schema([]).serialize().to_pybytes(),
+                },
+            )
+        elif action.type == "ClosePreparedStatement":
+            decoded = fsql.unpack_any(raw)
+            if decoded is None or decoded[0] != "ActionClosePreparedStatementRequest":
+                raise flight.FlightServerError(
+                    "ClosePreparedStatement requires an Any-wrapped request"
+                )
+            handle = decoded[1]["prepared_statement_handle"].decode("utf-8")
+            with self._lock:
+                self._prepared.pop(handle, None)
+            yield b""
+        elif action.type == "prepare":  # legacy JSON envelope
+            body = raw.decode("utf-8")
             handle = uuid.uuid4().hex
             with self._lock:
                 self._prepared[handle] = {"sql": body, "params": None}
             yield json.dumps({"handle": handle}).encode("utf-8")
         elif action.type == "close_prepared":
             with self._lock:
-                self._prepared.pop(body, None)
+                self._prepared.pop(raw.decode("utf-8"), None)
             yield b"{}"
         else:
             raise flight.FlightServerError(f"unknown action: {action.type}")
 
     def list_actions(self, context):
         return [
-            ("prepare", "Create a prepared statement; body = SQL text"),
-            ("close_prepared", "Discard a prepared statement; body = handle"),
+            ("CreatePreparedStatement", "FlightSQL: body = Any(ActionCreatePreparedStatementRequest)"),
+            ("ClosePreparedStatement", "FlightSQL: body = Any(ActionClosePreparedStatementRequest)"),
+            ("prepare", "Legacy: create a prepared statement; body = SQL text"),
+            ("close_prepared", "Legacy: discard a prepared statement; body = handle"),
         ]
 
     def list_flights(self, context, criteria):

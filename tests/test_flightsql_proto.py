@@ -1,0 +1,189 @@
+"""FlightSQL protobuf wire protocol: a test client that builds REAL
+protobuf Any frames (with its own encoder, independent of the server's
+codec, so symmetric codec bugs can't hide) and round-trips statement
+queries, a prepared parameterized query, and catalog metadata —
+mirroring what a stock ADBC/JDBC client sends
+(reference: adapter/flight-sql/src/service.rs:691-810)."""
+
+from __future__ import annotations
+
+import socket
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.flight as flight
+import pytest
+
+from kamu_cli_spark.api.flight import serve_flight
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators import MergeStrategyLedger
+from kamu_cli_spark.writer import DataWriter
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+SQL_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
+
+
+# -- independent mini protobuf encoder (test-side) ----------------------
+
+
+def vi(n: int) -> bytes:
+    out = b""
+    while True:
+        if n > 0x7F:
+            out += bytes([n & 0x7F | 0x80])
+            n >>= 7
+        else:
+            return out + bytes([n])
+
+
+def ld(num: int, payload: bytes) -> bytes:
+    return vi(num << 3 | 2) + vi(len(payload)) + payload
+
+
+def any_frame(msg_name: str, body: bytes) -> bytes:
+    return ld(1, (SQL_PREFIX + msg_name).encode()) + ld(2, body)
+
+
+def str_field(num: int, s: str) -> bytes:
+    return ld(num, s.encode())
+
+
+# -----------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fsql_client(spark, tmp_path):
+    ws = str(tmp_path)
+    ds = Dataset.create(ws, "cities", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyLedger(["city"])).write(
+        spark,
+        spark.createDataFrame(
+            [("kyiv", 3), ("lviv", 7)], "city string, population int"
+        ),
+        system_time=T0,
+    )
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = serve_flight(spark, ws, port=port, background=True)
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    yield client
+    server.shutdown()
+
+
+def test_codec_golden_bytes():
+    """The server codec must produce canonical protobuf wire bytes."""
+    from kamu_cli_spark.api import flightsql_proto as fsql
+
+    # hand-assembled Any(CommandStatementQuery{query: "SELECT 1"})
+    expected = any_frame("CommandStatementQuery", str_field(1, "SELECT 1"))
+    got = fsql.pack_any("CommandStatementQuery", {"query": "SELECT 1"})
+    assert got == expected
+
+    name, values = fsql.unpack_any(expected)
+    assert name == "CommandStatementQuery" and values == {"query": "SELECT 1"}
+
+    # multi-field + bool + repeated: CommandGetTables
+    body = (
+        str_field(3, "cit%")
+        + ld(4, b"TABLE")
+        + ld(4, b"VIEW")
+        + vi(5 << 3)
+        + vi(1)
+    )
+    name, values = fsql.unpack_any(any_frame("CommandGetTables", body))
+    assert values == {
+        "table_name_filter_pattern": "cit%",
+        "table_types": ["TABLE", "VIEW"],
+        "include_schema": True,
+    }
+
+    # non-Any frames are rejected, not crashed on
+    assert fsql.unpack_any(b"SELECT 1") is None
+    assert fsql.unpack_any(b"") is None
+
+
+def test_statement_query_protobuf_roundtrip(fsql_client):
+    client = fsql_client
+    cmd = any_frame(
+        "CommandStatementQuery",
+        str_field(1, "SELECT city, population FROM cities ORDER BY city"),
+    )
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+    assert [f.name for f in info.schema] == ["city", "population"]
+
+    # the ticket must itself be a protobuf Any(TicketStatementQuery)
+    ticket = info.endpoints[0].ticket.ticket
+    assert (SQL_PREFIX + "TicketStatementQuery").encode() in ticket
+
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("city").to_pylist() == ["kyiv", "lviv"]
+    assert table.column("population").to_pylist() == [3, 7]
+
+
+def test_prepared_statement_protobuf_roundtrip(fsql_client):
+    from kamu_cli_spark.api import flightsql_proto as fsql
+
+    client = fsql_client
+    # 1. CreatePreparedStatement action
+    req = any_frame(
+        "ActionCreatePreparedStatementRequest",
+        str_field(
+            1,
+            "SELECT city, population FROM cities "
+            "WHERE population > ? ORDER BY city",
+        ),
+    )
+    results = list(client.do_action(flight.Action("CreatePreparedStatement", req)))
+    name, values = fsql.unpack_any(results[0].body.to_pybytes())
+    assert name == "ActionCreatePreparedStatementResult"
+    handle = values["prepared_statement_handle"]
+    assert handle
+
+    # 2. bind one parameter row via do_put
+    desc_cmd = any_frame("CommandPreparedStatementQuery", ld(1, handle))
+    descriptor = flight.FlightDescriptor.for_command(desc_cmd)
+    batch = pa.table({"param_1": [3]})
+    writer, _ = client.do_put(descriptor, batch.schema)
+    writer.write_table(batch)
+    writer.close()
+
+    # 3. execute: get_flight_info + do_get on the protobuf ticket
+    info = client.get_flight_info(descriptor)
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("city").to_pylist() == ["lviv"]
+    assert table.column("population").to_pylist() == [7]
+
+    # 4. ClosePreparedStatement invalidates the handle
+    close = any_frame("ActionClosePreparedStatementRequest", ld(1, handle))
+    list(client.do_action(flight.Action("ClosePreparedStatement", close)))
+    with pytest.raises(flight.FlightError):
+        client.do_get(info.endpoints[0].ticket).read_all()
+
+
+def test_catalog_metadata_protobuf(fsql_client):
+    client = fsql_client
+
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(any_frame("CommandGetCatalogs", b""))
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("catalog_name").to_pylist() == ["kamu"]
+
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(any_frame("CommandGetDbSchemas", b""))
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("db_schema_name").to_pylist() == ["default"]
+
+    # tables with include_schema: the serialized Arrow schema must parse
+    body = vi(5 << 3) + vi(1)  # include_schema = true
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(any_frame("CommandGetTables", body))
+    )
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("table_name").to_pylist() == ["cities"]
+    raw_schema = table.column("table_schema").to_pylist()[0]
+    schema = pa.ipc.read_schema(pa.BufferReader(raw_schema))
+    assert "city" in schema.names and "population" in schema.names
