@@ -1,9 +1,19 @@
 """GraphQL data API — the reference's GraphQL query surface
-(SURVEY.md §2.8; adapter/graphql/src/queries/datasets/dataset_data.rs:
-`datasets.byName(...).data.tail(...)` and `.data.query(...)`).
+(SURVEY.md §2.8; adapter/graphql/src/queries/datasets/*):
+
+- ``datasets.list`` / ``byName`` / ``byId``
+  (datasets.rs);
+- ``dataset.data.tail`` / ``.query`` (dataset_data.rs:69-95);
+- ``dataset.metadata`` — the metadata chain (blockCount / blocks /
+  blockByHash, metadata_chain.rs:48-130), current SetInfo / SetLicense
+  / readme / schema / vocab / transform projections
+  (dataset_metadata.rs:204-325), and upstream/downstream dependencies
+  (dataset_metadata.rs:147-202) resolved through
+  :mod:`kamu_cli_spark.provenance`;
+- ``dataset.lineage`` — the full recursive input tree.
 
 Built on graphql-core: schema-first SDL + object resolvers. Row data
-returns as a JSON-encoded string field (AoS), mirroring the
+and event payloads return as JSON-encoded strings, mirroring the
 reference's JSON data formats.
 """
 
@@ -22,23 +32,85 @@ type Query {
 type Datasets {
   list: [String!]!
   byName(name: String!): Dataset
+  byId(id: String!): Dataset
 }
 
 type Dataset {
+  id: String!
   name: String!
   kind: String!
   numBlocks: Int!
   numRecords: Int!
   watermark: String
+  head: String
   data: DataQueries!
-  metadata: [String!]!
+  metadata: DatasetMetadata!
+  lineage: LineageNode!
 }
 
 type DataQueries {
   tail(limit: Int = 10, skip: Int = 0): String!
   query(sql: String!, limit: Int = 1000): String!
 }
+
+type DatasetMetadata {
+  chain: MetadataChain!
+  eventKinds: [String!]!
+  currentInfo: SetInfo
+  currentLicense: SetLicense
+  currentReadme: String
+  currentSchema: String
+  currentVocab: String
+  currentTransform: String
+  currentPollingSource: String
+  currentWatermark: String
+  currentUpstreamDependencies: [LineageNode!]!
+  currentDownstreamDependencies: [String!]!
+}
+
+type MetadataChain {
+  blockCount: Int!
+  blocks(kind: String, limit: Int = 100): [MetadataBlock!]!
+  blockByHash(hash: String!): MetadataBlock
+}
+
+type MetadataBlock {
+  hash: String!
+  prevHash: String
+  sequenceNumber: Int!
+  systemTime: String!
+  eventKind: String!
+  event: String!
+}
+
+type SetInfo {
+  description: String
+  keywords: [String!]
+}
+
+type SetLicense {
+  shortName: String
+  name: String
+  spdxId: String
+  websiteUrl: String
+}
+
+type LineageNode {
+  name: String!
+  kind: String!
+  alias: String
+  cycle: Boolean
+  inputs: [LineageNode!]!
+}
 """
+
+
+def _json_str(obj) -> str | None:
+    return None if obj is None else json.dumps(obj)
+
+
+def _event_payload(block) -> dict:
+    return {k: v for k, v in block.event.items() if k != "kind"}
 
 
 class _DataQueries:
@@ -63,6 +135,119 @@ class _DataQueries:
         )
 
 
+class _Block:
+    def __init__(self, block):
+        self.hash = block.block_hash
+        self.prevHash = block.prev_block_hash
+        self.sequenceNumber = block.sequence_number
+        self.systemTime = block.system_time
+        self.eventKind = block.event["kind"]
+        self.event = json.dumps(_event_payload(block))
+
+
+class _Chain:
+    def __init__(self, ds):
+        self._ds = ds
+
+    def blockCount(self, info):
+        return len(self._ds.chain)
+
+    def blocks(self, info, kind: str | None = None, limit: int = 100):
+        out = []
+        # newest first, like the reference's chain pagination
+        for b in reversed(self._ds.chain.blocks()):
+            if kind is not None and b.event["kind"] != kind:
+                continue
+            out.append(_Block(b))
+            if len(out) >= limit:
+                break
+        return out
+
+    def blockByHash(self, info, hash: str):
+        for b in self._ds.chain.blocks():
+            if b.block_hash == hash:
+                return _Block(b)
+        return None
+
+
+class _SetInfo:
+    def __init__(self, ev: dict):
+        self.description = ev.get("description")
+        self.keywords = ev.get("keywords")
+
+
+class _SetLicense:
+    def __init__(self, ev: dict):
+        self.shortName = ev.get("short_name")
+        self.name = ev.get("name")
+        self.spdxId = ev.get("spdx_id")
+        self.websiteUrl = ev.get("website_url")
+
+
+class _Lineage:
+    def __init__(self, node: dict):
+        self.name = node["name"]
+        self.kind = node["kind"]
+        self.alias = node.get("alias")
+        self.cycle = node.get("cycle")
+        self.inputs = [_Lineage(i) for i in node.get("inputs", [])]
+
+
+class _Metadata:
+    def __init__(self, qs, name: str, ds):
+        self._qs = qs
+        self._name = name
+        self._ds = ds
+
+    def chain(self, info):
+        return _Chain(self._ds)
+
+    def eventKinds(self, info):
+        return [b.event["kind"] for b in self._ds.chain.blocks()]
+
+    def _last(self, kind: str):
+        b = self._ds.chain.last_event(kind)
+        return None if b is None else _event_payload(b)
+
+    def currentInfo(self, info):
+        ev = self._last("SetInfo")
+        return None if ev is None else _SetInfo(ev)
+
+    def currentLicense(self, info):
+        ev = self._last("SetLicense")
+        return None if ev is None else _SetLicense(ev)
+
+    def currentReadme(self, info):
+        ev = self._last("SetInfo")
+        return None if ev is None else ev.get("readme")
+
+    def currentSchema(self, info):
+        return _json_str(self._ds.schema_event())
+
+    def currentVocab(self, info):
+        return _json_str(self._last("SetVocab"))
+
+    def currentTransform(self, info):
+        return _json_str(self._last("SetTransform"))
+
+    def currentPollingSource(self, info):
+        return _json_str(self._last("SetPollingSource"))
+
+    def currentWatermark(self, info):
+        return self._ds.chain.current_watermark()
+
+    def currentUpstreamDependencies(self, info):
+        from kamu_cli_spark.provenance import lineage
+
+        tree = lineage(self._qs.workspace, self._name)
+        return [_Lineage(i) for i in tree["inputs"]]
+
+    def currentDownstreamDependencies(self, info):
+        from kamu_cli_spark.provenance import downstream
+
+        return downstream(self._qs.workspace, self._name)
+
+
 class _Dataset:
     def __init__(self, qs, name: str):
         self._qs = qs
@@ -73,6 +258,10 @@ class _Dataset:
     def kind(self):
         return self._ds.kind
 
+    def id(self, info):
+        seed = self._ds.chain.last_event("Seed")
+        return seed.event["dataset_id"] if seed else ""
+
     def numBlocks(self, info):
         return len(self._ds.chain)
 
@@ -82,11 +271,19 @@ class _Dataset:
     def watermark(self, info):
         return self._ds.chain.current_watermark()
 
+    def head(self, info):
+        return self._ds.head_hash()
+
     def data(self, info):
         return _DataQueries(self._qs, self.name)
 
     def metadata(self, info):
-        return [b.event["kind"] for b in self._ds.chain.blocks()]
+        return _Metadata(self._qs, self.name, self._ds)
+
+    def lineage(self, info):
+        from kamu_cli_spark.provenance import lineage
+
+        return _Lineage(lineage(self._qs.workspace, self.name))
 
 
 class _Datasets:
@@ -101,6 +298,14 @@ class _Datasets:
             return _Dataset(self._qs, name)
         except KeyError:
             return None
+
+    def byId(self, info, id: str):
+        for name in self._qs.list_datasets():
+            ds = self._qs.dataset(name)
+            seed = ds.chain.last_event("Seed")
+            if seed and seed.event.get("dataset_id") == id:
+                return _Dataset(self._qs, name)
+        return None
 
 
 class _Root:

@@ -198,3 +198,42 @@ class Dataset:
     def head_hash(self) -> str | None:
         h = self.chain.head()
         return h.block_hash if h else None
+
+    def set_info(
+        self,
+        description: str | None = None,
+        keywords: list[str] | None = None,
+        readme: str | None = None,
+        system_time: str | None = None,
+    ) -> None:
+        """Commit a SetInfo event (reference: dataset_metadata.rs:255-296
+        current_info/current_readme projections)."""
+        ev: dict[str, Any] = {"kind": "SetInfo"}
+        if description is not None:
+            ev["description"] = description
+        if keywords is not None:
+            ev["keywords"] = keywords
+        if readme is not None:
+            ev["readme"] = readme
+        self.chain.append(ev, system_time=system_time)
+
+    def set_license(
+        self,
+        short_name: str,
+        name: str,
+        spdx_id: str | None = None,
+        website_url: str | None = None,
+        system_time: str | None = None,
+    ) -> None:
+        """Commit a SetLicense event (reference:
+        dataset_metadata.rs:298-310 current_license projection)."""
+        ev: dict[str, Any] = {
+            "kind": "SetLicense",
+            "short_name": short_name,
+            "name": name,
+        }
+        if spdx_id is not None:
+            ev["spdx_id"] = spdx_id
+        if website_url is not None:
+            ev["website_url"] = website_url
+        self.chain.append(ev, system_time=system_time)

@@ -33,7 +33,8 @@ def test_graphql_surface(spark, tmp_path):
           datasets {
             list
             byName(name: "cities") {
-              name kind numBlocks numRecords watermark metadata
+              name kind numBlocks numRecords watermark
+              metadata { eventKinds }
               data {
                 tail(limit: 1)
                 query(sql: "select city, population from cities order by city")
@@ -48,7 +49,7 @@ def test_graphql_surface(spark, tmp_path):
     assert d["list"] == ["cities"]
     ds_node = d["byName"]
     assert ds_node["kind"] == "Root" and ds_node["numRecords"] == 2
-    assert ds_node["metadata"] == ["Seed", "SetDataSchema", "AddData"]
+    assert ds_node["metadata"]["eventKinds"] == ["Seed", "SetDataSchema", "AddData"]
     assert ds_node["watermark"].startswith("2024-01-01")
     tail = json.loads(ds_node["data"]["tail"])
     assert len(tail) == 1 and tail[0]["city"] == "lviv"
@@ -61,3 +62,142 @@ def test_graphql_surface(spark, tmp_path):
     # unknown dataset → null node, no crash
     res2 = execute_graphql(spark, ws, '{ datasets { byName(name: "nope") { name } } }')
     assert res2["data"]["datasets"]["byName"] is None
+
+
+def test_graphql_metadata_chain_info_license_and_byid(spark, tmp_path):
+    """Mirrors the reference's dataset_metadata.rs projections: byId
+    lookup, metadata chain pagination, SetInfo/SetLicense, schema."""
+    ws = str(tmp_path)
+    ds = Dataset.create(ws, "cities", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyLedger(["city"])).write(
+        spark,
+        spark.createDataFrame([("kyiv", 3)], "city string, population int"),
+        system_time=T0,
+    )
+    ds.set_info(
+        description="City registry",
+        keywords=["cities", "geo"],
+        readme="# Cities",
+        system_time=T0.isoformat(),
+    )
+    ds.set_license(
+        "apache-2.0",
+        "Apache License 2.0",
+        spdx_id="Apache-2.0",
+        website_url="https://www.apache.org/licenses/LICENSE-2.0",
+        system_time=T0.isoformat(),
+    )
+    dataset_id = ds.chain.last_event("Seed").event["dataset_id"]
+
+    res = execute_graphql(
+        spark,
+        ws,
+        """
+        {
+          datasets {
+            byId(id: "%s") {
+              id name head
+              metadata {
+                chain {
+                  blockCount
+                  blocks(limit: 2) { hash prevHash sequenceNumber eventKind }
+                }
+                currentInfo { description keywords }
+                currentLicense { shortName name spdxId websiteUrl }
+                currentReadme
+                currentSchema
+                currentWatermark
+              }
+            }
+          }
+        }
+        """
+        % dataset_id,
+    )
+    assert "errors" not in res, res
+    node = res["data"]["datasets"]["byId"]
+    assert node["name"] == "cities" and node["id"] == dataset_id
+
+    md = node["metadata"]
+    # Seed, SetDataSchema, AddData, SetInfo, SetLicense
+    assert md["chain"]["blockCount"] == 5
+    blocks = md["chain"]["blocks"]
+    # newest first; head hash matches; prev-hash chains
+    assert blocks[0]["eventKind"] == "SetLicense"
+    assert blocks[0]["hash"] == node["head"]
+    assert blocks[1]["hash"] == blocks[0]["prevHash"]
+    assert md["currentInfo"] == {
+        "description": "City registry",
+        "keywords": ["cities", "geo"],
+    }
+    assert md["currentLicense"]["spdxId"] == "Apache-2.0"
+    assert md["currentReadme"] == "# Cities"
+    assert "city" in md["currentSchema"]
+
+    # blockByHash finds a specific block
+    res2 = execute_graphql(
+        spark,
+        ws,
+        '{ datasets { byName(name: "cities") { metadata { chain { '
+        'blockByHash(hash: "%s") { eventKind sequenceNumber } } } } } }'
+        % blocks[1]["hash"],
+    )
+    found = res2["data"]["datasets"]["byName"]["metadata"]["chain"]["blockByHash"]
+    assert found["eventKind"] == "SetInfo"
+
+    # unknown id → null
+    res3 = execute_graphql(spark, ws, '{ datasets { byId(id: "nope") { name } } }')
+    assert res3["data"]["datasets"]["byId"] is None
+
+
+def test_graphql_lineage_and_dependencies(spark, tmp_path):
+    """Upstream/downstream dependency projections through the
+    SetTransform declarations (dataset_metadata.rs:147-202)."""
+    from kamu_cli_spark.transform import set_transform
+
+    ws = str(tmp_path)
+    root = Dataset.create(ws, "raw", system_time=T0.isoformat())
+    DataWriter(root, MergeStrategyLedger(["k"])).write(
+        spark,
+        spark.createDataFrame([("a", 1)], "k string, v int"),
+        system_time=T0,
+    )
+    deriv = Dataset.create(ws, "clean", kind="Derivative", system_time=T0.isoformat())
+    set_transform(
+        deriv,
+        {"raw": str(tmp_path / "raw")},
+        "SELECT k, v FROM raw",
+        system_time=T0.isoformat(),
+    )
+
+    res = execute_graphql(
+        spark,
+        ws,
+        """
+        {
+          datasets {
+            byName(name: "clean") {
+              lineage { name kind inputs { name kind alias inputs { name } } }
+              metadata {
+                currentTransform
+                currentUpstreamDependencies { name alias }
+              }
+            }
+            root: byName(name: "raw") {
+              metadata { currentDownstreamDependencies }
+            }
+          }
+        }
+        """,
+    )
+    assert "errors" not in res, res
+    clean = res["data"]["datasets"]["byName"]
+    assert clean["lineage"]["name"] == "clean"
+    assert clean["lineage"]["inputs"][0]["name"] == "raw"
+    assert clean["lineage"]["inputs"][0]["alias"] == "raw"
+    assert clean["lineage"]["inputs"][0]["inputs"] == []
+    assert "SELECT k, v FROM raw" in clean["metadata"]["currentTransform"]
+    ups = clean["metadata"]["currentUpstreamDependencies"]
+    assert [u["name"] for u in ups] == ["raw"]
+    downs = res["data"]["datasets"]["root"]["metadata"]
+    assert downs["currentDownstreamDependencies"] == ["clean"]
