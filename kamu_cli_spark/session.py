@@ -23,7 +23,15 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    case_sensitive: bool = False,
 ) -> SparkSession:
+    """`case_sensitive=True` opts the session into ODF's case-sensitive
+    identifier semantics (reference: engine_config_embedded.rs:18-30
+    sets DataFusion's ident normalization off). Spark's default is
+    case-insensitive and we keep it for SQL-surface compatibility with
+    the DuckDB oracle; ODF ingest/transform pipelines that need
+    case-distinct columns opt in here. The conf is runtime-settable, so
+    it is (re)applied even when an existing JVM session is reused."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -71,6 +79,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    builder = builder.config(
+        "spark.sql.caseSensitive", "true" if case_sensitive else "false"
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if case_sensitive and spark.conf.get("spark.sql.caseSensitive") != "true":
+        # getOrCreate returned a pre-existing session: apply at runtime
+        spark.conf.set("spark.sql.caseSensitive", "true")
+    return spark
