@@ -171,3 +171,129 @@ class TransformExecutor:
             }
             self.dataset.chain.append(event, system_time=system_time.isoformat())
         return event
+
+
+class AggregatingTransformExecutor(TransformExecutor):
+    """Changelog-in → changelog-out incremental GROUP BY (the
+    retraction-aware aggregating transform the streaming engines in the
+    reference provide; golden behavior mirrored from
+    test_engine_transform.rs:651-738 where -R/-C/+C on the input must
+    update downstream aggregates, not just flow through).
+
+    The declared query aggregates the CURRENT STATE of its single input
+    (``GROUP BY`` exactly ``group_keys``). Each iteration:
+
+    1. read the input's new changelog interval; the AFFECTED group keys
+       are the distinct ``group_keys`` values over the batch — every op
+       kind contributes (a correction that moves a row between groups
+       carries the old group on its -C row and the new group on its +C
+       row, a retraction carries the retracted row's group);
+    2. register the input alias as its projected current state
+       SEMI-JOINED to the affected keys, so the user query re-aggregates
+       only changed groups — per-batch cost tracks touched keys, not
+       history. At scale the affected-key set is small relative to the
+       corpus and broadcasts;
+    3. snapshot-diff the fresh per-key aggregates against the
+       derivative's previous rows for those same keys (reusing the
+       single-pass CDC diff of MergeStrategySnapshot on both-sides-
+       restricted frames), emitting +A for new groups, -C/+C for changed
+       aggregates, and -R for groups whose last row disappeared.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        group_keys: list[str],
+        input_primary_key: list[str] | None = None,
+        strategy: MergeStrategy | None = None,
+    ):
+        super().__init__(dataset, strategy)
+        if len(self.inputs) != 1:
+            raise TransformError(
+                "aggregating transform supports exactly one input"
+            )
+        if not group_keys:
+            raise TransformError("aggregating transform requires group_keys")
+        self.group_keys = group_keys
+        # PK used to project the input changelog into current state;
+        # defaults to the group keys (true when input rows ARE the
+        # grouped entities)
+        self.input_primary_key = input_primary_key or group_keys
+
+    def execute(
+        self,
+        spark: SparkSession,
+        system_time: datetime | None = None,
+    ) -> dict[str, Any] | None:
+        from kamu_cli_spark.operators.merge import (
+            MergeStrategySnapshot,
+            project_changelog,
+        )
+
+        plan = self.elaborate(spark)
+        if plan is None:
+            return None
+        system_time = system_time or datetime.now(timezone.utc)
+        v = self.dataset.vocab
+
+        ((alias, iv),) = plan["inputs"].items()
+        src = Dataset(self.inputs[alias])
+        batch = src.read_between(spark, iv["prev_offset"], iv["new_offset"])
+        if batch is None:
+            return None
+        affected = batch.select(*self.group_keys).distinct()
+
+        # full input state as of new_offset, re-aggregated only for
+        # affected groups
+        hist = src.read_between(spark, None, iv["new_offset"])
+        state = project_changelog(hist, self.input_primary_key, src.vocab)
+        state.join(affected, on=self.group_keys, how="left_semi").createOrReplaceTempView(
+            alias
+        )
+
+        result: DataFrame | None = None
+        for step in self.queries:
+            df = spark.sql(step["query"])
+            if step.get("alias"):
+                df.createOrReplaceTempView(step["alias"])
+            else:
+                result = df
+        if result is None:
+            raise TransformError("transform has no unaliased output step")
+        missing = [k for k in self.group_keys if k not in result.columns]
+        if missing:
+            raise TransformError(
+                f"aggregation output must carry group keys; missing {missing}"
+            )
+        drop = [
+            c
+            for c in (v.offset_column, v.system_time_column, v.operation_type_column)
+            if c in result.columns
+        ]
+        if drop:
+            result = result.drop(*drop)
+
+        # previous derivative rows for the SAME affected keys; both diff
+        # sides are key-restricted, so unaffected groups are untouched
+        prev = self.dataset.read(spark)
+        if prev is not None:
+            prev = prev.join(affected, on=self.group_keys, how="left_semi")
+        events = MergeStrategySnapshot(self.group_keys, vocab=v).merge(prev, result)
+
+        writer = DataWriter(self.dataset, _PassthroughOps(v))
+        event = writer.write(
+            spark,
+            events,
+            system_time=system_time,
+            event_kind="ExecuteTransform",
+            extra_event={"query_inputs": plan["inputs"]},
+        )
+        if event is None:
+            event = {
+                "kind": "ExecuteTransform",
+                "new_data": None,
+                "new_watermark": self.dataset.chain.current_watermark(),
+                "query_inputs": plan["inputs"],
+            }
+            self.dataset.chain.append(event, system_time=system_time.isoformat())
+        return event
