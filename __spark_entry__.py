@@ -1711,25 +1711,34 @@ def q_embeddings_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     step is reproducible, so the FULL output is strictly oracle-checked."""
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") % 25 == 0)
-    return ivf_ann_seeded(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=5)
+    # n_centroids=None -> adaptive max(16, ceil(sqrt(|corpus|))): fixed
+    # cell counts are quadratic in disguise (sf10 measured 138x the sf1
+    # time at k=16; see BENCH_NOTES round-5)
+    return ivf_ann_seeded(q, e, "vec_id", "vec_id", n_probe=4, k=5)
 
 
 O_IVF_ANN = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+-- adaptive index size: max(16, ceil(sqrt(|corpus|))) cells, same exact
+-- integer formula the Spark operator computes
 seeds AS (
   SELECT ve AS center,
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
   FROM v
-  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+          <= (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) FROM v)
 ),
+-- cell ranking compares RAW cosines (no rounding): list_inner_product
+-- accumulates left-to-right, bit-identical to the operator's numpy
+-- dimension-order accumulation, so both engines rank cells identically
 assigned AS (
   SELECT vec_id, ve, cell FROM (
     SELECT v.vec_id, v.ve, s.cell,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY round(list_inner_product(v.ve, s.center)
-                            / (sqrt(list_inner_product(v.ve, v.ve))
-                               * sqrt(list_inner_product(s.center, s.center))), 6) DESC,
+             ORDER BY list_inner_product(v.ve, s.center)
+                      / (sqrt(list_inner_product(v.ve, v.ve))
+                         * sqrt(list_inner_product(s.center, s.center))) DESC,
                       s.cell ASC) AS r
     FROM v CROSS JOIN seeds s
   ) WHERE r = 1
@@ -1739,9 +1748,9 @@ probes AS (
     SELECT v.vec_id AS qid, v.ve AS qv, s.cell,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY round(list_inner_product(v.ve, s.center)
-                            / (sqrt(list_inner_product(v.ve, v.ve))
-                               * sqrt(list_inner_product(s.center, s.center))), 6) DESC,
+             ORDER BY list_inner_product(v.ve, s.center)
+                      / (sqrt(list_inner_product(v.ve, v.ve))
+                         * sqrt(list_inner_product(s.center, s.center))) DESC,
                       s.cell ASC) AS p
     FROM v CROSS JOIN seeds s WHERE v.vec_id % 25 = 0
   ) WHERE p <= 4

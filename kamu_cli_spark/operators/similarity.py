@@ -232,7 +232,7 @@ def ivf_ann(
     query_id: str,
     corpus_id: str,
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     k: int = 5,
     round_digits: int = 6,
@@ -245,9 +245,14 @@ def ivf_ann(
     against its `n_probe` nearest cells. At 100 TB the corpus pass is
     one narrow pipeline, the candidate join shuffles on the (small) cell
     id, and per-query work drops from |corpus| to |corpus|·n_probe/n_centroids.
+    ``n_centroids=None`` sizes the index max(16, ceil(sqrt(|corpus|))) —
+    a fixed cell count makes total pair work quadratic once queries are
+    a constant fraction of the corpus (see :func:`ivf_ann_seeded`).
     Approximate by construction → no SQL oracle (exact baseline:
     :func:`cosine_topk`).
     """
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -257,6 +262,10 @@ def ivf_ann(
         norm(F.col(vec_col)).alias("cn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     ).persist()
+    if n_centroids is None:
+        n_corpus = c.count()
+        r = math.isqrt(max(n_corpus, 1))
+        n_centroids = max(16, r if r * r == n_corpus else r + 1)
     model = KMeans(k=n_centroids, seed=seed).fit(c.select("features"))
     assigned = model.transform(c).select("cid", "cv", "cn", F.col("prediction").alias("cell"))
 
@@ -295,7 +304,7 @@ def ivf_ann_seeded(
     query_id: str,
     corpus_id: str,
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     k: int = 5,
     round_digits: int = 6,
@@ -307,16 +316,32 @@ def ivf_ann_seeded(
     strictly SQL-oracle-checkable, unlike the KMeans-trained
     :func:`ivf_ann` (approximate training → rows-only check).
 
-    Scale shape is identical to :func:`ivf_ann`: the seed selection is a
+    ``n_centroids=None`` (default) sizes the index as
+    ``max(16, ceil(sqrt(|corpus|)))`` — the standard IVF scaling. A
+    FIXED cell count is quadratic in disguise: with queries a constant
+    fraction of the corpus, per-cell work is (|Q|/k)·(|C|/k)·k =
+    |Q|·|C|/k, so sf1→sf10 measured 2.8 s → 382 s (138× for 10× data)
+    at k=16; k ∝ √n keeps the decade step ~linear (total pair work
+    n^1.5·n_probe/25). Exact integer ceil-sqrt, so every engine
+    computes the same k.
+
+    Scale shape is otherwise :func:`ivf_ann`'s: seed selection is a
     per-partition top-k (`TakeOrderedAndProject`, no global sort), the
-    centroid table is broadcast, assignment is one narrow pipeline over
-    the corpus, and the candidate join shuffles on the small cell id.
+    centroid matrix is a broadcast closure constant, assignment is one
+    vectorized narrow pipeline over the corpus, and the candidate join
+    shuffles on the small cell id.
     """
+    import math
+
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
+    if n_centroids is None:
+        n_corpus = c.count()
+        r = math.isqrt(max(n_corpus, 1))
+        n_centroids = max(16, r if r * r == n_corpus else r + 1)
     seeds = (
         c.select("cid", "cv", F.md5(F.col("cid").cast("string")).alias("h"))
         .orderBy("h")
@@ -327,55 +352,20 @@ def ivf_ann_seeded(
         [float(x) for x in r["cv"]] for r in sorted(seeds, key=lambda r: r["h"])
     ]
 
-    def _seq_norm(v: list[float]) -> float:
-        acc = 0.0
-        for x in v:  # left-to-right, matching norm()/list_inner_product
-            acc += x * x
-        return acc**0.5
-
-    center_norms = F.array(*[F.lit(_seq_norm(v)) for v in center_vecs])
-
-    # all cell dots in one vectorized pass per row (plane_dots), then
-    # posexplode — replaces a crossJoin whose per-pair interpreted dot
-    # was the pipeline's hot spot; round/divide stay JVM-side
-    def cell_sims(df: DataFrame, id_c: str, v: str, n: str) -> DataFrame:
-        return (
-            df.withColumn("__cd", plane_dots(F.col(v), center_vecs))
-            .select(
-                id_c,
-                v,
-                n,
-                F.posexplode("__cd").alias("cell", "__d"),
-            )
-            .withColumn(
-                "sim",
-                F.round(
-                    F.col("__d")
-                    / (F.col(n) * F.element_at(center_norms, F.col("cell") + 1)),
-                    round_digits,
-                ),
-            )
-        )
-
-    # corpus cell assignment: single-pass argmax over the 16 cell sims —
-    # a strictly-greater scan from cell 0 picks the first maximum, i.e.
-    # the same (sim DESC, cell ASC) winner the window form chose, with
-    # NO explode and NO |corpus|×cells shuffle+sort (that window was the
-    # slowest stage of the sf1 pipeline)
-    argmax_expr = (
-        f"aggregate(sequence(0, {len(center_vecs) - 1}), "
-        f"named_struct('best', cast(-10.0 as double), 'cell', -1), "
-        f"(acc, i) -> IF(round(element_at(__cd, i + 1) "
-        f"/ (cn * element_at(__cns, i + 1)), {round_digits}) > acc.best, "
-        f"named_struct('best', round(element_at(__cd, i + 1) "
-        f"/ (cn * element_at(__cns, i + 1)), {round_digits}), 'cell', i), "
-        f"acc)).cell"
-    )
+    # Cell selection compares RAW cosine values, not rounded ones: with
+    # dimension-order accumulation the dots (and norms, and IEEE
+    # divisions) are bit-identical across numpy, the JVM, and DuckDB's
+    # list_inner_product — the same property the LSH sign buckets rely
+    # on — so both engines rank cells identically without a rounding
+    # step, and the whole per-row argmax / top-n_probe can run
+    # vectorized in numpy (np.argmax and a stable sort break exact ties
+    # by the smallest cell id, matching ORDER BY sim DESC, cell ASC).
+    # The previous interpreted JVM fold was O(k) per row — fine at
+    # k=16, a bottleneck once k scales as sqrt(corpus).
+    nearest_cells = _nearest_cells_udf(center_vecs, n_probe)
     assigned = (
         _spread(c)
-        .withColumn("__cd", plane_dots(F.col("cv"), center_vecs))
-        .withColumn("__cns", center_norms)
-        .withColumn("cell", F.expr(argmax_expr))
+        .withColumn("cell", nearest_cells(F.col("cv")).getItem(0))
         .select("cid", "cv", "cn", "cell")
     )
 
@@ -384,18 +374,48 @@ def ivf_ann_seeded(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    qc = cell_sims(q, "qid", "qv", "qn")
-    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
     probes = (
-        qc.withColumn("p", F.row_number().over(wq))
-        .filter(F.col("p") <= n_probe)
-        .select("qid", "qv", "qn", "cell")
+        q.withColumn("__cells", nearest_cells(F.col("qv")))
+        .select("qid", "qv", "qn", F.explode("__cells").alias("cell"))
     )
 
     return _ivf_cell_score(
         probes, assigned, q.select("qid", "qn"), c.select("cid", "cn"),
         k, round_digits,
     )
+
+
+def _nearest_cells_udf(center_vecs: list[list[float]], n_probe: int):
+    """Pandas UDF: the `n_probe` nearest centroid cells of a vector,
+    ordered by raw cosine DESC with exact ties broken by cell ASC.
+    Dots/norms accumulate dimension-by-dimension (see
+    :func:`plane_dots`), so values — and therefore the ranking — are
+    bit-identical to the SQL oracle's list_inner_product form."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    P = np.asarray(center_vecs, dtype=np.float64)  # (k, dim)
+    cn = np.zeros(P.shape[0], dtype=np.float64)
+    for d in range(P.shape[1]):  # left-to-right, matching _seq_norm
+        cn += P[:, d] * P[:, d]
+    cn = np.sqrt(cn)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
+        acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+        vsq = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(P.shape[1]):
+            acc += V[:, d : d + 1] * P[:, d][None, :]
+            vsq += V[:, d] * V[:, d]
+        sims = acc / (np.sqrt(vsq)[:, None] * cn[None, :])
+        # stable sort of -sims: equal sims keep ascending cell order
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return _cells
 
 
 def plane_dots(vec: Column, planes: list[list[float]]) -> Column:

@@ -75,29 +75,38 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + punct_penalty + sw_score) / 3.0, 4)
 
 
+def _in_set(words: list[str]):
+    # NB: F.filter passes (element, index) to two-argument lambdas, so
+    # the marker list must be bound via a closure factory, not a default
+    # argument.
+    return lambda t: t.isin(words)
+
+
+def _argmax_lang(ltoks: Column) -> Column:
+    """Argmax over per-language marker hits as ONE array_max of
+    (hits, -index, lang) structs — linear expression size. The previous
+    nested-when formulation embedded the running best twice per
+    language, growing the expression tree (and driver build time)
+    exponentially in the language count. Struct comparison is
+    lexicographic, so ties on hits resolve to the smallest index =
+    earliest language code, identical to the strict-greater chain."""
+    entries = []
+    for idx, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        h = F.size(F.filter(ltoks, _in_set(markers)))
+        entries.append(
+            F.struct(
+                h.alias("h"), F.lit(-idx).alias("ni"), F.lit(lang).alias("l")
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: count marker-token hits per language, take
     the argmax (ties broken by language code order). Linear scan, no
     shuffle, fully codegen'd."""
-    toks = tokens(F.lower(text))
-
-    # NB: F.filter passes (element, index) to two-argument lambdas, so
-    # the marker list must be bound via a closure factory, not a default
-    # argument.
-    def _in_set(words: list[str]):
-        return lambda t: t.isin(words)
-
-    # build nested CASE: iterate deterministically by language code
-    scores = [
-        (lang, F.size(F.filter(toks, _in_set(markers))))
-        for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    expr = F.lit("und")
-    best = F.lit(0)
-    for lang, hits in scores:
-        expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
-        best = F.when(hits > best, hits).otherwise(best)
-    return expr
+    return _argmax_lang(tokens(F.lower(text)))
 
 
 def fingerprint(text: Column) -> Column:
@@ -134,15 +143,7 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("__praw") * 5)
     sw_score = F.least(swraw * 5, F.lit(1.0))
 
-    def _in_set(words):
-        return lambda x: x.isin(words)
-
-    lang_expr = F.lit("und")
-    best = F.lit(0)
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        h = F.size(F.filter(F.col("__ltoks"), _in_set(markers)))
-        lang_expr = F.when(h > best, F.lit(lang)).otherwise(lang_expr)
-        best = F.when(h > best, h).otherwise(best)
+    lang_expr = _argmax_lang(F.col("__ltoks"))
 
     return staged.select(
         *df.columns,

@@ -26,7 +26,20 @@ TABLES = [
 ]
 
 
+# (session, sf_dir, table) -> analyzed DataFrame. The testdata files are
+# immutable, so the relation (file listing + footer schema) can be built
+# once per session instead of on every query construction — the
+# listing/footer read is ~100-300 ms of driver time that otherwise taxes
+# EVERY query's plan build. The cached DataFrame pins its session, so
+# id(spark) cannot be recycled while the entry lives.
+_RELATION_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -38,8 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _RELATION_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
