@@ -394,7 +394,14 @@ def winnow_fingerprints(
         df, id_col, text_col, shingle_n, with_hash=True, with_pos=True
     ).select(F.col(id_col).alias("id"), "pos", "h")
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
-    n_w = Window.partitionBy("id")
+    # same (partition, order) as `w`, unbounded frame → Spark collapses
+    # both into ONE Window operator (one shuffle + one sort); a bare
+    # partitionBy spec would add a second Window pass
+    n_w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     return (
         toks.withColumn("win_min", F.min("h").over(w))
         .withColumn("n_pos", F.max("pos").over(n_w) + 1)
