@@ -79,6 +79,17 @@ def explode_shingles_arrow(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch hash memo: gram frequencies are Zipfian, so most
+        # occurrences are repeats — one md5 per DISTINCT gram per batch
+        md5_memo: dict[str, int] = {}
+
+        def gram_hash(g: str) -> int:
+            h = md5_memo.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                md5_memo[g] = h
+            return h
+
         for pdf in batches:
             ids, grams, hashes, poses = [], [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
@@ -100,9 +111,7 @@ def explode_shingles_arrow(
                     if with_pos:
                         poses.append(p)
                     if with_hash:
-                        hashes.append(
-                            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
-                        )
+                        hashes.append(gram_hash(g))
             data = {id_col: ids}
             if with_pos:
                 data["pos"] = poses
