@@ -1778,8 +1778,12 @@ def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB recomputes the identical buckets, candidates and scores for
     a strict hash-match oracle."""
     e = load_table(spark, sf, "embeddings")
+    # num_planes=None -> ceil(log2(|corpus|)) bits/table: constant bucket
+    # occupancy at every scale, so per-query candidate volume stays flat
+    # across decades (at sf0.01's 200 vectors this resolves to the same
+    # 8 planes as before; the oracle computes the identical count)
     return lsh_bucketed_ann_self(
-        e, "vec_id", lambda c: c % 25 == 0, dim=64, num_planes=8, k=5
+        e, "vec_id", lambda c: c % 25 == 0, dim=64, num_planes=None, k=5
     )
 
 
@@ -1787,16 +1791,24 @@ def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # with plane index i = t * num_planes + p (8 tables x 8 planes, dim 64).
 O_ANN_LSH = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+-- adaptive planes/table: greatest(4, ceil(log2(|corpus|))) — identical
+-- exact count to the operator's (n-1).bit_length(); generate_series
+-- needs constant bounds, so over-generate to 8 tables x 32 planes and
+-- filter by the dynamic count
+params AS (
+  SELECT greatest(4, CAST(ceil(log2(count(*))) AS INT)) AS np FROM v
+),
 planes AS (
-  SELECT i // 8 AS t, i % 8 AS p, list(val ORDER BY d) AS plane
+  SELECT i // np AS t, i % np AS p, np, list(val ORDER BY d) AS plane
   FROM (
-    SELECT pg.i AS i, dg.d AS d,
+    SELECT pg.i AS i, dg.d AS d, params.np AS np,
            (CAST(concat('0x', substr(md5('plane' || CAST(pg.i AS VARCHAR) || '|'
                                      || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
             / 4294967295.0) * 2.0 - 1.0 AS val
-    FROM generate_series(0, 63) pg(i), generate_series(0, 63) dg(d)
+    FROM generate_series(0, 255) pg(i), generate_series(0, 63) dg(d), params
+    WHERE pg.i < 8 * params.np
   )
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ),
 buckets AS (
   SELECT v.vec_id, pl.t,

@@ -489,6 +489,19 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
+def adaptive_num_planes(n_corpus: int, floor: int = 4) -> int:
+    """Planes-per-table that keeps expected bucket occupancy ~constant
+    as the corpus grows: ceil(log2(n)) bits → n/2^planes ≈ 1 row per
+    bucket at every scale, so per-query candidate volume (and therefore
+    per-query work) stays flat across decades instead of growing
+    linearly with the corpus. Exact integer arithmetic
+    ((n-1).bit_length() == ceil(log2(n)) for n ≥ 2), replicated in the
+    SQL oracle as ceil(log2(count(*)))."""
+    if n_corpus < 2:
+        return floor
+    return max(floor, (n_corpus - 1).bit_length())
+
+
 def lsh_bucketed_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -496,7 +509,7 @@ def lsh_bucketed_ann(
     corpus_id: str,
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
     num_tables: int = 8,
     k: int = 5,
     round_digits: int = 6,
@@ -508,12 +521,15 @@ def lsh_bucketed_ann(
     collides in ANY table — the classic L-tables construction, which
     turns per-table recall p^planes into 1-(1-p^planes)^tables. At
     100 TB the candidate join shuffles on the (table, bucket) key; tune
-    planes (bucket size) against tables (recall).
+    planes (bucket size) against tables (recall), or pass
+    ``num_planes=None`` for :func:`adaptive_num_planes` sizing.
 
     Measured on the driver's synthetic embeddings (near-orthogonal
     vectors — worst case for angular LSH): recall@5 ≈ 0.17 at 4×8 vs
     :func:`ivf_ann` ≈ 0.65 — prefer IVF when the corpus clusters.
     """
+    if num_planes is None:
+        num_planes = adaptive_num_planes(corpus.count())
     planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
     q = _with_buckets(
         _spread(queries), query_id, "qid", "qv", "qn", vec_col, planes,
@@ -600,7 +616,7 @@ def lsh_bucketed_ann_self(
     query_filter,
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
     num_tables: int = 8,
     k: int = 5,
     round_digits: int = 6,
@@ -612,7 +628,11 @@ def lsh_bucketed_ann_self(
     cached pass over the corpus instead of once per side, and the
     (structurally small) query slice is broadcast into both the
     candidate join and the rescoring join, removing two corpus-side
-    shuffles relative to the general two-table form."""
+    shuffles relative to the general two-table form.
+    ``num_planes=None`` → :func:`adaptive_num_planes` (constant bucket
+    occupancy across decades)."""
+    if num_planes is None:
+        num_planes = adaptive_num_planes(corpus.count())
     planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
     c = _with_buckets(
         _spread(corpus), id_col, "cid", "cv", "cn", vec_col, planes,
