@@ -40,7 +40,9 @@ from kamu_cli_spark.operators.similarity import (
     lsh_bucketed_ann,
     lsh_bucketed_ann_self,
 )
-from kamu_cli_spark.operators.text import text_metrics
+from kamu_cli_spark.operators.quantize import quantize_int8
+from kamu_cli_spark.operators.sampling import stratified_split_summary
+from kamu_cli_spark.operators.text import repetition_metrics, text_metrics
 from kamu_cli_spark.operators.windows import interval_join, top_n, tumbling_window
 from kamu_cli_spark.sources import load_table
 from kamu_cli_spark.vocab import OperationType as Op
@@ -1576,6 +1578,90 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_documents_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/val/test split audit: md5-prefix
+    threshold assignment (engine-portable, shuffle-free), composition
+    counted per (split, language)."""
+    d = load_table(spark, sf, "documents")
+    return stratified_split_summary(d, "doc_id", "lang", size_col="n_chars")
+
+
+O_TRAIN_SPLIT = r"""
+WITH a AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_size
+FROM a GROUP BY 1, 2
+"""
+
+
+def q_documents_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top word / top bigram
+    token fraction and distinct-word ratio per document."""
+    d = load_table(spark, sf, "documents")
+    return repetition_metrics(d, "text", "doc_id")
+
+
+O_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS k, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM toks
+),
+c AS (SELECT doc_id, k, g, count(*) AS cnt FROM grams GROUP BY doc_id, k, g)
+SELECT doc_id,
+  CAST(sum(CASE WHEN k = 1 THEN cnt END) AS BIGINT) AS n_words,
+  CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS n_distinct_words,
+  CAST(floor(1e6 * max(CASE WHEN k = 1 THEN cnt END) / sum(CASE WHEN k = 1 THEN cnt END)) AS BIGINT) AS top_word_frac_e6,
+  CAST(floor(1e6 * count(CASE WHEN k = 1 THEN 1 END) / sum(CASE WHEN k = 1 THEN cnt END)) AS BIGINT) AS distinct_ratio_e6,
+  CAST(CASE WHEN coalesce(sum(CASE WHEN k = 2 THEN cnt END), 0) > 0
+       THEN floor(1e6 * max(CASE WHEN k = 2 THEN cnt END) / sum(CASE WHEN k = 2 THEN cnt END))
+       ELSE 0 END AS BIGINT) AS top_bigram_frac_e6
+FROM c GROUP BY doc_id
+"""
+
+
+def q_embeddings_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale,
+    quantized checksums, and max reconstruction error (exact ints)."""
+    e = load_table(spark, sf, "embeddings")
+    return quantize_int8(e)
+
+
+O_QUANTIZE = r"""
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS amax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, embedding,
+         CAST(127 AS DOUBLE) / amax AS scale,
+         list_transform(embedding,
+                        x -> CAST(floor(x * (CAST(127 AS DOUBLE) / amax) + 0.5) AS INTEGER)) AS qv
+  FROM s WHERE amax > 0
+)
+SELECT vec_id, label,
+  CAST(floor(scale * 1e6) AS BIGINT) AS scale_e6,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm,
+  CAST(floor(list_max(list_transform(range(1, len(qv) + 1),
+                                     i -> abs(qv[i] / scale - embedding[i]))) * 1e9) AS BIGINT) AS max_err_e9
+FROM q
+"""
+
+
 def q_documents_two_stage_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The canonical scale dedup pipeline: MinHash-LSH candidate
     generation (sub-quadratic) → exact n-gram Jaccard verification →
@@ -2091,16 +2177,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB oracle. Every distinct operator family must have a graded
     # representative in the top 50; the tail entries (51+) are queries
     # whose operator family already has a graded sibling above
-    # (tpch_q7/q10 ~ q5/q3 join-agg shapes, top2_global ~ top3 ranking,
-    # documents_simhash ⊂ documents_simhash_pairs, documents_token_counts
-    # ~ text_metrics, embeddings_near_dup ~ cosine_topk exact-cosine,
-    # events_sliding_7d ~ cumulative_revenue/window_battery frames).
+    # (tpch_q4/q7/q10 ~ q1/q5/q3 agg/join/EXISTS shapes —
+    # suppliers_with_large_orders keeps EXISTS graded; top2_global ~
+    # top3 ranking; lineitem_cube ~ rollup/grouping_sets;
+    # events_conditional_agg ~ scalar/window/salted agg batteries;
+    # documents_simhash ⊂ documents_simhash_pairs;
+    # documents_token_counts ~ text_metrics; embeddings_near_dup ~
+    # cosine_topk exact-cosine; events_sliding_7d ~
+    # cumulative_revenue/window_battery frames).
     return {
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        "tpch_q4": q_tpch_q4,
         "customers_dormant_anti": q_customers_dormant_anti,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_daily_tumbling": q_events_daily_tumbling,
@@ -2121,7 +2210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_window_battery": q_customer_window_battery,
         "lineitem_percentiles": q_lineitem_percentiles,
         "region_string_agg": q_region_string_agg,
-        "events_conditional_agg": q_events_conditional_agg,
         "orders_regex_battery": q_orders_regex_battery,
         "events_salted_agg": q_events_salted_agg,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
@@ -2136,7 +2224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash_pairs": q_documents_simhash_pairs,
         "documents_winnow": q_documents_winnow,
-        "lineitem_cube": q_lineitem_cube,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
         "documents_lang_confusion": q_documents_lang_confusion,
@@ -2146,8 +2233,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
         "embeddings_ivf_ann": q_embeddings_ivf_ann,
+        "documents_train_split": q_documents_train_split,
+        "documents_repetition": q_documents_repetition,
+        "embeddings_quantize": q_embeddings_quantize,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
+        "tpch_q4": q_tpch_q4,
+        "lineitem_cube": q_lineitem_cube,
+        "events_conditional_agg": q_events_conditional_agg,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "top2_global": q_top2_global,
@@ -2210,6 +2303,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_ann_lsh": O_ANN_LSH,
         "embeddings_ivf_ann": O_IVF_ANN,
+        "documents_train_split": O_TRAIN_SPLIT,
+        "documents_repetition": O_REPETITION,
+        "embeddings_quantize": O_QUANTIZE,
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---
         "tpch_q7": O_TPCH_Q7,

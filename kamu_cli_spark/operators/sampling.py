@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting / sampling for training-data
+pipelines.
+
+A large-scale corpus pipeline needs train/val/test assignment that is
+(a) deterministic — re-running the pipeline or adding late data must
+never move a document between splits, (b) driver-free — no global
+shuffle or random() state, and (c) stratifiable — composition audits
+per language/source.
+
+The assignment here hashes the stable record key with md5 and compares
+a fixed-width hex prefix against precomputed thresholds. Lexicographic
+order of lowercase hex equals numeric order, so the comparison is a
+pure codegen'd string compare: no UDF, no shuffle, filter-pushdown
+safe. Any engine with md5() (DuckDB, Trino, Spark) computes the exact
+same assignment, which is also what makes the split auditable across
+systems.
+
+Reference parity: kamu-cli has no built-in splitter (splits are
+user-SQL there); this is part of the training-data extension surface
+alongside operators/dedup.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Width of the hex prefix used for bucketing: 4 hex chars = 65536
+# buckets, plenty of resolution for percent-level split fractions while
+# keeping the comparison a short string compare.
+_HEX_WIDTH = 4
+_BUCKETS = 16 ** _HEX_WIDTH
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, upper_hex_bound_exclusive)] in declaration order;
+    the last split takes the remainder. Fractions must sum to ~1."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bound = min(_BUCKETS, int(acc * _BUCKETS))
+        out.append((name, format(bound, f"0{_HEX_WIDTH}x")))
+    return out
+
+
+def split_assignment(
+    key: Column,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> Column:
+    """Deterministic split label for a record key.
+
+    `salt` lets independent experiments draw independent splits from
+    the same keys (different salt → uncorrelated assignment).
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    thresholds = split_thresholds(fractions)
+    expr = F.lit(thresholds[-1][0])  # remainder split
+    for name, bound in reversed(thresholds[:-1]):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def stratified_split_summary(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    size_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Split composition audit: per (split, stratum) document counts
+    and total payload size. One hash-aggregate over (split, stratum) —
+    a few hundred groups regardless of corpus size, so the shuffle is
+    bytes, not data."""
+    assigned = df.withColumn(
+        "split", split_assignment(F.col(key_col), fractions, salt)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col)).alias("total_size"))
+    return assigned.groupBy("split", strata_col).agg(*aggs)

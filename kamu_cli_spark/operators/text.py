@@ -155,3 +155,63 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_expr.alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction
+    of tokens taken by the most frequent word / most frequent bigram,
+    and the distinct-word ratio. High top-fraction or low distinct
+    ratio marks boilerplate and degenerate repetition (Rae et al. 2021
+    §A1.1 use exactly these thresholds for corpus filtering).
+
+    Plan shape (scale audit): ONE scan. Words and bigrams are built
+    array-side (`zip_with` of two shifted slices — no window sort),
+    tagged into a single exploded stream, then two hash aggregates:
+    (id, kind, gram) -> count, then id -> stats via conditional
+    aggregation. Two shuffles keyed on the document id, no join, no
+    per-doc window. Ratios are returned as exact integers (floor of
+    x*1e6) so downstream filters and cross-engine checks are
+    bit-stable.
+    """
+    t = F.col(text_col)
+    ws = tokens(t)
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tagged = F.concat(
+        F.transform(ws, lambda w: F.struct(F.lit(1).alias("k"), w.alias("g"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit(2).alias("k"), b.alias("g"))),
+    )
+    grams = df.select(F.col(id_col), F.explode(tagged).alias("kg")).select(
+        id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+    )
+    counted = grams.groupBy(id_col, "k", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w1 = F.when(F.col("k") == 1, F.col("cnt"))
+    w2 = F.when(F.col("k") == 2, F.col("cnt"))
+    per_doc = counted.groupBy(id_col).agg(
+        F.sum(w1).alias("n_words"),
+        F.count(w1).alias("n_distinct_words"),
+        F.max(w1).alias("top_word_cnt"),
+        F.coalesce(F.sum(w2), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.max(w2), F.lit(0)).alias("top_bigram_cnt"),
+    )
+    e6 = lambda num, den: F.floor(F.lit(1000000.0) * num / den).cast("long")
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        e6(F.col("top_word_cnt"), F.col("n_words")).alias("top_word_frac_e6"),
+        e6(F.col("n_distinct_words"), F.col("n_words")).alias("distinct_ratio_e6"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            e6(F.col("top_bigram_cnt"), F.col("n_bigrams")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_bigram_frac_e6"),
+    )

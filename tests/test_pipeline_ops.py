@@ -1,0 +1,158 @@
+"""Semantic tests for the training-data pipeline operators added in
+round 5: deterministic stratified splitting, repetition metrics, and
+int8 embedding quantization. Expectations are hand-computed on tiny
+inputs (the driver's DuckDB oracle separately cross-checks the same
+operators at sf0.01)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from kamu_cli_spark.operators.quantize import quantize_int8
+from kamu_cli_spark.operators.sampling import (
+    split_assignment,
+    split_thresholds,
+    stratified_split_summary,
+)
+from kamu_cli_spark.operators.text import repetition_metrics
+
+from tests.conftest import rows
+
+
+def _expected_split(key: str, salt: str = "") -> str:
+    h = hashlib.md5((key + salt).encode()).hexdigest()[:4]
+    if h < "cccc":
+        return "train"
+    if h < "e666":
+        return "val"
+    return "test"
+
+
+class TestSplitAssignment:
+    def test_thresholds_exact_hex_bounds(self):
+        t = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+        assert t == [("train", "cccc"), ("val", "e666"), ("test", "10000")]
+
+    def test_fractions_must_sum_to_one(self):
+        with pytest.raises(ValueError):
+            split_thresholds({"a": 0.5, "b": 0.2})
+
+    def test_matches_reference_md5_assignment(self, spark):
+        df = spark.range(0, 200).withColumnRenamed("id", "k")
+        got = {
+            r["k"]: r["split"]
+            for r in df.select(
+                "k", split_assignment(df["k"]).alias("split")
+            ).collect()
+        }
+        assert got == {i: _expected_split(str(i)) for i in range(200)}
+
+    def test_salt_changes_assignment_deterministically(self, spark):
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        a = df.select("k", split_assignment(df["k"], salt="a").alias("s"))
+        b = df.select("k", split_assignment(df["k"], salt="b").alias("s"))
+        ra, rb = dict(rows(a)), dict(rows(b))
+        assert ra == {i: _expected_split(str(i), "a") for i in range(300)}
+        assert ra != rb  # independent draws differ somewhere
+
+    def test_stratified_summary_counts(self, spark):
+        data = [(i, "en" if i % 2 == 0 else "de", 10 * i) for i in range(100)]
+        df = spark.createDataFrame(data, ["doc_id", "lang", "n_chars"])
+        out = rows(
+            stratified_split_summary(df, "doc_id", "lang", "n_chars"),
+            "split",
+            "lang",
+        )
+        expected = {}
+        for i, lang, size in data:
+            s = _expected_split(str(i))
+            k = (s, lang)
+            n, tot = expected.get(k, (0, 0))
+            expected[k] = (n + 1, tot + size)
+        assert {(s, l): (n, t) for s, l, n, t in out} == expected
+
+
+class TestRepetitionMetrics:
+    def _run(self, spark, text):
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        [r] = repetition_metrics(df).collect()
+        return r
+
+    def test_uniform_repetition(self, spark):
+        # "a a a a": top word 4/4, distinct 1/4, top bigram "a a" 3/3.
+        r = self._run(spark, "a a a a")
+        assert (r["n_words"], r["n_distinct_words"]) == (4, 1)
+        assert r["top_word_frac_e6"] == 1_000_000
+        assert r["distinct_ratio_e6"] == 250_000
+        assert r["top_bigram_frac_e6"] == 1_000_000
+
+    def test_all_distinct(self, spark):
+        r = self._run(spark, "w x y z")
+        assert (r["n_words"], r["n_distinct_words"]) == (4, 4)
+        assert r["top_word_frac_e6"] == 250_000
+        assert r["distinct_ratio_e6"] == 1_000_000
+        # bigrams "w x","x y","y z" all distinct -> 1/3
+        assert r["top_bigram_frac_e6"] == math.floor(1e6 / 3)
+
+    def test_single_word_doc_has_no_bigrams(self, spark):
+        r = self._run(spark, "  solo ")
+        assert (r["n_words"], r["top_bigram_frac_e6"]) == (1, 0)
+
+    def test_empty_doc_produces_no_row(self, spark):
+        df = spark.createDataFrame([(1, "   "), (2, "ok ok")], ["doc_id", "text"])
+        out = rows(repetition_metrics(df), "doc_id")
+        assert [r[0] for r in out] == [2]
+
+    def test_boilerplate_ranks_worse_than_prose(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "click here click here click here click here"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r[0]: r for r in rows(repetition_metrics(df), "doc_id")}
+        assert out[1][3] > out[2][3]  # top_word_frac_e6
+        assert out[1][5] > out[2][5]  # top_bigram_frac_e6
+
+
+class TestQuantizeInt8:
+    def test_known_vector(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, [1.0, -2.0, 4.0, 0.5])], ["vec_id", "label", "embedding"]
+        )
+        [r] = quantize_int8(df).collect()
+        scale = 127.0 / 4.0  # 31.75
+        q = [math.floor(x * scale + 0.5) for x in [1.0, -2.0, 4.0, 0.5]]
+        assert q == [32, -63, 127, 16]  # -63: floor(-63.5+0.5) = -63
+        assert r["scale_e6"] == math.floor(scale * 1e6)
+        assert r["q_sum"] == sum(q)
+        assert r["q_norm"] == sum(x * x for x in q)
+        err = max(abs(qi / scale - x) for qi, x in zip(q, [1.0, -2.0, 4.0, 0.5]))
+        assert r["max_err_e9"] == math.floor(err * 1e9)
+
+    def test_error_bounded_by_half_step(self, spark):
+        import random
+
+        rng = random.Random(7)
+        data = [
+            (i, 0, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(data, ["vec_id", "label", "embedding"])
+        out = quantize_int8(df).collect()
+        assert len(out) == 50
+        scales = {r["vec_id"]: r["scale_e6"] / 1e6 for r in out}
+        for r in out:
+            # |dequant - x| <= 1/(2*scale) (+ float32 storage rounding slop)
+            bound = 1.0 / (2.0 * scales[r["vec_id"]]) * 1.001 + 1e-6
+            assert r["max_err_e9"] / 1e9 <= bound
+
+    def test_zero_vector_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, [0.0, 0.0]), (2, 0, [1.0, 0.0])],
+            ["vec_id", "label", "embedding"],
+        )
+        assert [r["vec_id"] for r in quantize_int8(df).collect()] == [2]
