@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kamu_cli_spark.operators.util import spread as _spread
+from kamu_cli_spark.operators.util import cached_count, spread as _spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -263,7 +263,7 @@ def ivf_ann(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     ).persist()
     if n_centroids is None:
-        n_corpus = c.count()
+        n_corpus = cached_count(corpus)
         r = math.isqrt(max(n_corpus, 1))
         n_centroids = max(16, r if r * r == n_corpus else r + 1)
     model = KMeans(k=n_centroids, seed=seed).fit(c.select("features"))
@@ -339,7 +339,7 @@ def ivf_ann_seeded(
         norm(F.col(vec_col)).alias("cn"),
     )
     if n_centroids is None:
-        n_corpus = c.count()
+        n_corpus = cached_count(corpus)
         r = math.isqrt(max(n_corpus, 1))
         n_centroids = max(16, r if r * r == n_corpus else r + 1)
     seeds = (
@@ -529,7 +529,7 @@ def lsh_bucketed_ann(
     :func:`ivf_ann` ≈ 0.65 — prefer IVF when the corpus clusters.
     """
     if num_planes is None:
-        num_planes = adaptive_num_planes(corpus.count())
+        num_planes = adaptive_num_planes(cached_count(corpus))
     planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
     q = _with_buckets(
         _spread(queries), query_id, "qid", "qv", "qn", vec_col, planes,
@@ -632,7 +632,7 @@ def lsh_bucketed_ann_self(
     ``num_planes=None`` → :func:`adaptive_num_planes` (constant bucket
     occupancy across decades)."""
     if num_planes is None:
-        num_planes = adaptive_num_planes(corpus.count())
+        num_planes = adaptive_num_planes(cached_count(corpus))
     planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
     c = _with_buckets(
         _spread(corpus), id_col, "cid", "cv", "cn", vec_col, planes,

@@ -33,3 +33,29 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     if size >= _SPREAD_MAX_BYTES:
         return df
     return df.repartition(target)
+
+
+# id(df) -> (df, count). Keyed by OBJECT identity, not plan equality:
+# the same object always denotes the same immutable relation snapshot
+# (sources/testdata.py hands out one cached DataFrame per table), while
+# a re-loaded dataset after a writer commit is a NEW object and misses
+# the cache. Holding the df reference pins id() against recycling.
+_COUNT_CACHE: dict[int, tuple[DataFrame, int]] = {}
+
+
+def cached_count(df: DataFrame) -> int:
+    """`df.count()` memoized per DataFrame object.
+
+    Adaptive operators (LSH plane count, IVF cell count) size their
+    index from the corpus cardinality; that count is one full Spark job
+    per query even though the corpus relation is immutable and shared.
+    Memoizing by object identity makes the second and later sizings
+    free without any staleness risk (see key rationale above).
+    """
+    key = id(df)
+    hit = _COUNT_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    n = df.count()
+    _COUNT_CACHE[key] = (df, n)
+    return n

@@ -50,3 +50,16 @@ def test_formulas_match_duckdb(n):
     ).fetchone()
     assert cells == max(16, ceil_sqrt(n))
     assert planes == adaptive_num_planes(n)
+
+
+def test_cached_count_memoizes_by_object_identity(spark):
+    from kamu_cli_spark.operators.util import _COUNT_CACHE, cached_count
+
+    a = spark.range(0, 123)
+    assert cached_count(a) == 123
+    assert cached_count(a) == 123  # hit
+    assert id(a) in _COUNT_CACHE
+    # a different object (even an identical plan) is its own entry —
+    # identity keying is what makes the cache staleness-free
+    b = spark.range(0, 123).filter("id < 10")
+    assert cached_count(b) == 10
