@@ -10,7 +10,10 @@
   (dataset_metadata.rs:204-325), and upstream/downstream dependencies
   (dataset_metadata.rs:147-202) resolved through
   :mod:`kamu_cli_spark.provenance`;
-- ``dataset.lineage`` — the full recursive input tree.
+- ``dataset.lineage`` — the full recursive input tree;
+- ``search.query`` — paginated dataset search (search.rs:29-80):
+  lowercased substring match on names, extended to SetInfo
+  description/keywords.
 
 Built on graphql-core: schema-first SDL + object resolvers. Row data
 and event payloads return as JSON-encoded strings, mirroring the
@@ -27,6 +30,24 @@ from pyspark.sql import SparkSession
 SDL = """
 type Query {
   datasets: Datasets!
+  search: Search!
+}
+
+type Search {
+  query(query: String!, page: Int = 0, perPage: Int = 15): SearchResultConnection!
+}
+
+type SearchResultConnection {
+  nodes: [Dataset!]!
+  totalCount: Int!
+  pageInfo: PageInfo!
+}
+
+type PageInfo {
+  hasPreviousPage: Boolean!
+  hasNextPage: Boolean!
+  currentPage: Int!
+  totalPages: Int!
 }
 
 type Datasets {
@@ -308,12 +329,74 @@ class _Datasets:
         return None
 
 
+class _PageInfo:
+    def __init__(self, page: int, total_pages: int):
+        self.hasPreviousPage = page > 0
+        self.hasNextPage = page + 1 < total_pages
+        self.currentPage = page
+        self.totalPages = total_pages
+
+
+class _SearchConnection:
+    def __init__(self, qs, names: list[str], page: int, per_page: int):
+        self._qs = qs
+        self._names = names
+        self._page = page
+        self._per = per_page
+
+    def totalCount(self, info):
+        return len(self._names)
+
+    def pageInfo(self, info):
+        total_pages = max(1, -(-len(self._names) // self._per))
+        return _PageInfo(self._page, total_pages)
+
+    def nodes(self, info):
+        lo = self._page * self._per
+        return [_Dataset(self._qs, n) for n in self._names[lo : lo + self._per]]
+
+
+class _Search:
+    """Dataset search mirroring the reference's single-input heuristic
+    endpoint (adapter/graphql/src/queries/search.rs:29-80): the query
+    string is lowercased and substring-matched against dataset names —
+    extended here to SetInfo description/keywords, since the metadata
+    chain is local — with page/perPage pagination (default 15/page)."""
+
+    def __init__(self, qs):
+        self._qs = qs
+
+    def _matches(self, name: str, q: str) -> bool:
+        if q in name.lower():
+            return True
+        ds = self._qs.dataset(name)
+        info = ds.chain.last_event("SetInfo")
+        if not info:
+            return False
+        ev = info.event
+        if q in (ev.get("description") or "").lower():
+            return True
+        return any(q in kw.lower() for kw in ev.get("keywords") or [])
+
+    def query(self, info, query: str, page: int = 0, perPage: int = 15):
+        q = query.lower()
+        names = [
+            n
+            for n in sorted(self._qs.list_datasets())
+            if self._matches(n, q)
+        ]
+        return _SearchConnection(self._qs, names, page, perPage)
+
+
 class _Root:
     def __init__(self, qs):
         self._qs = qs
 
     def datasets(self, info):
         return _Datasets(self._qs)
+
+    def search(self, info):
+        return _Search(self._qs)
 
 
 def execute_graphql(spark: SparkSession, workspace: str, query: str) -> dict:

@@ -201,3 +201,70 @@ def test_graphql_lineage_and_dependencies(spark, tmp_path):
     assert [u["name"] for u in ups] == ["raw"]
     downs = res["data"]["datasets"]["root"]["metadata"]
     assert downs["currentDownstreamDependencies"] == ["clean"]
+
+
+def test_graphql_search(spark, tmp_path):
+    """Mirrors the reference search endpoint (search.rs): lowercased
+    substring match over names (+SetInfo text here), paginated."""
+    ws = str(tmp_path)
+    for name in ("cities", "city-stats", "weather"):
+        ds = Dataset.create(ws, name, system_time=T0.isoformat())
+        if name == "weather":
+            ds.set_info(
+                description="Observations near big Cities",
+                keywords=["meteo"],
+                system_time=T0.isoformat(),
+            )
+
+    res = execute_graphql(
+        spark,
+        ws,
+        """
+        {
+          search {
+            query(query: "CIT") {
+              totalCount
+              nodes { name }
+              pageInfo { hasNextPage hasPreviousPage currentPage totalPages }
+            }
+          }
+        }
+        """,
+    )
+    assert "errors" not in res, res
+    conn = res["data"]["search"]["query"]
+    # "cit" hits cities/city-stats by name and weather via its SetInfo
+    # description ("Cities", lowercased)
+    assert conn["totalCount"] == 3
+    assert [n["name"] for n in conn["nodes"]] == ["cities", "city-stats", "weather"]
+    assert conn["pageInfo"] == {
+        "hasNextPage": False,
+        "hasPreviousPage": False,
+        "currentPage": 0,
+        "totalPages": 1,
+    }
+
+    # pagination: perPage=1, middle page
+    res = execute_graphql(
+        spark,
+        ws,
+        '{ search { query(query: "cit", page: 1, perPage: 1) { '
+        "totalCount nodes { name } "
+        "pageInfo { hasNextPage hasPreviousPage currentPage totalPages } } } }",
+    )
+    conn = res["data"]["search"]["query"]
+    assert conn["totalCount"] == 3
+    assert [n["name"] for n in conn["nodes"]] == ["city-stats"]
+    assert conn["pageInfo"] == {
+        "hasNextPage": True,
+        "hasPreviousPage": True,
+        "currentPage": 1,
+        "totalPages": 3,
+    }
+
+    # no match
+    res = execute_graphql(
+        spark, ws, '{ search { query(query: "nope") { totalCount pageInfo { totalPages } } } }'
+    )
+    assert res["data"]["search"]["query"]["totalCount"] == 0
+    assert res["data"]["search"]["query"]["pageInfo"]["totalPages"] == 1
