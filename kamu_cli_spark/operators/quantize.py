@@ -6,11 +6,13 @@ float32, dot products stay rank-faithful). Emitted per vector:
 the scale, the quantized checksums, and the max reconstruction error,
 all as exact integers so cross-engine verification is bit-stable.
 
-Plan shape (scale audit): pure per-row expressions over the vector
-column — no shuffle, no UDF, no driver collection; linear in
-|corpus| × dim and trivially partition-parallel. The arithmetic is
-pinned to double-precision IEEE ops in a fixed order (amax → scale →
-floor(x*scale + 0.5)) so DuckDB/Trino replicate it exactly;
+Plan shape (scale audit): one Arrow-batched mapInPandas over a
+pruned (keys + vector) scan — no shuffle, no driver collection;
+linear in |corpus| × dim and trivially partition-parallel. Per batch
+the uniform-dimension corpus is one numpy matrix pass. The arithmetic
+is pinned to double-precision IEEE ops in a fixed order (amax → scale
+→ floor(x*scale + 0.5)) so DuckDB/Trino replicate it bit-exactly
+(elementwise float64 ops have no accumulation order to disagree on);
 `floor(+0.5)` is used instead of round() because engines disagree on
 half-even vs half-away ties.
 
@@ -40,36 +42,72 @@ def quantize_int8(
     1/(2·scale) when the math is right — the self-test of the codec).
     Zero vectors (amax = 0) are not quantizable and are dropped.
     """
-    v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    staged = (
-        df.where(amax > 0)
-        .select(
-            *keep_cols,
-            v.alias("__v"),
-            (F.lit(127.0) / amax).alias("__scale"),
-        )
-        .select(
-            *keep_cols,
-            "__v",
-            "__scale",
-            F.transform(
-                F.col("__v"),
-                lambda x: F.floor(x * F.col("__scale") + F.lit(0.5)).cast("int"),
-            ).alias("__q"),
-        )
+    from collections.abc import Iterator
+    from math import floor
+
+    import numpy as np
+    import pandas as pd
+
+    from kamu_cli_spark.operators.util import spread
+
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (
+        ", ".join(f"{c} {in_types[c]}" for c in keep_cols)
+        + ", scale_e6 long, q_sum long, q_norm long, max_err_e9 long"
     )
-    q = F.col("__q")
-    scale = F.col("__scale")
-    err = F.array_max(
-        F.zip_with(q, F.col("__v"), lambda qi, x: F.abs(qi / scale - x))
-    )
-    return staged.select(
-        *keep_cols,
-        F.floor(scale * 1000000.0).cast("long").alias("scale_e6"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
-            "q_norm"
-        ),
-        F.floor(err * 1000000000.0).cast("long").alias("max_err_e9"),
-    )
+    metric_cols = ["scale_e6", "q_sum", "q_norm", "max_err_e9"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Elementwise IEEE-double ops on float32 inputs are bit-identical
+        # to the engines' scalar evaluation (float->double promotion is
+        # exact; each op touches one element), so numpy here is a pure
+        # speed change — the oracle stays strict. The interpreted
+        # higher-order-function formulation of the same math measured
+        # ~7x slower at sf10.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            dims = {v.shape[0] for v in vecs}
+            if len(dims) == 1 and dims != {0}:
+                # uniform dimension (the normal corpus): one matrix pass
+                V = np.vstack(vecs)
+                amax = np.max(np.abs(V), axis=1)
+                keep = amax > 0
+                V, amax = V[keep], amax[keep]
+                scale = 127.0 / amax
+                Q = np.floor(V * scale[:, None] + 0.5).astype(np.int64)
+                err = np.max(np.abs(Q / scale[:, None] - V), axis=1)
+                out = pd.DataFrame(
+                    {c: pdf[c].to_numpy()[keep] for c in keep_cols}
+                )
+                out["scale_e6"] = np.floor(scale * 1000000.0).astype(np.int64)
+                out["q_sum"] = Q.sum(axis=1)
+                out["q_norm"] = (Q * Q).sum(axis=1)
+                out["max_err_e9"] = np.floor(err * 1000000000.0).astype(
+                    np.int64
+                )
+                yield out
+                continue
+            rows = []
+            for idx, v in enumerate(vecs):  # ragged fallback
+                if v.size == 0:
+                    continue
+                amax = float(np.max(np.abs(v)))
+                if not amax > 0:
+                    continue  # zero vectors are not quantizable
+                scale = 127.0 / amax
+                q = np.floor(v * scale + 0.5).astype(np.int64)
+                err = float(np.max(np.abs(q / scale - v)))
+                rows.append(
+                    tuple(pdf[c].iloc[idx] for c in keep_cols)
+                    + (
+                        floor(scale * 1000000.0),
+                        int(q.sum()),
+                        int((q * q).sum()),
+                        floor(err * 1000000000.0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=list(keep_cols) + metric_cols)
+
+    return spread(df.select(*keep_cols, vec_col)).mapInPandas(run, schema)
