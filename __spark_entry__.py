@@ -1189,7 +1189,7 @@ def q_documents_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 O_DEDUP_EXACT = """
 WITH fp AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS fingerprint
   FROM documents
 ),
 groups AS (
@@ -1219,7 +1219,7 @@ def _o_minhash() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
   FROM documents
 ),
 sh AS (
@@ -1290,7 +1290,7 @@ def q_documents_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 O_NGRAM_JACCARD = """
 WITH words AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
   FROM documents
 ),
 sh AS (
@@ -1346,7 +1346,7 @@ def q_documents_winnow(spark: SparkSession, sf: str) -> DataFrame:
 O_WINNOW = """
 WITH words AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
   FROM documents
 ),
 pos_grams AS (
@@ -1445,7 +1445,7 @@ def _o_simhash() -> str:
     sim = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b}::BIGINT ELSE 0 END" for b in range(32))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                     x -> x <> '')) AS tok
   FROM documents
 ),
@@ -1480,10 +1480,10 @@ def q_documents_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 O_TOKEN_COUNTS = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_words,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe,
        round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
-             / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 1)::DOUBLE,
+             / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)::DOUBLE,
              4) AS tokens_per_word
 FROM documents
 """
@@ -1505,8 +1505,8 @@ def q_documents_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
 O_TEXT_METRICS = r"""
 WITH base AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
-         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks,
          CASE WHEN length(text) > 0
               THEN length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0 / length(text)
               ELSE 0.0 END AS praw
@@ -1536,7 +1536,7 @@ SELECT doc_id, n_tokens,
             WHEN h_es = greatest(h_es, h_fr, h_zh) THEN 'es'
             WHEN h_fr = greatest(h_fr, h_zh) THEN 'fr'
             ELSE 'zh' END AS lang_pred,
-       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS fingerprint
 FROM m
 """
 
@@ -1554,7 +1554,7 @@ def q_documents_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
 O_LANG_CONFUSION = r"""
 WITH base AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks
   FROM documents
 ),
 m AS (
@@ -1609,7 +1609,7 @@ def q_documents_repetition(spark: SparkSession, sf: str) -> DataFrame:
 O_REPETITION = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
   FROM documents
 ),
 grams AS (
@@ -1687,7 +1687,7 @@ def _o_two_stage() -> str:
 WITH cand AS (SELECT * FROM ({minhash_sql}) __mh),
 words AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
   FROM documents
 ),
 sh AS (

@@ -69,7 +69,13 @@ def explode_shingles_arrow(
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Java regex \s and RE2 \s are ASCII-only, Python's is
+    # Unicode-aware — without the flag a U+00A0-separated text would
+    # tokenize differently here than in the SQL oracles / JVM exprs.
+    # Same reason there is no .strip(): str.strip() removes Unicode
+    # whitespace that trim() in Spark/DuckDB (spaces only) keeps; the
+    # empty-token filter already handles ASCII edge whitespace.
+    ws = re.compile(r"\s+", re.ASCII)
     out_schema = f"{id_col} long, gram string"
     if with_hash:
         out_schema += ", h long"
@@ -93,7 +99,7 @@ def explode_shingles_arrow(
         for pdf in batches:
             ids, grams, hashes, poses = [], [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in ws.split((txt or "").strip().lower()) if t]
+                toks = [t for t in ws.split((txt or "").lower()) if t]
                 if len(toks) < n:
                     continue
                 gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]

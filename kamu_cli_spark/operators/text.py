@@ -111,8 +111,14 @@ def lang_id(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of case-folded,
-    whitespace-collapsed text — the cheap exact-dup key."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    whitespace-collapsed text — the cheap exact-dup key.
+
+    Collapse (ASCII ``\\s+``) runs BEFORE the trim, and the trim strips
+    ASCII spaces only: Spark's trim is ASCII-space-only while DuckDB's
+    strips Unicode whitespace, so trimming the raw text first would
+    fingerprint U+00A0-edged documents differently across engines (the
+    oracle uses ``trim(x, ' ')`` for the same reason)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
 
 
@@ -186,7 +192,7 @@ def repetition_metrics(
 
     from kamu_cli_spark.operators.util import spread
 
-    ws_re = _re.compile(r"\s+")
+    ws_re = _re.compile(r"\s+", _re.ASCII)  # match Java/RE2 \s (see dedup.py)
     schema = (
         f"{id_col} long, n_words long, n_distinct_words long, "
         "top_word_frac_e6 long, distinct_ratio_e6 long, top_bigram_frac_e6 long"
@@ -196,7 +202,7 @@ def repetition_metrics(
         for pdf in batches:
             rows = []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in ws_re.split((txt or "").strip()) if t]
+                toks = [t for t in ws_re.split(txt or "") if t]
                 n = len(toks)
                 if n == 0:
                     continue  # no tokens -> no gram rows (oracle parity)

@@ -156,3 +156,120 @@ class TestQuantizeInt8:
             ["vec_id", "label", "embedding"],
         )
         assert [r["vec_id"] for r in quantize_int8(df).collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Differential property tests: hypothesis-generated inputs through BOTH
+# the Spark operator and the DuckDB oracle formulation must agree
+# bit-exactly — including Unicode whitespace (U+00A0 is NOT a token
+# separator for Java/RE2 \s) and adversarial float magnitudes.
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+DIFF_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+O_REPETITION_ON_DF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM docs_pd
+),
+grams AS (
+  SELECT doc_id, 1 AS k, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM toks
+),
+c AS (SELECT doc_id, k, g, count(*) AS cnt FROM grams GROUP BY doc_id, k, g)
+SELECT doc_id,
+  CAST(sum(CASE WHEN k = 1 THEN cnt END) AS BIGINT) AS n_words,
+  CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS n_distinct_words,
+  CAST(floor(1e6 * max(CASE WHEN k = 1 THEN cnt END) / sum(CASE WHEN k = 1 THEN cnt END)) AS BIGINT) AS top_word_frac_e6,
+  CAST(floor(1e6 * count(CASE WHEN k = 1 THEN 1 END) / sum(CASE WHEN k = 1 THEN cnt END)) AS BIGINT) AS distinct_ratio_e6,
+  CAST(CASE WHEN coalesce(sum(CASE WHEN k = 2 THEN cnt END), 0) > 0
+       THEN floor(1e6 * max(CASE WHEN k = 2 THEN cnt END) / sum(CASE WHEN k = 2 THEN cnt END))
+       ELSE 0 END AS BIGINT) AS top_bigram_frac_e6
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+TEXTS = st.lists(
+    st.text(alphabet="ab .\t !", max_size=24), min_size=1, max_size=5
+)
+
+
+@given(texts=TEXTS)
+@DIFF_SETTINGS
+def test_repetition_matches_duckdb(spark, texts):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in repetition_metrics(sdf).collect())
+
+    con = duckdb.connect()
+    docs_pd = pd.DataFrame(docs, columns=["doc_id", "text"])
+    con.register("docs_pd", docs_pd)
+    want = [tuple(r) for r in con.execute(O_REPETITION_ON_DF).fetchall()]
+    assert got == want
+
+
+VEC_ELEMS = st.integers(min_value=-8000, max_value=8000).map(
+    lambda i: i * 0.125  # exact binary fractions; |v| <= 1000
+)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(VEC_ELEMS, min_size=1, max_size=5), min_size=1, max_size=6
+    )
+)
+@DIFF_SETTINGS
+def test_quantize_matches_duckdb(spark, vecs):
+    rows = [(i, 0, v) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = sorted(tuple(r) for r in quantize_int8(sdf).collect())
+
+    con = duckdb.connect()
+    emb_pd = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    con.register("embeddings", emb_pd)
+    from __spark_entry__ import O_QUANTIZE
+
+    want = sorted(
+        tuple(r) for r in con.execute(O_QUANTIZE).fetchall()
+    )
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), unique=True, min_size=1, max_size=40),
+)
+@DIFF_SETTINGS
+def test_split_assignment_matches_duckdb(spark, keys):
+    sdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = dict(
+        (r["k"], r["s"])
+        for r in sdf.select("k", split_assignment(sdf["k"]).alias("s")).collect()
+    )
+    con = duckdb.connect()
+    keys_pd = pd.DataFrame({"k": keys})
+    con.register("keys_pd", keys_pd)
+    want = dict(
+        con.execute(
+            """
+            SELECT k,
+                   CASE WHEN substr(md5(CAST(k AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(k AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END
+            FROM keys_pd
+            """
+        ).fetchall()
+    )
+    assert got == want
