@@ -273,3 +273,96 @@ def test_split_assignment_matches_duckdb(spark, keys):
         ).fetchall()
     )
     assert got == want
+
+
+# Differential property tests for the sketch operators: the entry
+# oracles run verbatim on a hypothesis-generated `documents` view while
+# the operators run on the same rows in Spark — any tokenizer, hash, or
+# banding disagreement on adversarial text (Unicode whitespace,
+# repeated tokens, short docs) surfaces as a mismatch.
+
+DOCS = st.lists(
+    st.text(alphabet="abc .\t! ", max_size=30), min_size=1, max_size=6
+)
+
+
+def _docs_duckdb(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+        ),
+    )
+    return con
+
+
+def _docs_spark(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@given(texts=DOCS)
+@DIFF_SETTINGS
+def test_minhash_lsh_pairs_match_duckdb(spark, texts):
+    import __spark_entry__ as entry
+    from kamu_cli_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(_docs_spark(spark, texts), "doc_id", num_hashes=16, shingle_n=3)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=64
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _docs_duckdb(texts)
+        .execute(entry.oracle_sql()["documents_minhash_lsh"])
+        .fetchall()
+    )
+    assert got == want
+
+
+@given(texts=DOCS)
+@DIFF_SETTINGS
+def test_winnow_matches_duckdb(spark, texts):
+    import __spark_entry__ as entry
+    from kamu_cli_spark.operators.dedup import winnow_fingerprints
+
+    got = sorted(
+        (r["id"], r["fp"])
+        for r in winnow_fingerprints(
+            _docs_spark(spark, texts), "doc_id", shingle_n=3, window=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _docs_duckdb(texts)
+        .execute(entry.oracle_sql()["documents_winnow"])
+        .fetchall()
+    )
+    assert got == want
+
+
+@given(texts=DOCS)
+@DIFF_SETTINGS
+def test_simhash_matches_duckdb(spark, texts):
+    import __spark_entry__ as entry
+    from kamu_cli_spark.operators.dedup import simhash
+
+    got = sorted(
+        (r["doc_id"], r["simhash"])
+        for r in simhash(_docs_spark(spark, texts), "doc_id").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _docs_duckdb(texts)
+        .execute(entry.oracle_sql()["documents_simhash"])
+        .fetchall()
+    )
+    assert got == want
