@@ -262,6 +262,10 @@ def cmd_info(args) -> int:
             out["keywords"] = b.event.get("keywords")
         elif k == "SetLicense":
             out["license"] = b.event.get("short_name")
+        elif k == "SetAttachments":
+            out["attachments"] = [
+                a["name"] for a in b.event.get("attachments", [])
+            ]
     out["num_records"] = sum(d["num_records"] for d in ds.chain.data_files())
     out["watermark"] = ds.chain.current_watermark()
     print(json.dumps(out, indent=2))

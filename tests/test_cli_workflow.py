@@ -82,3 +82,48 @@ def test_cli_full_workflow(spark, tmp_path, capsys):
         "SELECT count(*) AS n FROM cities",
     )
     assert rc == 0 and "3" in out
+
+
+def test_cli_set_info_attachments_roundtrip(spark, tmp_path, capsys):
+    """SetInfo / SetLicense / SetAttachments events committed by the CLI
+    surface back through `info` and the metadata chain (reference:
+    MetadataEvent::SetAttachments, dtos_generated.rs:1253)."""
+    ws = str(tmp_path)
+    manifest = tmp_path / "cities.yaml"
+    manifest.write_text(
+        yaml.safe_dump(
+            {
+                "kind": "Root",
+                "name": "cities",
+                "merge": {"kind": "ledger", "primary_key": ["city"]},
+            }
+        )
+    )
+    rc, _ = _run(capsys, "--workspace", ws, "add", str(manifest))
+    assert rc == 0
+
+    readme = tmp_path / "README.md"
+    readme.write_text("# Cities\nA registry.")
+    rc, _ = _run(
+        capsys, "--workspace", ws, "set-info", "cities",
+        "--description", "City registry",
+        "--keywords", "cities,geo",
+        "--license", "apache-2.0",
+        "--attachment", str(readme),
+    )
+    assert rc == 0
+
+    rc, out = _run(capsys, "--workspace", ws, "info", "cities")
+    assert rc == 0
+    meta = json.loads(out)
+    assert meta["description"] == "City registry"
+    assert meta["keywords"] == ["cities", "geo"]
+    assert meta["license"] == "apache-2.0"
+    assert meta["attachments"] == ["README.md"]
+
+    # the attachment content itself is preserved verbatim in the chain
+    from kamu_cli_spark.dataset import Dataset
+
+    ds = Dataset(f"{ws}/cities")
+    ev = ds.chain.last_event("SetAttachments").event
+    assert ev["attachments"][0]["content"] == "# Cities\nA registry."
