@@ -150,3 +150,35 @@ def stream_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Continuous exact dedup: the streaming twin of
+    :func:`kamu_cli_spark.operators.dedup.dedup_exact`.
+
+    Each record gets the same normalized-text md5 fingerprint as the
+    batch operator, then duplicates are dropped on it. With an
+    event-time column the state is bounded by a watermark
+    (``dropDuplicatesWithinWatermark`` — late duplicates beyond the
+    delay are the documented trade-off, exactly as in the reference's
+    streaming engines); without one, ``dropDuplicates`` keeps
+    all-fingerprint state and is only suitable for bounded replays
+    (``availableNow`` backfills).
+
+    At 100 TB the dedup state shuffles on the fingerprint — the same
+    single-shuffle shape as the batch operator, held incrementally.
+    """
+    from kamu_cli_spark.operators.text import fingerprint
+
+    with_fp = stream.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    if event_time_col is not None:
+        return with_fp.withWatermark(
+            event_time_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return with_fp.dropDuplicates(["fingerprint"])

@@ -98,3 +98,41 @@ def test_windowed_aggregate_stream(spark, tmp_path):
         for r in spark.sql("select * from winagg").collect()
     }
     assert got == {1: (2, 3), 2: (2, 7)}
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Continuous exact dedup drops same-fingerprint documents across
+    micro-batches; normalization matches the batch operator (case +
+    whitespace folding)."""
+    from kamu_cli_spark.streaming import streaming_dedup_exact
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "Hello  World"), (2, "unique one")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(3, "hello world"), (4, "another doc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup_exact(stream, "doc_id")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, fingerprint FROM dedup_out").collect()
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps)) == 3  # doc 1/3 collapse to one
+    survivors = {r["doc_id"] for r in rows}
+    assert {2, 4}.issubset(survivors)
+    assert len(survivors & {1, 3}) == 1
