@@ -14,6 +14,7 @@ chain pins reproducible as-of file lists (like Delta time travel).
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from typing import Any
@@ -136,18 +137,34 @@ class Dataset:
     def state_path(self) -> str:
         return os.path.join(self.path, "state")
 
-    def read_state(self, spark: SparkSession) -> DataFrame | None:
+    def read_state(
+        self, spark: SparkSession, primary_key: list[str] | None = None
+    ) -> DataFrame | None:
         """Latest-per-PK projection (retractions included), maintained
-        incrementally by the writer. None when never materialized."""
+        incrementally by the writer. None when never materialized.
+
+        `primary_key`: when given, the state is returned only if it was
+        materialized under the SAME key — a projection grouped on a
+        different key is silently wrong for the caller, so the key the
+        state was built with is recorded alongside it and checked here.
+        """
         marker = os.path.join(self.state_path(), "_HEAD")
         if not os.path.exists(marker):
             return None
         head = open(marker).read().strip()
         if head != (self.head_hash() or ""):
             return None  # stale (e.g. compaction/reset rewrote history)
+        if primary_key is not None:
+            pk_marker = os.path.join(self.state_path(), "_PK")
+            if not os.path.exists(pk_marker):
+                return None
+            if json.load(open(pk_marker)) != list(primary_key):
+                return None
         return spark.read.parquet(os.path.join(self.state_path(), "latest"))
 
-    def write_state(self, df: DataFrame) -> None:
+    def write_state(
+        self, df: DataFrame, primary_key: list[str] | None = None
+    ) -> None:
         """Atomically replace the materialized state for current head."""
         import shutil
 
@@ -157,6 +174,12 @@ class Dataset:
         if os.path.exists(target):
             shutil.rmtree(target)
         os.replace(tmp, target)
+        pk_marker = os.path.join(self.state_path(), "_PK")
+        if primary_key is not None:
+            with open(pk_marker, "w") as f:
+                json.dump(list(primary_key), f)
+        elif os.path.exists(pk_marker):
+            os.remove(pk_marker)
         with open(os.path.join(self.state_path(), "_HEAD"), "w") as f:
             f.write(self.head_hash() or "")
 

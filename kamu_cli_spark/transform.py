@@ -26,6 +26,7 @@ from pyspark.sql import Column, functions as F
 
 from kamu_cli_spark.dataset import Dataset
 from kamu_cli_spark.operators.merge import MergeStrategyAppend, MergeStrategy
+from kamu_cli_spark.vocab import OperationType as Op
 from kamu_cli_spark.writer import DataWriter
 
 
@@ -244,9 +245,20 @@ class AggregatingTransformExecutor(TransformExecutor):
         affected = batch.select(*self.group_keys).distinct()
 
         # full input state as of new_offset, re-aggregated only for
-        # affected groups
-        hist = src.read_between(spark, None, iv["new_offset"])
-        state = project_changelog(hist, self.input_primary_key, src.vocab)
+        # affected groups. elaborate() always sets new_offset to the
+        # input's current head, so the head-hash-guarded materialized
+        # state (when the writer maintains one under the SAME projection
+        # key) is an exact O(state) substitute for re-projecting the
+        # full O(history) changelog — the checkpoint the reference's
+        # engine contract ships as prev_checkpoint_path.
+        mat = src.read_state(spark, primary_key=self.input_primary_key)
+        if mat is not None:
+            state = mat.filter(
+                F.col(src.vocab.operation_type_column) != F.lit(int(Op.RETRACT))
+            )
+        else:
+            hist = src.read_between(spark, None, iv["new_offset"])
+            state = project_changelog(hist, self.input_primary_key, src.vocab)
         state.join(affected, on=self.group_keys, how="left_semi").createOrReplaceTempView(
             alias
         )

@@ -459,7 +459,8 @@ class DataWriter:
 
                 combined = full if prev is None else prev.unionByName(full)
                 self.dataset.write_state(
-                    project_changelog_keep_retractions(combined, pk, v)
+                    project_changelog_keep_retractions(combined, pk, v),
+                    primary_key=pk,
                 )
             return event
         finally:

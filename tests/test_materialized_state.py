@@ -80,3 +80,13 @@ def test_state_invalidated_by_compaction(spark, tmp_path):
         source_event_time=T(9),
     )
     assert ds.read_state(spark) is not None
+
+
+def test_read_state_pk_guard(spark, tmp_path):
+    """State materialized under one projection key must not be served
+    to a caller expecting another (it would be silently wrong)."""
+    ds = _ingest(spark, str(tmp_path), "guarded", True)
+    assert ds.read_state(spark) is not None
+    assert ds.read_state(spark, primary_key=["city"]) is not None
+    assert ds.read_state(spark, primary_key=["country"]) is None
+    assert ds.read_state(spark, primary_key=["city", "x"]) is None
