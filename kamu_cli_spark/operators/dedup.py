@@ -506,3 +506,51 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination audit: per training document, the
+    fraction of its distinct word n-grams that also occur anywhere in
+    the held-out evaluation set (the standard n-gram-overlap decontam
+    check run before LLM training; e.g. GPT-3 App. C / PaLM §7 use
+    8-13-grams — the n is a parameter here).
+
+    Plan shape (scale audit): both sides shingle through the Arrow
+    tokenizer (linear, no shuffle), the eval gram set is de-duplicated
+    (tiny vs the corpus — benchmarks are MBs, corpora are TBs — so the
+    gram join's build side broadcasts), and the only corpus-wide
+    shuffles are the per-doc distinct + count aggregates keyed on the
+    document id. Fractions are exact integers (floor of x*1e6).
+    """
+    tr = explode_shingles_arrow(
+        train, id_col, text_col, shingle_n, distinct=True
+    )
+    ev = (
+        explode_shingles_arrow(
+            eval_set, id_col, text_col, shingle_n, distinct=True
+        )
+        .select("gram")
+        .distinct()
+    )
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tr.join(ev, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated"))
+    )
+    joined = sizes.join(hits, id_col, "left")
+    cont = F.coalesce(F.col("contaminated"), F.lit(0)).cast("long")
+    return joined.select(
+        id_col,
+        "n_grams",
+        cont.alias("contaminated"),
+        F.floor(F.lit(1000000.0) * cont / F.col("n_grams"))
+        .cast("long")
+        .alias("contamination_e6"),
+    )

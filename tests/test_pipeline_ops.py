@@ -366,3 +366,60 @@ def test_simhash_matches_duckdb(spark, texts):
         .fetchall()
     )
     assert got == want
+
+
+class TestContamination:
+    def test_known_overlap(self, spark):
+        from kamu_cli_spark.operators.dedup import contamination_check
+
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d"),      # grams: "a b c","b c d" -> 1 of 2 hit
+                (2, "x y z w"),      # no overlap
+                (3, "a b c"),        # 1 of 1 hit
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(100, "q a b c q")], "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_grams"], r["contaminated"], r["contamination_e6"])
+            for r in contamination_check(train, ev, "doc_id").collect()
+        }
+        assert out[1] == (2, 1, 500_000)
+        assert out[2] == (2, 0, 0)
+        assert out[3] == (1, 1, 1_000_000)
+
+    def test_short_docs_excluded(self, spark):
+        from kamu_cli_spark.operators.dedup import contamination_check
+
+        train = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "zz zz zz")], "doc_id long, text string")
+        ids = [r["doc_id"] for r in contamination_check(train, ev, "doc_id").collect()]
+        assert ids == [2]  # <3 tokens -> no 3-grams -> no row
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", max_size=25), min_size=2, max_size=8))
+@DIFF_SETTINGS
+def test_contamination_matches_duckdb(spark, texts):
+    import __spark_entry__ as entry
+    from kamu_cli_spark.operators.dedup import contamination_check
+    from pyspark.sql import functions as F
+
+    sdf = _docs_spark(spark, texts)
+    got = sorted(
+        tuple(r)
+        for r in contamination_check(
+            sdf.where(F.col("doc_id") % 97 != 0),
+            sdf.where(F.col("doc_id") % 97 == 0),
+            "doc_id",
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _docs_duckdb(texts)
+        .execute(entry.oracle_sql()["documents_contamination"])
+        .fetchall()
+    )
+    assert got == want
