@@ -107,6 +107,28 @@ class TransformExecutor:
             plan["inputs"][alias] = interval
         return plan if any_new else None
 
+    def _commit_changelog(self, spark, events, plan, system_time):
+        """Commit pre-diffed changelog events, recording consumed
+        intervals even when the diff is empty (so nothing reprocesses)."""
+        writer = DataWriter(self.dataset, _PassthroughOps(self.dataset.vocab))
+        event = writer.write(
+            spark,
+            events,
+            system_time=system_time,
+            event_kind="ExecuteTransform",
+            extra_event={"query_inputs": plan["inputs"]},
+        )
+        if event is None:
+            event = {
+                "kind": "ExecuteTransform",
+                "new_data": None,
+                "new_watermark": self.dataset.chain.current_watermark(),
+                "query_inputs": plan["inputs"],
+            }
+            self.dataset.chain.append(event, system_time=system_time.isoformat())
+        return event
+
+
     def execute(
         self,
         spark: SparkSession,
@@ -291,21 +313,105 @@ class AggregatingTransformExecutor(TransformExecutor):
         if prev is not None:
             prev = prev.join(affected, on=self.group_keys, how="left_semi")
         events = MergeStrategySnapshot(self.group_keys, vocab=v).merge(prev, result)
+        return self._commit_changelog(spark, events, plan, system_time)
 
-        writer = DataWriter(self.dataset, _PassthroughOps(v))
-        event = writer.write(
-            spark,
-            events,
-            system_time=system_time,
-            event_kind="ExecuteTransform",
-            extra_event={"query_inputs": plan["inputs"]},
+
+class StatefulTransformExecutor(TransformExecutor):
+    """Materialized-view-style transform: re-evaluate the declared query
+    over the CURRENT STATE of every input each pull, and commit the
+    snapshot diff of the full result keyed on ``output_primary_key`` —
+    +A for new output rows, -C/+C for changed ones, -R for rows that
+    left the view. This is how the reference's streaming engines
+    maintain non-aggregating stateful queries like the leaderboard
+    example's global top-N (examples/leaderboard/leaderboard.yaml:
+    ``row_number() over (order by score desc) <= 2`` on RisingWave,
+    which emits exactly these retractions as the ranking shifts).
+
+    Suited to queries whose OUTPUT is small (top-N, summary views):
+    state projection is incremental via the writer-maintained
+    materialized state when available, and the snapshot diff cost
+    tracks |output|, not |input history|. For per-key aggregations
+    prefer :class:`AggregatingTransformExecutor`, which restricts
+    re-evaluation to affected groups.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        output_primary_key: list[str],
+        input_primary_keys: dict[str, list[str]] | None = None,
+        strategy: MergeStrategy | None = None,
+    ):
+        super().__init__(dataset, strategy)
+        if not output_primary_key:
+            raise TransformError("stateful transform requires output_primary_key")
+        self.output_primary_key = output_primary_key
+        # per input alias: PK for projecting its changelog to current
+        # state; aliases omitted are treated as append-only ledgers
+        # (their state IS the changelog)
+        self.input_primary_keys = input_primary_keys or {}
+
+    def execute(
+        self,
+        spark: SparkSession,
+        system_time: datetime | None = None,
+    ) -> dict[str, Any] | None:
+        from kamu_cli_spark.operators.merge import (
+            MergeStrategySnapshot,
+            project_changelog,
         )
-        if event is None:
-            event = {
-                "kind": "ExecuteTransform",
-                "new_data": None,
-                "new_watermark": self.dataset.chain.current_watermark(),
-                "query_inputs": plan["inputs"],
-            }
-            self.dataset.chain.append(event, system_time=system_time.isoformat())
-        return event
+
+        plan = self.elaborate(spark)
+        if plan is None:
+            return None
+        system_time = system_time or datetime.now(timezone.utc)
+        v = self.dataset.vocab
+
+        for alias, iv in plan["inputs"].items():
+            src = Dataset(self.inputs[alias])
+            pk = self.input_primary_keys.get(alias)
+            if pk:
+                mat = src.read_state(spark, primary_key=pk)
+                if mat is not None:
+                    state = mat.filter(
+                        F.col(src.vocab.operation_type_column)
+                        != F.lit(int(Op.RETRACT))
+                    )
+                else:
+                    hist = src.read_between(spark, None, iv["new_offset"])
+                    if hist is None:
+                        raise TransformError(f"input {alias} has no data")
+                    state = project_changelog(hist, pk, src.vocab)
+            else:
+                state = src.read_between(spark, None, iv["new_offset"])
+                if state is None:
+                    raise TransformError(f"input {alias} has no data")
+            state.createOrReplaceTempView(alias)
+
+        result: DataFrame | None = None
+        for step in self.queries:
+            df = spark.sql(step["query"])
+            if step.get("alias"):
+                df.createOrReplaceTempView(step["alias"])
+            else:
+                result = df
+        if result is None:
+            raise TransformError("transform has no unaliased output step")
+        missing = [k for k in self.output_primary_key if k not in result.columns]
+        if missing:
+            raise TransformError(
+                f"stateful output must carry its primary key; missing {missing}"
+            )
+        drop = [
+            c
+            for c in (v.offset_column, v.system_time_column, v.operation_type_column)
+            if c in result.columns
+        ]
+        if drop:
+            result = result.drop(*drop)
+
+        prev = self.dataset.read(spark)
+        events = MergeStrategySnapshot(self.output_primary_key, vocab=v).merge(
+            prev, result
+        )
+        return self._commit_changelog(spark, events, plan, system_time)

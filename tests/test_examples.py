@@ -112,3 +112,67 @@ def test_shipments_pipeline(spark, tmp_path):
         for r in overdue.read(spark).collect()
     }
     assert rows == {(2, 120, 100), (3, 9, 4)}
+
+
+def test_leaderboard_pipeline(spark, tmp_path):
+    """Mirrors the reference's leaderboard example
+    (examples/leaderboard/leaderboard.yaml, RisingWave top-N): the
+    global top-2 is maintained as a changelog — a new high score must
+    RETRACT/CORRECT displaced entries, not just append."""
+    from kamu_cli_spark.operators import MergeStrategyLedger
+    from kamu_cli_spark.transform import StatefulTransformExecutor
+    from kamu_cli_spark.vocab import OperationType as Op
+
+    ws = str(tmp_path)
+    scores, m = _add(ws, f"{EXAMPLES}/leaderboard/player-scores.yaml")
+    board, _ = _add(ws, f"{EXAMPLES}/leaderboard/leaderboard.yaml")
+
+    d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+    w = DataWriter(scores, MergeStrategyLedger(["match_id", "player_id"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(d(1), 1, "alice", 100), (d(1), 1, "bob", 80)],
+            "match_time timestamp, match_id long, player_id string, score long",
+        ),
+        system_time=d(2),
+    )
+    ex = StatefulTransformExecutor(
+        board,
+        output_primary_key=["place"],
+        input_primary_keys={"player_scores": ["match_id", "player_id"]},
+    )
+    ex.execute(spark, system_time=d(2))
+
+    from kamu_cli_spark.operators.merge import project_changelog
+
+    def board_state():
+        return {
+            (r["place"], r["player_id"], r["score"])
+            for r in project_changelog(board.read(spark), ["place"]).collect()
+        }
+
+    state1 = board_state()
+    assert state1 == {(1, "alice", 100), (2, "bob", 80)}
+
+    # charlie takes 1st place: both rows must be corrected
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(d(3), 2, "charlie", 120)],
+            "match_time timestamp, match_id long, player_id string, score long",
+        ),
+        system_time=d(4),
+    )
+    ex.execute(spark, system_time=d(4))
+    state2 = board_state()
+    assert state2 == {(1, "charlie", 120), (2, "alice", 100)}
+
+    # the second commit is corrections (-C/+C pairs), not plain appends
+    ops = [
+        int(r["op"])
+        for r in board.read(spark).filter("offset >= 2").collect()
+    ]
+    assert sorted(ops) == sorted(
+        [int(Op.CORRECT_FROM), int(Op.CORRECT_TO)] * 2
+    )
