@@ -55,16 +55,30 @@ def set_transform(
     inputs: dict[str, str],
     queries: list[dict[str, str]] | str,
     system_time: str | None = None,
+    temporal_tables: dict[str, list[str]] | None = None,
 ) -> None:
     """Declare the transform: `inputs` maps query alias → dataset path;
     `queries` is SQL or [{"alias": ..., "query": ...}, ...] where the
-    final step (no alias) is the output."""
+    final step (no alias) is the output.
+
+    `temporal_tables` maps an input alias to its primary key, declaring
+    it a versioned lookup table (the ODF Transform DTO's temporalTables,
+    dtos_generated.rs:1485-1490): each pull registers its FULL history
+    up to the consumed head — as-of lookups need every past version —
+    instead of the unprocessed interval. The reference's Flink engine
+    serves such inputs to `FOR SYSTEM_TIME AS OF`; Spark SQL expresses
+    the same lookup as a LATERAL or window as-of join over the history
+    (see examples/currency_conversion)."""
     if isinstance(queries, str):
         queries = [{"query": queries}]
-    dataset.chain.append(
-        {"kind": "SetTransform", "inputs": inputs, "queries": queries},
-        system_time=system_time,
-    )
+    event: dict[str, Any] = {
+        "kind": "SetTransform",
+        "inputs": inputs,
+        "queries": queries,
+    }
+    if temporal_tables:
+        event["temporal_tables"] = temporal_tables
+    dataset.chain.append(event, system_time=system_time)
 
 
 class TransformExecutor:
@@ -77,6 +91,9 @@ class TransformExecutor:
             raise TransformError(f"dataset {dataset.name} has no SetTransform")
         self.inputs: dict[str, str] = b.event["inputs"]
         self.queries: list[dict[str, str]] = b.event["queries"]
+        self.temporal_tables: dict[str, list[str]] = b.event.get(
+            "temporal_tables"
+        ) or {}
         self.strategy = strategy or MergeStrategyAppend(dataset.vocab)
 
     def _last_processed_offsets(self) -> dict[str, int]:
@@ -142,7 +159,8 @@ class TransformExecutor:
 
         for alias, iv in plan["inputs"].items():
             src = Dataset(self.inputs[alias])
-            df = src.read_between(spark, iv["prev_offset"], iv["new_offset"])
+            lo = None if alias in self.temporal_tables else iv["prev_offset"]
+            df = src.read_between(spark, lo, iv["new_offset"])
             if df is None:
                 df = spark.read.parquet(  # empty frame w/ right schema
                     *(src.slice_paths()[:1] or [])

@@ -29,7 +29,10 @@ def _add(ws, manifest_path, system_time=T0):
         )
     if m.get("kind") == "Derivative":
         inputs = {a: os.path.join(ws, r) for a, r in m["inputs"].items()}
-        set_transform(ds, inputs, m["queries"], system_time=system_time.isoformat())
+        set_transform(
+            ds, inputs, m["queries"], system_time=system_time.isoformat(),
+            temporal_tables=m.get("temporal_tables"),
+        )
     return ds, m
 
 
@@ -176,3 +179,74 @@ def test_leaderboard_pipeline(spark, tmp_path):
     assert sorted(ops) == sorted(
         [int(Op.CORRECT_FROM), int(Op.CORRECT_TO)] * 2
     )
+
+
+def test_currency_conversion_pipeline(spark, tmp_path):
+    """Mirrors the reference's currency_conversion example: a temporal
+    (versioned) exchange-rate table joined FOR SYSTEM_TIME AS OF each
+    transaction's event time — expressed in Spark SQL as a LATERAL
+    as-of lookup, with the rate history registered in full."""
+    from kamu_cli_spark.operators import MergeStrategyLedger
+
+    ws = str(tmp_path)
+    rates, _ = _add(ws, f"{EXAMPLES}/currency_conversion/exchange-rates.yaml")
+    tx, _ = _add(ws, f"{EXAMPLES}/currency_conversion/transactions.yaml")
+    cad, _ = _add(ws, f"{EXAMPLES}/currency_conversion/transactions-cad.yaml")
+
+    d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+    wr = DataWriter(
+        rates, MergeStrategyLedger(["currency_base", "currency_target", "event_time"])
+    )
+    wt = DataWriter(tx, MergeStrategyLedger(["tx_id"]))
+
+    wr.write(
+        spark,
+        spark.createDataFrame(
+            [(d(1), "USD", "CAD", 1.3)],
+            "event_time timestamp, currency_base string, currency_target string, rate double",
+        ),
+        system_time=d(1),
+    )
+    wt.write(
+        spark,
+        spark.createDataFrame(
+            [(d(2), 1, "AAPL", "USD", 2, 10.0, 20.0)],
+            "event_time timestamp, tx_id long, symbol string, currency string,"
+            " quantity long, price double, settlement double",
+        ),
+        system_time=d(2),
+    )
+    from kamu_cli_spark.transform import TransformExecutor
+
+    TransformExecutor(cad).execute(spark, system_time=d(2))
+    rows1 = {
+        (r["tx_id"], r["price_cad"], r["settlement_cad"])
+        for r in cad.read(spark).collect()
+    }
+    assert rows1 == {(1, 13.0, 26.0)}
+
+    # rate moves to 1.4 on day 3; a day-4 trade uses the NEW rate while
+    # the incremental pull leaves the day-2 conversion untouched
+    wr.write(
+        spark,
+        spark.createDataFrame(
+            [(d(3), "USD", "CAD", 1.4)],
+            "event_time timestamp, currency_base string, currency_target string, rate double",
+        ),
+        system_time=d(3),
+    )
+    wt.write(
+        spark,
+        spark.createDataFrame(
+            [(d(4), 2, "MSFT", "USD", 1, 100.0, 100.0)],
+            "event_time timestamp, tx_id long, symbol string, currency string,"
+            " quantity long, price double, settlement double",
+        ),
+        system_time=d(4),
+    )
+    TransformExecutor(cad).execute(spark, system_time=d(4))
+    rows2 = {
+        (r["tx_id"], r["price_cad"], r["settlement_cad"])
+        for r in cad.read(spark).collect()
+    }
+    assert rows2 == {(1, 13.0, 26.0), (2, 140.0, 140.0)}
