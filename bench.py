@@ -45,6 +45,15 @@ HEADLINE = [
     "embeddings_ivf_ann",
 ]
 
+# timed separately (reported as extra_queries; excluded from the
+# headline total to keep the 22-query trend line comparable)
+EXTRA = [
+    "documents_train_split",
+    "documents_repetition",
+    "documents_contamination",
+    "embeddings_quantize",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,20 +81,29 @@ def main() -> None:
     # pipeline — warm JIT, cold data. bench_duckdb.py measures the same
     # way.
     queries = entry.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            # operators persist() intermediates scoped to their own run;
-            # drop them so no measurement sees another's cached blocks
-            spark.catalog.clearCache()
-        times[name] = round(best, 3)
+
+    def run_group(names: list[str]) -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                # operators persist() intermediates scoped to their own
+                # run; drop them so no measurement sees another's blocks
+                spark.catalog.clearCache()
+            times[name] = round(best, 3)
+        return times
+
+    times = run_group(HEADLINE)
+    # round-5 training-pipeline additions: timed and reported, but kept
+    # OUT of the headline total so round-over-round totals stay
+    # comparable on the identical 22-query suite
+    extra = run_group(EXTRA)
 
     total = round(sum(times.values()), 3)
     print(
@@ -95,6 +113,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extra_queries": extra,
+                "extra_total": round(sum(extra.values()), 3),
                 "sf": sf,
             }
         )
