@@ -82,3 +82,55 @@ def test_projection_idempotent(spark, table):
     p1 = project_changelog_keep_retractions(ledger, ["k"])
     p2 = project_changelog_keep_retractions(p1, ["k"])
     assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
+
+
+@given(
+    batches=st.lists(
+        st.dictionaries(KEYS, st.integers(min_value=0, max_value=100), min_size=1, max_size=5),
+        min_size=1,
+        max_size=3,
+    )
+)
+@SETTINGS
+def test_stateful_transform_maintains_view(spark, tmp_path_factory, batches):
+    """Law: after every pull, the projected derivative state equals the
+    declared query evaluated directly over the input's current state —
+    regardless of how the input history was batched (the
+    materialized-view invariant the reference's streaming engines
+    guarantee; StatefulTransformExecutor must match it via snapshot
+    diffs)."""
+    import os
+
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.operators import MergeStrategySnapshot
+    from kamu_cli_spark.transform import StatefulTransformExecutor, set_transform
+    from kamu_cli_spark.writer import DataWriter
+
+    ws = str(tmp_path_factory.mktemp("stateful"))
+    scores = Dataset.create(ws, "scores")
+    view = Dataset.create(ws, "toptwo", kind="Derivative")
+    set_transform(
+        view,
+        {"scores": os.path.join(ws, "scores")},
+        "SELECT * FROM (SELECT row_number() OVER (ORDER BY v DESC, k) AS place,"
+        " k, v FROM scores) WHERE place <= 2",
+    )
+    w = DataWriter(scores, MergeStrategySnapshot(["k"]))
+    ex = StatefulTransformExecutor(
+        view, output_primary_key=["place"], input_primary_keys={"scores": ["k"]}
+    )
+    running: dict[str, int] = {}
+    for batch in batches:
+        running = dict(batch)  # snapshot strategy: batch IS the new state
+        w.write(spark, _snap_df(spark, batch))
+        ex.execute(spark)
+
+        expect_rows = sorted(running.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        expected = {
+            (i + 1, k, v) for i, (k, v) in enumerate(expect_rows)
+        }
+        got = {
+            (r["place"], r["k"], r["v"])
+            for r in project_changelog(view.read(spark), ["place"]).collect()
+        }
+        assert got == expected
