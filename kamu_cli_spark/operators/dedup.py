@@ -401,29 +401,63 @@ def winnow_fingerprints(
     Classic winnowing (Schleimer et al.): hash every n-gram, slide a
     window of `window` consecutive hashes, keep each window's minimum —
     guarantees matches of length >= window+n-1 share a fingerprint.
-    Implemented as a positional explode + a sliding-window MIN (window
-    frame over position, per document) — one shuffle on the doc id.
+
+    Plan shape (scale audit): the selection is strictly per-document,
+    so it runs as ONE Arrow-batched mapInPandas pass — tokenize/hash
+    with the same md5-prefix semantics as the shingler, sliding-window
+    min via a numpy stride view, per-doc distinct via np.unique — with
+    NO shuffle at all. The previous formulation (positional explode +
+    per-doc window MIN) shuffled every gram row and sorted per doc; at
+    sf10 that was 12 s of window exchange for what is a linear scan.
     Returns distinct (id, fingerprint-hash) rows.
     """
-    toks = explode_shingles_arrow(
-        df, id_col, text_col, shingle_n, with_hash=True, with_pos=True
-    ).select(F.col(id_col).alias("id"), "pos", "h")
-    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
-    # same (partition, order) as `w`, unbounded frame → Spark collapses
-    # both into ONE Window operator (one shuffle + one sort); a bare
-    # partitionBy spec would add a second Window pass
-    n_w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        toks.withColumn("win_min", F.min("h").over(w))
-        .withColumn("n_pos", F.max("pos").over(n_w) + 1)
-        # a full window must fit starting at this position
-        .filter(F.col("pos") <= F.col("n_pos") - window)
-        .select("id", F.col("win_min").alias("fp"))
-        .distinct()
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # identical tokenization + hash semantics as explode_shingles_arrow
+    # (ASCII \s split, lowercase, first 8 md5 hex chars as int)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5_memo: dict[str, int] = {}
+
+        def gram_hash(g: str) -> int:
+            h = md5_memo.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                md5_memo[g] = h
+            return h
+
+        for pdf in batches:
+            ids, fps = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n_grams = len(toks) - shingle_n + 1
+                if n_grams < window:
+                    continue  # no full window fits (matches the oracle)
+                hs = np.fromiter(
+                    (
+                        gram_hash(" ".join(toks[j : j + shingle_n]))
+                        for j in range(n_grams)
+                    ),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                mins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(hs, window).min(
+                        axis=1
+                    )
+                )
+                ids.extend([i] * len(mins))
+                fps.extend(mins.tolist())
+            yield pd.DataFrame({"id": ids, "fp": fps})
+
+    return _spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, "id long, fp long"
     )
 
 
