@@ -173,20 +173,62 @@ def minhash_signature(
     Base hash = first 8 hex chars of md5(shingle) as a 32-bit int
     (engine-portable); the K signature elements are mins of affine
     variants ``(a_s*h + b_s) mod p`` — ONE md5 per shingle plus K
-    bigint multiply-adds, instead of K md5s (~K× cheaper on the hot
-    path). One explode + one groupBy-agg: the shuffle moves K
-    min-candidates per doc (map-side combined).
+    int64 multiply-adds (exact: a < 2^30, h < 2^32 → a·h < 2^62).
+
+    Plan shape (scale audit): the signature is strictly per-document,
+    so the whole sketch runs inside the Arrow shingling pass — grams
+    never leave the worker; the K mins are one numpy outer-product
+    reduction per doc. The previous formulation exploded every gram
+    through a groupBy shuffle (map-side combined, but still a full
+    exchange of K candidates per doc per map task); cross-document
+    shuffles now start only at LSH banding, where they are semantic.
     """
-    sh = explode_shingles_arrow(
-        df, id_col, text_col, shingle_n, with_hash=True
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)  # match Java/RE2 \s (see shingler)
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    cols = [f"mh{s}" for s in range(num_hashes)]
+    schema = f"{id_col} long, " + ", ".join(f"{c} long" for c in cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5_memo: dict[str, int] = {}
+
+        def gram_hash(g: str) -> int:
+            h = md5_memo.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                md5_memo[g] = h
+            return h
+
+        for pdf in batches:
+            rows = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n_grams = len(toks) - shingle_n + 1
+                if n_grams < 1:
+                    continue
+                hs = np.fromiter(
+                    (
+                        gram_hash(" ".join(toks[j : j + shingle_n]))
+                        for j in range(n_grams)
+                    ),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                sig = ((A * hs + B) % MINHASH_PRIME).min(axis=1)
+                rows.append((i, *sig.tolist()))
+            yield pd.DataFrame(rows, columns=[id_col] + cols)
+
+    return _spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, schema
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"mh{s}"
-        )
-        for s, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
