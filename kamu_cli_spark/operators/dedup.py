@@ -513,32 +513,54 @@ def simhash(
 
     Token hash = first 8 hex chars of md5 as a 32-bit integer (portable
     across engines); bit b of the simhash is the sign of
-    sum(±1 per token at bit b). One explode + one groupBy with `bits`
-    conditional sums — all JVM expressions.
+    sum(±1 per token at bit b).
+
+    Plan shape (scale audit): per-document like the other sketches, so
+    it runs inside the Arrow tokenizing pass with NO shuffle — the
+    bits×tokens sign matrix is one numpy reduction per doc. (Cross-doc
+    work starts at :func:`simhash_near_pairs` banding.) The earlier
+    formulations — 32 conditional sums through a groupBy exchange —
+    paid a full shuffle of every token row for a per-doc statistic.
     """
-    # 1-gram shingles == tokens; arrow path hashes each token once.
-    # The per-bit sums and the bit reassembly are each ONE parsed SQL
-    # expression instead of ~5 Py4J Column calls per bit — the flat
-    # `bits`-term strings parse in milliseconds JVM-side, while the
-    # Column-at-a-time construction cost ~0.5 s of driver time per
-    # query (measured in the round-5 build/action split audit).
-    toks = explode_shingles_arrow(df, id_col, text_col, 1, with_hash=True)
-    bit_sums = F.expr(
-        "array("
-        + ", ".join(
-            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
-            for b in range(bits)
-        )
-        + ")"
-    ).alias("__s")
-    summed = toks.groupBy(id_col).agg(bit_sums)
-    sim = F.expr(
-        " + ".join(
-            f"IF(__s[{b}] > 0, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
-            for b in range(bits)
-        )
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)  # match Java/RE2 \s (see shingler)
+    bit_idx = np.arange(bits, dtype=np.int64)
+    weights = (np.int64(1) << bit_idx)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5_memo: dict[str, int] = {}
+
+        def tok_hash(g: str) -> int:
+            h = md5_memo.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                md5_memo[g] = h
+            return h
+
+        for pdf in batches:
+            ids, sims = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (tok_hash(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                # ±1 per (token, bit): sign of sum decides the bit
+                bit_sums = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
+                ids.append(i)
+                sims.append(int(weights[bit_sums > 0].sum()))
+            yield pd.DataFrame({id_col: ids, "simhash": sims})
+
+    return _spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, f"{id_col} long, simhash long"
     )
-    return summed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(
