@@ -51,6 +51,7 @@ EXTRA = [
     "documents_train_split",
     "documents_repetition",
     "documents_contamination",
+    "documents_pack_sequences",
     "embeddings_quantize",
 ]
 

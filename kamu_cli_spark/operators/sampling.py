@@ -85,3 +85,51 @@ def stratified_split_summary(
     if size_col is not None:
         aggs.append(F.sum(F.col(size_col)).alias("total_size"))
     return assigned.groupBy("split", strata_col).agg(*aggs)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    buckets: int = 32,
+) -> DataFrame:
+    """Deterministic sequence packing for training export: documents
+    fill fixed-token-budget sequences in id order, and each document is
+    assigned the sequence where its span STARTS (contiguous-fill
+    packing — the deterministic, shuffle-friendly variant of the greedy
+    bin packing used to batch LLM training data).
+
+    Scale design: packing is inherently sequential, so a single global
+    order would mean a single-partition sort. Instead documents hash
+    into `buckets` independent packing streams (one window per bucket —
+    the shuffle is keyed on the bucket, sorts are per-bucket) and each
+    bucket packs its own id-ordered stream. At 100 TB, `buckets` scales
+    with the cluster while every sequence stays deterministic.
+
+    Returns per-sequence stats: (bucket, seq_in_bucket, n_docs,
+    n_tokens, first_doc, last_doc) — the manifest a downstream exporter
+    materializes sequences from.
+    """
+    from pyspark.sql import Window
+
+    from kamu_cli_spark.operators.text import token_count
+
+    d = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (F.col(id_col) % buckets).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    seq = F.floor((cum - F.col("n_tokens")) / F.lit(float(seq_len))).cast("long")
+    return (
+        d.select("bucket", F.col(id_col), "n_tokens", seq.alias("seq_in_bucket"))
+        .groupBy("bucket", "seq_in_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

@@ -423,3 +423,61 @@ def test_contamination_matches_duckdb(spark, texts):
         .fetchall()
     )
     assert got == want
+
+
+class TestPackSequences:
+    def test_contiguous_fill(self, spark):
+        from kamu_cli_spark.operators.sampling import pack_sequences
+
+        # one bucket; budget 5 tokens; docs of 3/3/4 tokens pack as:
+        # doc0 starts at cum 0 -> seq 0; doc1 starts at 3 -> seq 0;
+        # doc2 starts at 6 -> seq 1
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e f"), (2, "g h i j")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["bucket"], r["seq_in_bucket"]): (
+                r["n_docs"],
+                r["n_tokens"],
+                r["first_doc"],
+                r["last_doc"],
+            )
+            for r in pack_sequences(
+                df, "doc_id", seq_len=5, buckets=1
+            ).collect()
+        }
+        assert out == {(0, 0): (2, 6, 0, 1), (0, 1): (1, 4, 2, 2)}
+
+    def test_buckets_pack_independently(self, spark):
+        from kamu_cli_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "w " * 10) for i in range(20)], "doc_id long, text string"
+        )
+        rows = pack_sequences(df, "doc_id", seq_len=25, buckets=2).collect()
+        # 10 docs x 10 tokens per bucket -> sequences of sizes 30,30,30,10?
+        # docs start at cum 0,10,20,30.. -> seq = start//25: 0,0,0,1,1,2,2,3,3,3
+        per_bucket = {}
+        for r in rows:
+            per_bucket.setdefault(r["bucket"], []).append(r["n_docs"])
+        assert set(per_bucket) == {0, 1}
+        for counts in per_bucket.values():
+            assert sorted(counts) == [2, 2, 3, 3]
+
+    def test_total_tokens_preserved(self, spark):
+        from kamu_cli_spark.operators.sampling import pack_sequences
+        from kamu_cli_spark.operators.text import token_count
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, "tok " * (i % 7 + 1)) for i in range(50)],
+            "doc_id long, text string",
+        )
+        packed = pack_sequences(df, "doc_id", seq_len=8, buckets=4)
+        total_packed = packed.agg(F.sum("n_tokens")).collect()[0][0]
+        total_direct = df.select(
+            F.sum(token_count(F.col("text")))
+        ).collect()[0][0]
+        assert total_packed == total_direct
+        assert packed.agg(F.sum("n_docs")).collect()[0][0] == 50
