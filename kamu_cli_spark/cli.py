@@ -60,7 +60,13 @@ def cmd_add(args) -> int:
             alias: os.path.join(args.workspace, ref)
             for alias, ref in manifest["inputs"].items()
         }
-        set_transform(ds, inputs, manifest["queries"])
+        set_transform(
+            ds,
+            inputs,
+            manifest["queries"],
+            temporal_tables=manifest.get("temporal_tables"),
+            executor=manifest.get("executor"),
+        )
     print(f"added dataset {name} ({kind})")
     return 0
 
@@ -100,7 +106,7 @@ def cmd_ingest(args) -> int:
 
 def cmd_pull(args) -> int:
     from kamu_cli_spark.provenance import lineage, topological_order
-    from kamu_cli_spark.transform import TransformExecutor
+    from kamu_cli_spark.transform import make_transform_executor
 
     spark = _spark()
     order: list[str] = []
@@ -119,7 +125,7 @@ def cmd_pull(args) -> int:
         order = [args.dataset]
 
     for name in order:
-        ev = TransformExecutor(_dataset(args, name)).execute(spark)
+        ev = make_transform_executor(_dataset(args, name)).execute(spark)
         if ev is None:
             print(f"{name}: up-to-date")
         elif ev.get("new_data"):

@@ -56,6 +56,7 @@ def set_transform(
     queries: list[dict[str, str]] | str,
     system_time: str | None = None,
     temporal_tables: dict[str, list[str]] | None = None,
+    executor: dict[str, Any] | None = None,
 ) -> None:
     """Declare the transform: `inputs` maps query alias → dataset path;
     `queries` is SQL or [{"alias": ..., "query": ...}, ...] where the
@@ -78,6 +79,8 @@ def set_transform(
     }
     if temporal_tables:
         event["temporal_tables"] = temporal_tables
+    if executor:
+        event["executor"] = executor
     dataset.chain.append(event, system_time=system_time)
 
 
@@ -433,3 +436,33 @@ class StatefulTransformExecutor(TransformExecutor):
             prev, result
         )
         return self._commit_changelog(spark, events, plan, system_time)
+
+
+def make_transform_executor(dataset: Dataset) -> TransformExecutor:
+    """Build the executor the SetTransform event declares.
+
+    ``executor: {kind: stateful, output_primary_key: [...],
+    input_primary_keys: {alias: [...]}}`` → materialized-view
+    maintenance; ``{kind: aggregating, group_keys: [...],
+    input_primary_key: [...]}`` → retraction-aware incremental GROUP
+    BY; absent → the plain interval executor. This is the dispatch
+    `kamu pull` uses, so manifests choose their maintenance semantics
+    the way the reference's engine selection does
+    (query_service_impl.rs:604-627 picks flink/risingwave for the
+    stateful shapes)."""
+    b = dataset.chain.last_event("SetTransform")
+    decl = (b.event.get("executor") or {}) if b else {}
+    kind = decl.get("kind")
+    if kind == "stateful":
+        return StatefulTransformExecutor(
+            dataset,
+            output_primary_key=decl["output_primary_key"],
+            input_primary_keys=decl.get("input_primary_keys"),
+        )
+    if kind == "aggregating":
+        return AggregatingTransformExecutor(
+            dataset,
+            group_keys=decl["group_keys"],
+            input_primary_key=decl.get("input_primary_key"),
+        )
+    return TransformExecutor(dataset)

@@ -32,6 +32,7 @@ def _add(ws, manifest_path, system_time=T0):
         set_transform(
             ds, inputs, m["queries"], system_time=system_time.isoformat(),
             temporal_tables=m.get("temporal_tables"),
+            executor=m.get("executor"),
         )
     return ds, m
 
@@ -123,7 +124,7 @@ def test_leaderboard_pipeline(spark, tmp_path):
     global top-2 is maintained as a changelog — a new high score must
     RETRACT/CORRECT displaced entries, not just append."""
     from kamu_cli_spark.operators import MergeStrategyLedger
-    from kamu_cli_spark.transform import StatefulTransformExecutor
+    from kamu_cli_spark.transform import make_transform_executor
     from kamu_cli_spark.vocab import OperationType as Op
 
     ws = str(tmp_path)
@@ -140,11 +141,12 @@ def test_leaderboard_pipeline(spark, tmp_path):
         ),
         system_time=d(2),
     )
-    ex = StatefulTransformExecutor(
-        board,
-        output_primary_key=["place"],
-        input_primary_keys={"player_scores": ["match_id", "player_id"]},
-    )
+    # the manifest declares the stateful executor; pull-side dispatch
+    # (make_transform_executor == what `kamu pull` uses) must pick it up
+    ex = make_transform_executor(board)
+    from kamu_cli_spark.transform import StatefulTransformExecutor
+
+    assert isinstance(ex, StatefulTransformExecutor)
     ex.execute(spark, system_time=d(2))
 
     from kamu_cli_spark.operators.merge import project_changelog
