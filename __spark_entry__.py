@@ -2253,7 +2253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose operator family already has a graded sibling above
     # (tpch_q4/q7/q10 ~ q1/q5/q3 agg/join/EXISTS shapes —
     # suppliers_with_large_orders keeps EXISTS graded; top2_global ~
-    # top3 ranking; lineitem_cube ~ rollup/grouping_sets;
+    # top3 ranking; lineitem_cube + lineitem_grouping_sets ~
+    # lineitem_rollup grouping family; events_snapshot_cdc ~
+    # customer_snapshot_cdc/_compare_cols same strategy;
     # events_conditional_agg ~ scalar/window/salted agg batteries;
     # documents_simhash ⊂ documents_simhash_pairs;
     # documents_token_counts ~ text_metrics; embeddings_near_dup ~
