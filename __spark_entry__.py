@@ -2246,6 +2246,155 @@ FROM events GROUP BY user_id
 """
 
 
+def q_documents_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality-rule battery: per-doc keep flag + first
+    failing rule (operators/curation.py:quality_filter)."""
+    from kamu_cli_spark.operators.curation import quality_filter
+
+    return quality_filter(load_table(spark, sf, "documents"))
+
+
+O_QUALITY_FILTER = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+               ELSE 0.0 END, 4) AS mean_word_len,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
+               ELSE 0.0 END, 4) AS alpha_frac,
+         len(list_filter(ltoks,
+             x -> x IN ('the','and','of','to','is','a','in','that','it','for'))) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_word_len, alpha_frac, stop_hits,
+       fail_reason IS NULL AS keep, fail_reason
+FROM (
+  SELECT *,
+         CASE WHEN n_tokens < 10 THEN 'too_short'
+              WHEN n_tokens > 100000 THEN 'too_long'
+              WHEN mean_word_len < 2.0 THEN 'word_len_low'
+              WHEN mean_word_len > 12.0 THEN 'word_len_high'
+              WHEN alpha_frac < 0.6 THEN 'low_alpha'
+              WHEN stop_hits < 2 THEN 'few_stopwords'
+         END AS fail_reason
+  FROM m
+)
+"""
+
+
+def q_documents_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub audit: per-doc email/IPv4/phone counts + scrubbed-text
+    fingerprint (operators/curation.py:pii_scrub)."""
+    from kamu_cli_spark.operators.curation import pii_scrub
+
+    return pii_scrub(load_table(spark, sf, "documents"))
+
+
+O_PII_SCRUB = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<PII>', 'g'),
+           '\+\d{7,15}\b', '<PII>', 'g') AS scrubbed
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\+\d{7,15}\b')) AS n_phone,
+       length(scrubbed) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+"""
+
+
+def q_documents_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mix sampling audit: deterministic md5-threshold
+    downsampling per source (operators/curation.py)."""
+    from kamu_cli_spark.operators.curation import domain_mix_summary
+
+    return domain_mix_summary(
+        load_table(spark, sf, "documents"),
+        "doc_id",
+        "source",
+        rates=DOMAIN_MIX_RATES,
+        default_rate=0.75,
+    )
+
+
+DOMAIN_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _o_domain_mix() -> str:
+    def keep(rate: float) -> str:
+        # mirrors curation.domain_keep: rate>=1 / <=0 are unconditional
+        # (a 5-hex-char bound would break the lexicographic compare)
+        b = int(rate * 65536)
+        if b >= 65536:
+            return "TRUE"
+        if b <= 0:
+            return "FALSE"
+        return f"h < '{format(b, '04x')}'"
+
+    bound = keep  # per-rate keep predicate
+    cases = "\n".join(
+        f"              WHEN source = '{d}' THEN {keep(r)}"
+        for d, r in sorted(DOMAIN_MIX_RATES.items())
+    )
+    return f"""
+WITH a AS (
+  SELECT source, source AS domain,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4) AS h
+  FROM documents
+),
+k AS (
+  SELECT domain,
+         CASE
+{cases}
+              ELSE {bound(0.75)} END AS keep
+  FROM a
+)
+SELECT domain, count(*) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS achieved_rate
+FROM k GROUP BY domain
+"""
+
+
+def q_documents_token_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-curriculum audit: power-of-two token-count bins via exact
+    integer bit length (operators/curation.py:length_curriculum)."""
+    from kamu_cli_spark.operators.curation import length_curriculum
+
+    return length_curriculum(load_table(spark, sf, "documents"))
+
+
+O_TOKEN_CURRICULUM = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) AS INTEGER) AS len_bin,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -2254,9 +2403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tpch_q4/q7/q10 ~ q1/q5/q3 agg/join/EXISTS shapes —
     # suppliers_with_large_orders keeps EXISTS graded; top2_global ~
     # top3 ranking; lineitem_cube + lineitem_grouping_sets ~
-    # lineitem_rollup grouping family; events_snapshot_cdc ~
-    # customer_snapshot_cdc/_compare_cols same strategy;
-    # events_conditional_agg ~ scalar/window/salted agg batteries;
+    # lineitem_rollup grouping family; events_snapshot_cdc +
+    # customer_snapshot_cdc_compare_cols ~ customer_snapshot_cdc same
+    # strategy; events_conditional_agg + orders_date_battery ~
+    # scalar/window/salted agg batteries; customers_dormant_anti ~
+    # ledger-merge anti-join + suppliers EXISTS;
+    # documents_lang_confusion ~ text_metrics' lang_pred;
     # documents_simhash ⊂ documents_simhash_pairs;
     # documents_token_counts ~ text_metrics; embeddings_near_dup ~
     # cosine_topk exact-cosine; events_sliding_7d ~
@@ -2266,7 +2418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        "customers_dormant_anti": q_customers_dormant_anti,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_daily_tumbling": q_events_daily_tumbling,
         "orders_lineitem_interval_join": q_orders_lineitem_interval_join,
@@ -2281,14 +2432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_scalar_battery": q_part_scalar_battery,
         "multi_step_harmonize": q_multi_step_harmonize,
         "suppliers_with_large_orders": q_suppliers_with_large_orders,
-        "orders_date_battery": q_orders_date_battery,
         "customer_window_battery": q_customer_window_battery,
         "lineitem_percentiles": q_lineitem_percentiles,
         "region_string_agg": q_region_string_agg,
         "orders_regex_battery": q_orders_regex_battery,
         "events_salted_agg": q_events_salted_agg,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
-        "customer_snapshot_cdc_compare_cols": q_customer_snapshot_cdc_compare_cols,
         "orders_ledger_merge": q_orders_ledger_merge,
         "events_changelog_projection": q_events_changelog_projection,
         "events_upsert_merge": q_events_upsert_merge,
@@ -2300,7 +2449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_winnow": q_documents_winnow,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
-        "documents_lang_confusion": q_documents_lang_confusion,
         "documents_two_stage_dedup": q_documents_two_stage_dedup,
         "documents_multimodal_features": q_documents_multimodal_features,
         "embeddings_array_battery": q_embeddings_array_battery,
@@ -2312,6 +2460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize": q_embeddings_quantize,
         "documents_contamination": q_documents_contamination,
         "documents_pack_sequences": q_documents_pack_sequences,
+        "documents_quality_filter": q_documents_quality_filter,
+        "documents_pii_scrub": q_documents_pii_scrub,
+        "documents_domain_mix": q_documents_domain_mix,
+        "documents_token_curriculum": q_documents_token_curriculum,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
@@ -2326,6 +2478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_simhash": q_documents_simhash,
         "documents_token_counts": q_documents_token_counts,
         "embeddings_near_dup": q_embeddings_near_dup,
+        "customers_dormant_anti": q_customers_dormant_anti,
+        "customer_snapshot_cdc_compare_cols": q_customer_snapshot_cdc_compare_cols,
+        "orders_date_battery": q_orders_date_battery,
+        "documents_lang_confusion": q_documents_lang_confusion,
     }
 
 
@@ -2386,6 +2542,10 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_quantize": O_QUANTIZE,
         "documents_contamination": O_CONTAMINATION,
         "documents_pack_sequences": O_PACK_SEQUENCES,
+        "documents_quality_filter": O_QUALITY_FILTER,
+        "documents_pii_scrub": O_PII_SCRUB,
+        "documents_domain_mix": _o_domain_mix(),
+        "documents_token_curriculum": O_TOKEN_CURRICULUM,
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---
         "tpch_q7": O_TPCH_Q7,

@@ -53,6 +53,10 @@ EXTRA = [
     "documents_contamination",
     "documents_pack_sequences",
     "embeddings_quantize",
+    "documents_quality_filter",
+    "documents_pii_scrub",
+    "documents_domain_mix",
+    "documents_token_curriculum",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Corpus-curation operators: quality-rule battery, PII scrub,
+domain-mix sampling, length-curriculum binning
+(kamu_cli_spark/operators/curation.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.curation import (
+    domain_keep,
+    domain_mix_summary,
+    length_curriculum,
+    pii_scrub,
+    quality_filter,
+)
+
+from tests.conftest import rows
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestQualityFilter:
+    def test_rule_battery_flags_first_failure(self, spark):
+        prose = (
+            "the cat sat on the mat and it was a fine day for all of us "
+            "to walk in that old park"
+        )
+        out = {
+            r[0]: r
+            for r in rows(
+                quality_filter(
+                    _docs(
+                        spark,
+                        [
+                            prose,  # keeps
+                            "short",  # too_short
+                            "a " * 40,  # word_len_low (mean len 1)
+                            ("Supercalifragilistic " * 30),  # few stopwords, long words
+                            ("123 456 789 1011 1213 1415 " * 4),  # low_alpha
+                        ],
+                    )
+                ),
+                "doc_id",
+            )
+        }
+        # (doc_id, n_tokens, mean_word_len, alpha_frac, stop_hits, keep, fail_reason)
+        assert out[0][5] is True and out[0][6] is None
+        assert out[1][6] == "too_short"
+        assert out[2][6] == "word_len_low"
+        assert out[3][6] in ("word_len_high", "few_stopwords")
+        assert out[4][6] == "low_alpha"
+
+    def test_empty_text(self, spark):
+        (r,) = rows(quality_filter(_docs(spark, [""])))
+        assert r[1] == 0 and r[5] is False and r[6] == "too_short"
+
+    def test_keep_is_pushdown_safe_filter(self, spark):
+        df = quality_filter(
+            _docs(spark, ["the a of to is that it in for and more words here ok"])
+        ).where(F.col("keep"))
+        assert df.count() == 1
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        text = (
+            "contact bob.smith+1@example.co.uk or 10.0.255.1 "
+            "or call +4915123456789 twice: alice@test.io 192.168.1.1"
+        )
+        (r,) = rows(pii_scrub(_docs(spark, [text])))
+        doc_id, n_email, n_ipv4, n_phone, scrubbed_len, scrubbed_md5 = r
+        assert (n_email, n_ipv4, n_phone) == (2, 2, 1)
+        expected = (
+            "contact <PII> or <PII> or call <PII> twice: <PII> <PII>"
+        )
+        assert scrubbed_len == len(expected)
+        assert scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+    def test_clean_text_untouched(self, spark):
+        text = "no personal data here at all"
+        (r,) = rows(pii_scrub(_docs(spark, [text])))
+        assert r[1:4] == (0, 0, 0)
+        assert r[4] == len(text)
+        assert r[5] == hashlib.md5(text.encode()).hexdigest()
+
+
+class TestDomainMix:
+    def _df(self, spark, n=2000):
+        return spark.createDataFrame(
+            [(i, ["web", "wiki", "code"][i % 3]) for i in range(n)],
+            "doc_id long, source string",
+        )
+
+    def test_rates_are_approximately_hit(self, spark):
+        out = {
+            r[0]: r
+            for r in rows(
+                domain_mix_summary(
+                    self._df(spark),
+                    "doc_id",
+                    "source",
+                    rates={"web": 0.25, "wiki": 1.0},
+                    default_rate=0.5,
+                )
+            )
+        }
+        assert out["wiki"][3] == 1.0
+        assert abs(out["web"][3] - 0.25) < 0.1
+        assert abs(out["code"][3] - 0.5) < 0.1  # default rate
+
+    def test_keep_matches_reference_md5(self, spark):
+        df = self._df(spark, 200).withColumn(
+            "keep",
+            domain_keep(
+                F.col("doc_id"), F.col("source"), {"web": 0.3}, 0.9, salt="s"
+            ),
+        )
+        for doc_id, source, keep in rows(df):
+            h = hashlib.md5(f"{doc_id}s".encode()).hexdigest()[:4]
+            rate = 0.3 if source == "web" else 0.9
+            assert keep == (h < format(int(rate * 16**4), "04x")), (doc_id, source)
+
+    def test_deterministic_across_runs(self, spark):
+        a = rows(
+            domain_mix_summary(self._df(spark), "doc_id", "source", {"web": 0.5}),
+            "domain",
+        )
+        b = rows(
+            domain_mix_summary(self._df(spark), "doc_id", "source", {"web": 0.5}),
+            "domain",
+        )
+        assert a == b
+
+
+class TestLengthCurriculum:
+    def test_bit_length_bins(self, spark):
+        # 1 token -> bin 1; 2-3 -> 2; 4-7 -> 3; 8-15 -> 4
+        texts = ["w"] + ["w w w"] + ["w " * 7] + ["w " * 8]
+        out = {r[0]: r for r in rows(length_curriculum(_docs(spark, texts)))}
+        assert out[1][1:] == (1, 1, 1, 1)
+        assert out[2][1:] == (1, 3, 3, 3)
+        assert out[3][1:] == (1, 7, 7, 7)
+        assert out[4][1:] == (1, 8, 8, 8)
+
+    def test_power_of_two_boundary_is_exact(self, spark):
+        # 2^k token docs must land in bin k+1, never k (float-log2 hazard)
+        texts = ["w " * (2**k) for k in (1, 2, 3, 4, 5, 6)]
+        out = rows(length_curriculum(_docs(spark, texts)), "len_bin")
+        assert [(r[0], r[2]) for r in out] == [
+            (k + 1, 2**k) for k in (1, 2, 3, 4, 5, 6)
+        ]
