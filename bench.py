@@ -57,6 +57,7 @@ EXTRA = [
     "documents_pii_scrub",
     "documents_domain_mix",
     "documents_token_curriculum",
+    "embeddings_centroid_stats",
 ]
 
 
