@@ -252,3 +252,109 @@ def test_currency_conversion_pipeline(spark, tmp_path):
         for r in cad.read(spark).collect()
     }
     assert rows2 == {(1, 13.0, 26.0), (2, 140.0, 140.0)}
+
+
+def test_trading_pipeline(spark, tmp_path):
+    """Mirrors the reference's trading example (examples/trading/*):
+    transactions ledger → Flink-style cumulative holdings (stateful
+    re-evaluate + diff, appends only) → market value via a temporal
+    `FOR SYSTEM_TIME AS OF` join of holdings against the daily ticker
+    stream, expressed as a LATERAL as-of lookup."""
+    from kamu_cli_spark.operators import MergeStrategyLedger
+    from kamu_cli_spark.transform import (
+        StatefulTransformExecutor,
+        TransformExecutor,
+        make_transform_executor,
+    )
+
+    ws = str(tmp_path)
+    tickers, _ = _add(ws, f"{EXAMPLES}/trading/tickers.yaml")
+    tx, _ = _add(ws, f"{EXAMPLES}/trading/transactions.yaml")
+    holdings, _ = _add(ws, f"{EXAMPLES}/trading/holdings.yaml")
+    mv, _ = _add(ws, f"{EXAMPLES}/trading/holdings-market-value.yaml")
+
+    d = lambda day, h=0: datetime(2024, 1, day, h, tzinfo=timezone.utc)  # noqa: E731
+    wt = DataWriter(tx, MergeStrategyLedger(["event_time"]))
+    wk = DataWriter(tickers, MergeStrategyLedger(["event_time", "symbol"]))
+
+    # day 1: buy 10 SPY @ 100; day 2: buy 5 SPY @ 110, buy 8 IPO @ 50
+    wt.write(
+        spark,
+        spark.createDataFrame(
+            [
+                (d(1, 9), "SPY", 10, 100.0, -1000.0),
+                (d(2, 9), "SPY", 5, 110.0, -550.0),
+                (d(2, 10), "IPO", 8, 50.0, -400.0),
+            ],
+            "event_time timestamp, symbol string, quantity long,"
+            " price double, settlement double",
+        ),
+        system_time=d(3),
+    )
+    wk.write(
+        spark,
+        spark.createDataFrame(
+            [(d(1, 23), "SPY", 101.0), (d(2, 23), "SPY", 111.0), (d(2, 23), "IPO", 55.0)],
+            "event_time timestamp, symbol string, close_adj double",
+        ),
+        system_time=d(3),
+    )
+
+    ex = make_transform_executor(holdings)
+    assert isinstance(ex, StatefulTransformExecutor)
+    ex.execute(spark, system_time=d(3))
+    got = {
+        (r["event_time"], r["symbol"], r["cum_quantity"], r["cum_balance"])
+        for r in holdings.read(spark).collect()
+    }
+    assert got == {
+        (d(1, 9).replace(tzinfo=None), "SPY", 10, -1000.0),
+        (d(2, 9).replace(tzinfo=None), "SPY", 15, -1550.0),
+        (d(2, 10).replace(tzinfo=None), "IPO", 8, -400.0),
+    }
+
+    TransformExecutor(mv).execute(spark, system_time=d(3))
+    got_mv = {
+        (r["event_time"], r["symbol"], r["market_value"])
+        for r in mv.read(spark).collect()
+    }
+    # day-1 ticker sees only the day-1 position (10 SPY)
+    assert got_mv == {
+        (d(1, 23).replace(tzinfo=None), "SPY", 10 * 101.0),
+        (d(2, 23).replace(tzinfo=None), "SPY", 15 * 111.0),
+        (d(2, 23).replace(tzinfo=None), "IPO", 8 * 55.0),
+    }
+
+    # incremental pull: day-3 sell of 12 SPY and the day-3 tickers —
+    # holdings appends ONE row (past cumulative rows never change) and
+    # market value prices the new positions as-of day 3
+    wt.write(
+        spark,
+        spark.createDataFrame(
+            [(d(3, 9), "SPY", -12, 120.0, 1440.0)],
+            "event_time timestamp, symbol string, quantity long,"
+            " price double, settlement double",
+        ),
+        system_time=d(4),
+    )
+    wk.write(
+        spark,
+        spark.createDataFrame(
+            [(d(3, 23), "SPY", 121.0), (d(3, 23), "IPO", 60.0)],
+            "event_time timestamp, symbol string, close_adj double",
+        ),
+        system_time=d(4),
+    )
+    n_before = holdings.read(spark).count()
+    ex.execute(spark, system_time=d(4))
+    appended = holdings.read(spark).filter(f"offset >= {n_before}").collect()
+    assert len(appended) == 1 and appended[0]["cum_quantity"] == 3
+
+    TransformExecutor(mv).execute(spark, system_time=d(4))
+    day3 = {
+        (r["symbol"], r["market_value"])
+        for r in mv.read(spark)
+        .filter("event_time = timestamp'2024-01-03 23:00:00'")
+        .collect()
+    }
+    assert day3 == {("SPY", 3 * 121.0), ("IPO", 8 * 60.0)}
