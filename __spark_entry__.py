@@ -2439,6 +2439,26 @@ FROM norms n JOIN cent c USING (label)
 """
 
 
+def q_documents_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding manifest (terasort
+    shape, engine-reproducible; operators/sampling.py)."""
+    from kamu_cli_spark.operators.sampling import global_shuffle_manifest
+
+    return global_shuffle_manifest(load_table(spark, sf, "documents"), "doc_id")
+
+
+O_GLOBAL_SHUFFLE = r"""
+WITH a AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS skey
+  FROM documents
+)
+SELECT doc_id, substr(skey, 1, 2) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(skey, 1, 2)
+                               ORDER BY skey, doc_id) AS INTEGER) AS pos_in_shard
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -2454,8 +2474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ledger-merge anti-join + suppliers EXISTS;
     # documents_lang_confusion ~ text_metrics' lang_pred;
     # documents_simhash ⊂ documents_simhash_pairs;
-    # documents_token_counts ~ text_metrics; embeddings_near_dup ~
-    # cosine_topk exact-cosine; events_sliding_7d ~
+    # documents_token_counts ~ text_metrics; embeddings_near_dup +
+    # embeddings_cosine_topk = quadratic exact-cosine baselines (cosine
+    # scoring graded via strict-hash ann_lsh/ivf_ann);
+    # documents_two_stage_dedup = composition of graded minhash_lsh +
+    # ngram_jaccard + dedup_exact stages; events_sliding_7d ~
     # cumulative_revenue/window_battery frames).
     return {
         "tpch_q1": q_tpch_q1,
@@ -2493,7 +2516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_winnow": q_documents_winnow,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
-        "documents_two_stage_dedup": q_documents_two_stage_dedup,
         "documents_multimodal_features": q_documents_multimodal_features,
         "embeddings_array_battery": q_embeddings_array_battery,
         "embeddings_centroid_stats": q_embeddings_centroid_stats,
@@ -2508,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii_scrub": q_documents_pii_scrub,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
+        "documents_global_shuffle": q_documents_global_shuffle,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
@@ -2527,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_date_battery": q_orders_date_battery,
         "documents_lang_confusion": q_documents_lang_confusion,
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
+        "documents_two_stage_dedup": q_documents_two_stage_dedup,
     }
 
 
@@ -2592,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_domain_mix": _o_domain_mix(),
         "documents_token_curriculum": O_TOKEN_CURRICULUM,
         "embeddings_centroid_stats": O_CENTROID_STATS,
+        "documents_global_shuffle": O_GLOBAL_SHUFFLE,
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---
         "tpch_q7": O_TPCH_Q7,

@@ -58,6 +58,7 @@ EXTRA = [
     "documents_domain_mix",
     "documents_token_curriculum",
     "embeddings_centroid_stats",
+    "documents_global_shuffle",
 ]
 
 

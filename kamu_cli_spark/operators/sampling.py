@@ -133,3 +133,42 @@ def pack_sequences(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def global_shuffle_manifest(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    shard_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding for training
+    export: every record gets a pseudo-random sort key (md5 of its
+    stable key), a shard (the key's leading hex chars — 16^n shards),
+    and its exact position within the shard.
+
+    This is the "shuffle the corpus before training" step as a
+    reproducible manifest: re-running the pipeline, on any engine,
+    yields byte-identical shard files, and adding late data shifts
+    positions only within the shards the new keys land in.
+
+    Scale design: the plan is one shuffle keyed on `shard` plus a
+    per-shard sort (the distributed sort-by-generated-key shape —
+    terasort). No global order, no single-partition window; shard
+    count (16^`shard_hex_chars`) is chosen to match the cluster, and
+    md5 keys are uniform so shards stay balanced regardless of input
+    skew.
+    """
+    from pyspark.sql import Window
+
+    skey = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    a = df.select(F.col(key_col), skey.alias("__skey"))
+    shard = F.substring(F.col("__skey"), 1, shard_hex_chars)
+    w = Window.partitionBy("shard").orderBy("__skey", key_col)
+    return (
+        a.select(key_col, shard.alias("shard"), "__skey")
+        .select(
+            key_col,
+            "shard",
+            F.row_number().over(w).alias("pos_in_shard"),
+        )
+    )

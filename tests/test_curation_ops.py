@@ -155,3 +155,34 @@ class TestLengthCurriculum:
         assert [(r[0], r[2]) for r in out] == [
             (k + 1, 2**k) for k in (1, 2, 3, 4, 5, 6)
         ]
+
+
+class TestGlobalShuffle:
+    def test_manifest_invariants(self, spark):
+        from kamu_cli_spark.operators.sampling import global_shuffle_manifest
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(3000)], "doc_id long"
+        )
+        out = rows(global_shuffle_manifest(df, "doc_id"))
+        assert len(out) == 3000
+        # positions within each shard are exactly 1..n with no gaps
+        by_shard: dict[str, list[int]] = {}
+        for _, shard, pos in out:
+            by_shard.setdefault(shard, []).append(pos)
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        # md5 keys spread docs across many shards (256 possible)
+        assert len(by_shard) > 200
+        # uniform-ish occupancy: no shard hoards the corpus
+        assert max(len(p) for p in by_shard.values()) < 3000 / 256 * 4
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        from kamu_cli_spark.operators.sampling import global_shuffle_manifest
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        a = sorted(rows(global_shuffle_manifest(df, "doc_id")))
+        b = sorted(rows(global_shuffle_manifest(df, "doc_id")))
+        c = sorted(rows(global_shuffle_manifest(df, "doc_id", salt="other")))
+        assert a == b
+        assert a != c
