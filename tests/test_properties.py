@@ -134,3 +134,82 @@ def test_stateful_transform_maintains_view(spark, tmp_path_factory, batches):
             for r in project_changelog(view.read(spark), ["place"]).collect()
         }
         assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Curation-operator laws
+# ---------------------------------------------------------------------------
+
+TEXTS = st.text(
+    alphabet=" abcdeft.123\n", min_size=0, max_size=60
+)  # whitespace-heavy to stress the tokenizer
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+@SETTINGS
+def test_quality_filter_rule_order_law(spark, texts):
+    """fail_reason must be the FIRST rule (in battery order) whose
+    threshold the reported metrics violate — metrics and verdict can
+    never disagree."""
+    from kamu_cli_spark.operators.curation import QUALITY_RULES as R
+    from kamu_cli_spark.operators.curation import quality_filter
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for doc_id, n, mwl, alpha, stops, keep, fail in quality_filter(df).collect():
+        expected = None
+        if n < R["min_tokens"]:
+            expected = "too_short"
+        elif n > R["max_tokens"]:
+            expected = "too_long"
+        elif mwl < R["min_mean_word_len"]:
+            expected = "word_len_low"
+        elif mwl > R["max_mean_word_len"]:
+            expected = "word_len_high"
+        elif alpha < R["min_alpha_frac"]:
+            expected = "low_alpha"
+        elif stops < R["min_stop_hits"]:
+            expected = "few_stopwords"
+        assert fail == expected and keep == (expected is None), (doc_id, texts)
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=10**12), min_size=1,
+             max_size=30, unique=True),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@SETTINGS
+def test_domain_keep_rate_monotone(spark, keys, r1, r2):
+    """The kept set can only grow as the rate grows (hash-threshold
+    sampling is nested — the property that makes rate changes cheap
+    and reproducible at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from kamu_cli_spark.operators.curation import domain_keep
+
+    lo, hi = sorted([r1, r2])
+    df = spark.createDataFrame([(k, "d") for k in keys], "k long, dom string")
+    out = df.select(
+        "k",
+        domain_keep(F.col("k"), F.col("dom"), {"d": lo}).alias("keep_lo"),
+        domain_keep(F.col("k"), F.col("dom"), {"d": hi}).alias("keep_hi"),
+    ).collect()
+    for k, keep_lo, keep_hi in out:
+        assert not (keep_lo and not keep_hi), (k, lo, hi)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=40, unique=True))
+@SETTINGS
+def test_global_shuffle_is_shardwise_permutation(spark, keys):
+    from kamu_cli_spark.operators.sampling import global_shuffle_manifest
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = global_shuffle_manifest(df, "doc_id").collect()
+    assert len(out) == len(keys)
+    shards: dict[str, list[int]] = {}
+    for r in out:
+        shards.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert all(sorted(p) == list(range(1, len(p) + 1)) for p in shards.values())
