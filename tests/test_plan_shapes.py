@@ -1,0 +1,107 @@
+"""Physical-plan shape regression tests: the structural properties
+PLANS.md documents, asserted mechanically so they cannot silently
+regress. These are the properties that matter at 100 TB — filter/column
+pushdown to the scan, no cartesian products, map-only pipelines staying
+shuffle-free, and shuffle counts staying at the semantic minimum —
+checked on the optimizer's physical plan at sf0.001 (plan shape is
+scale-invariant; only AQE's runtime join demotions vary with size).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def n_exchanges(p: str) -> int:
+    # count Exchange operator nodes (shuffles + broadcasts are listed
+    # as Exchange / BroadcastExchange in formatted mode)
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+class TestPushdown:
+    def test_q6_filters_and_pruning_reach_scan(self, spark):
+        p = plan(spark, "tpch_q6")
+        assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:300]
+        # projection pruned: the wide lineitem columns never leave parquet
+        read_schema = p.split("ReadSchema")[1].splitlines()[0]
+        assert "l_extendedprice" in read_schema
+        assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+    def test_tail_is_topk_not_global_sort(self, spark):
+        # on raw parquet (no ledger offsets to prune by) tail must be
+        # the O(limit) top-k operator, never a full global sort
+        p = plan(spark, "events_tail")
+        assert "TakeOrderedAndProject" in p
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize(
+        "name",
+        ["tpch_q3", "tpch_q5", "orders_lineitem_interval_join",
+         "orders_events_asof_join", "embeddings_ann_lsh", "embeddings_ivf_ann"],
+    )
+    def test_no_cartesian_products(self, spark, name):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+    def test_dimensions_broadcast_in_q5(self, spark):
+        assert "BroadcastHashJoin" in plan(spark, "tpch_q5")
+
+    def test_snapshot_cdc_full_outer_is_sort_merge(self, spark):
+        # broadcast is semantically impossible for full outer — the
+        # planner must pick SMJ/shuffled-hash, never nested-loop
+        p = plan(spark, "customer_snapshot_cdc")
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+class TestShuffleBudget:
+    def test_map_only_ops_have_no_keyed_shuffle(self, spark):
+        # spread() may inject a RoundRobin repartition to parallelize a
+        # single small file — keyless, disappears at real scale. What
+        # must never appear is a semantic (hash/range) exchange.
+        for name in ("documents_quality_filter", "documents_pii_scrub"):
+            p = plan(spark, name)
+            assert "hashpartitioning" not in p, name
+            assert "rangepartitioning" not in p, name
+
+    def test_exact_dedup_is_one_shuffle(self, spark):
+        assert n_exchanges(plan(spark, "documents_dedup_exact")) == 1
+
+    def test_global_shuffle_is_one_exchange_no_global_sort(self, spark):
+        p = plan(spark, "documents_global_shuffle")
+        assert n_exchanges(p) == 1
+        # the per-shard window sorts inside its partition; a range
+        # exchange would mean an accidental global ordering
+        assert "rangepartitioning" not in p
+
+    def test_partial_aggregation_before_exchange(self, spark):
+        # map-side combine on the headline aggregate
+        p = plan(spark, "tpch_q1")
+        assert "partial_sum" in p
+
+
+class TestArrowKernels:
+    @pytest.mark.parametrize(
+        "name",
+        ["documents_quality_filter", "documents_pii_scrub",
+         "embeddings_centroid_stats", "documents_repetition"],
+    )
+    def test_arrow_eval_python_present(self, spark, name):
+        # the per-row kernels must be Arrow-batched mapInPandas, not
+        # row-at-a-time BatchEvalPython
+        p = plan(spark, name)
+        assert "MapInPandas" in p, name
+        assert "BatchEvalPython" not in p, name
