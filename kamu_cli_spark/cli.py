@@ -285,6 +285,74 @@ def cmd_lineage(args) -> int:
     return 0
 
 
+def cmd_reset(args) -> int:
+    """`kamu reset` equivalent: move the head to an earlier block
+    (default: Seed) and drop later data
+    (reference: reset_planner_impl.rs:29-73, reset_executor_impl.rs)."""
+    from kamu_cli_spark.reset import reset_dataset
+
+    out = reset_dataset(
+        _dataset(args), new_head=args.new_head, old_head=args.old_head
+    )
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """`kamu search` equivalent over the local workspace: lowercased
+    substring match on dataset names + SetInfo description/keywords
+    (reference heuristic: adapter/graphql/src/queries/search.rs:29-80;
+    same matcher as the GraphQL search endpoint)."""
+    from kamu_cli_spark.query import QueryService
+
+    qs = QueryService(_spark(), args.workspace)
+    q = args.query.lower()
+    for name in sorted(qs.list_datasets()):
+        ds = _dataset(args, name)
+        info = ds.chain.last_event("SetInfo")
+        ev = info.event if info else {}
+        hay = [name, ev.get("description") or ""] + list(ev.get("keywords") or [])
+        if any(q in h.lower() for h in hay):
+            desc = ev.get("description") or ""
+            print(f"{name}\t{ds.kind}\t{desc}")
+    return 0
+
+
+def cmd_rename(args) -> int:
+    """`kamu rename` equivalent: datasets are addressed by directory
+    name, so a rename is an atomic directory move (refused if the
+    target exists). Derivative inputs reference datasets by name —
+    like the reference warns, downstream transforms must be updated."""
+    src = os.path.join(args.workspace, args.dataset)
+    dst = os.path.join(args.workspace, args.new_name)
+    if not os.path.isdir(src):
+        print(f"error: no dataset {args.dataset}", file=sys.stderr)
+        return 1
+    if os.path.exists(dst):
+        print(f"error: {args.new_name} already exists", file=sys.stderr)
+        return 1
+    os.rename(src, dst)
+    print(f"renamed {args.dataset} -> {args.new_name}")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """`kamu delete` equivalent; requires --yes (the reference prompts
+    interactively)."""
+    import shutil
+
+    target = os.path.join(args.workspace, args.dataset)
+    if not os.path.isdir(target):
+        print(f"error: no dataset {args.dataset}", file=sys.stderr)
+        return 1
+    if not args.yes:
+        print("refusing to delete without --yes", file=sys.stderr)
+        return 1
+    shutil.rmtree(target)
+    print(f"deleted {args.dataset}")
+    return 0
+
+
 def cmd_list(args) -> int:
     from kamu_cli_spark.query import QueryService
 
@@ -378,6 +446,16 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("info"); s.add_argument("dataset"); s.set_defaults(fn=cmd_info)
     s = sub.add_parser("lineage"); s.add_argument("dataset"); s.set_defaults(fn=cmd_lineage)
     s = sub.add_parser("list"); s.set_defaults(fn=cmd_list)
+    s = sub.add_parser("reset")
+    s.add_argument("dataset"); s.add_argument("new_head", nargs="?", default=None)
+    s.add_argument("--old-head", dest="old_head", default=None)
+    s.set_defaults(fn=cmd_reset)
+    s = sub.add_parser("search"); s.add_argument("query"); s.set_defaults(fn=cmd_search)
+    s = sub.add_parser("rename")
+    s.add_argument("dataset"); s.add_argument("new_name"); s.set_defaults(fn=cmd_rename)
+    s = sub.add_parser("delete")
+    s.add_argument("dataset"); s.add_argument("--yes", action="store_true")
+    s.set_defaults(fn=cmd_delete)
     s = sub.add_parser("api-server")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--flight-port", type=int, default=None)

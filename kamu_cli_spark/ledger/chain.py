@@ -257,6 +257,45 @@ class MetadataChain:
         self._blocks.append(block)
         return block
 
+    def truncate_to(self, block_hash: str) -> list["MetadataBlock"]:
+        """Move the chain head back to `block_hash`, dropping every
+        later block (the linear-file equivalent of the reference's
+        reset `set_ref(Head, new_head)` —
+        src/infra/core/src/services/reset/reset_executor_impl.rs:24-46).
+        Atomic rewrite under the chain lock; returns the dropped
+        blocks so callers can clean up orphaned slices."""
+        lock = self._acquire_lock()
+        try:
+            # reload for CAS safety (same rule as _append_locked)
+            if os.path.exists(self.path):
+                on_disk = sum(
+                    1 for line in open(self.path, encoding="utf-8") if line.strip()
+                )
+                if on_disk != len(self._blocks):
+                    self._blocks = MetadataChain(self.path)._blocks
+            idx = next(
+                (
+                    i
+                    for i, b in enumerate(self._blocks)
+                    if b.block_hash == block_hash
+                ),
+                None,
+            )
+            if idx is None:
+                raise ChainIntegrityError(
+                    f"block {block_hash} not found in chain {self.path}"
+                )
+            keep, dropped = self._blocks[: idx + 1], self._blocks[idx + 1 :]
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                for b in keep:
+                    f.write(b.to_json() + "\n")
+            os.replace(tmp, self.path)
+            self._blocks = keep
+            return dropped
+        finally:
+            os.remove(lock)
+
     # -- verification --------------------------------------------------
 
     def verify(self) -> None:

@@ -1,0 +1,56 @@
+"""Dataset reset: move the metadata head back to an earlier block and
+drop the data committed after it.
+
+Mirrors the reference's two-step service
+(src/infra/core/src/services/reset/reset_planner_impl.rs:29-73 — plan:
+default new head = the Seed block, optional old-head compare-and-set;
+reset_executor_impl.rs:24-46 — execute: move the Head ref). Our chain
+is a linear JSONL file, so "move the ref" is an atomic truncation
+(`MetadataChain.truncate_to`), and the slices referenced only by the
+dropped blocks are physically removed (the role the reference's GC
+plays after a ref move). The head-guarded materialized state
+invalidates itself on the next read.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from kamu_cli_spark.dataset import Dataset
+
+
+class ResetError(Exception):
+    pass
+
+
+class OldHeadMismatchError(ResetError):
+    """The compare-and-set guard failed: the dataset's current head is
+    not the one the caller planned against (reference:
+    ResetPlanningError::OldHeadMismatch)."""
+
+
+def reset_dataset(
+    ds: Dataset,
+    new_head: str | None = None,
+    old_head: str | None = None,
+) -> dict[str, Any]:
+    """Reset `ds` so `new_head` (default: the Seed block) becomes the
+    chain head. Returns a summary of what moved and what was removed."""
+    chain = ds.chain
+    cur = chain.head()
+    if cur is None:
+        raise ResetError(f"dataset {ds.path} has an empty chain")
+    if old_head is not None and cur.block_hash != old_head:
+        raise OldHeadMismatchError(
+            f"current head {cur.block_hash} != expected {old_head}"
+        )
+    if new_head is None:
+        new_head = chain.blocks()[0].block_hash  # Seed
+    dropped = chain.truncate_to(new_head)
+    removed = ds.clean_orphan_slices()
+    return {
+        "old_head": cur.block_hash,
+        "new_head": new_head,
+        "dropped_blocks": len(dropped),
+        "removed_slices": removed,
+    }

@@ -1,0 +1,207 @@
+"""Dataset reset (kamu_cli_spark/reset.py — mirrors
+reset_planner_impl.rs / reset_executor_impl.rs) and the lifecycle CLI
+verbs reset / search / rename / delete."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import yaml
+
+from kamu_cli_spark import cli
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.reset import OldHeadMismatchError, reset_dataset
+
+
+def _run(capsys, *argv) -> tuple[int, str]:
+    rc = cli.main(list(argv))
+    return rc, capsys.readouterr().out
+
+
+def _mk_cities(tmp_path, capsys, ws):
+    manifest = tmp_path / "cities.yaml"
+    manifest.write_text(
+        yaml.safe_dump(
+            {
+                "kind": "Root",
+                "name": "cities",
+                "merge": {"kind": "ledger", "primary_key": ["city"]},
+            }
+        )
+    )
+    assert _run(capsys, "--workspace", ws, "add", str(manifest))[0] == 0
+
+
+class TestReset:
+    def _two_batches(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        _mk_cities(tmp_path, capsys, ws)
+        f1 = tmp_path / "d1.csv"
+        f1.write_text("city,population\nkyiv,2967\nlviv,717\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cities", str(f1))[0] == 0
+        ds = Dataset(os.path.join(ws, "cities"))
+        head_after_b1 = ds.chain.head().block_hash
+        f2 = tmp_path / "d2.csv"
+        f2.write_text("city,population\nodesa,1010\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cities", str(f2))[0] == 0
+        # fresh handle: each CLI ingest appended via its own Dataset
+        ds = Dataset(os.path.join(ws, "cities"))
+        return ws, ds, head_after_b1
+
+    def test_reset_to_block_drops_later_data(self, spark, tmp_path, capsys):
+        ws, ds, head_b1 = self._two_batches(spark, tmp_path, capsys)
+        assert ds.read(spark).count() == 3
+        n_slices_before = len(ds.slice_paths())
+
+        out = reset_dataset(ds, new_head=head_b1)
+        assert out["new_head"] == head_b1 and out["dropped_blocks"] >= 1
+        assert ds.chain.head().block_hash == head_b1
+        # batch-2 rows and their slice are gone
+        cities = {r["city"] for r in ds.read(spark).collect()}
+        assert cities == {"kyiv", "lviv"}
+        assert len(ds.slice_paths()) < n_slices_before
+        assert out["removed_slices"]
+        # chain still verifies end-to-end after the truncation
+        ds.chain.verify()
+
+    def test_reset_default_goes_to_seed(self, spark, tmp_path, capsys):
+        ws, ds, _ = self._two_batches(spark, tmp_path, capsys)
+        out = reset_dataset(ds)
+        assert out["new_head"] == ds.chain.blocks()[0].block_hash
+        assert ds.chain.next_offset() == 0
+        assert ds.read(spark) is None or ds.read(spark).count() == 0
+
+    def test_old_head_cas_guard(self, spark, tmp_path, capsys):
+        ws, ds, head_b1 = self._two_batches(spark, tmp_path, capsys)
+        try:
+            reset_dataset(ds, new_head=head_b1, old_head="zzz-not-the-head")
+            assert False, "expected OldHeadMismatchError"
+        except OldHeadMismatchError:
+            pass
+        # nothing moved
+        assert ds.read(spark).count() == 3
+
+    def test_reset_then_reingest_continues_chain(self, spark, tmp_path, capsys):
+        ws, ds, head_b1 = self._two_batches(spark, tmp_path, capsys)
+        reset_dataset(ds, new_head=head_b1)
+        f3 = tmp_path / "d3.csv"
+        f3.write_text("city,population\nkharkiv,1421\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cities", str(f3))[0] == 0
+        ds = Dataset(os.path.join(ws, "cities"))  # fresh post-ingest handle
+        cities = {r["city"] for r in ds.read(spark).collect()}
+        assert cities == {"kyiv", "lviv", "kharkiv"}
+        ds.chain.verify()
+
+    def test_cli_reset_verb(self, spark, tmp_path, capsys):
+        ws, ds, head_b1 = self._two_batches(spark, tmp_path, capsys)
+        rc, out = _run(capsys, "--workspace", ws, "reset", "cities", head_b1)
+        assert rc == 0
+        assert json.loads(out)["new_head"] == head_b1
+
+
+class TestLifecycleVerbs:
+    def test_search_rename_delete(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        _mk_cities(tmp_path, capsys, ws)
+        rc, _ = _run(
+            capsys, "--workspace", ws, "set-info", "cities",
+            "--description", "urban population ledger",
+            "--keyword", "demography",
+        )
+        assert rc == 0
+
+        # matches by name, by description, by keyword; misses otherwise
+        for q in ("citi", "urban", "demography"):
+            rc, out = _run(capsys, "--workspace", ws, "search", q)
+            assert rc == 0 and "cities" in out, q
+        rc, out = _run(capsys, "--workspace", ws, "search", "nomatch")
+        assert rc == 0 and "cities" not in out
+
+        rc, _ = _run(capsys, "--workspace", ws, "rename", "cities", "towns")
+        assert rc == 0
+        assert os.path.isdir(os.path.join(ws, "towns"))
+        assert not os.path.exists(os.path.join(ws, "cities"))
+        # refuse clobbering an existing dataset
+        _mk_cities(tmp_path, capsys, ws)
+        assert cli.main(["--workspace", ws, "rename", "towns", "cities"]) == 1
+        capsys.readouterr()
+
+        # delete requires --yes
+        assert cli.main(["--workspace", ws, "delete", "towns"]) == 1
+        capsys.readouterr()
+        rc, _ = _run(capsys, "--workspace", ws, "delete", "towns", "--yes")
+        assert rc == 0
+        assert not os.path.exists(os.path.join(ws, "towns"))
+
+
+class TestWatermarkPropagation:
+    """ODF completeness rule: a derivative's watermark is the MIN over
+    its inputs' watermarks, and a pure watermark advance (no new data)
+    still propagates through a pull (reference:
+    transform_elaboration_service_impl.rs:68)."""
+
+    def _root(self, ws, name, spark, rows, system_time, wm=None):
+        from datetime import datetime, timezone
+
+        from kamu_cli_spark.dataset import Dataset
+        from kamu_cli_spark.operators import MergeStrategyLedger
+        from kamu_cli_spark.writer import DataWriter
+
+        import os as _os
+
+        path = _os.path.join(ws, name)
+        if not _os.path.exists(path):
+            Dataset.create(ws, name, system_time=system_time.isoformat())
+        ds = Dataset(path)
+        if rows:
+            DataWriter(ds, MergeStrategyLedger(["k"])).write(
+                spark,
+                spark.createDataFrame(rows, "event_time timestamp, k long"),
+                system_time=system_time,
+            )
+        return Dataset(path)
+
+    def test_min_of_inputs_and_watermark_only_pull(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        from kamu_cli_spark.dataset import Dataset
+        from kamu_cli_spark.transform import TransformExecutor, set_transform
+        from kamu_cli_spark.watermark import set_watermark
+
+        import os as _os
+
+        ws = str(tmp_path)
+        d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+        a = self._root(ws, "a", spark, [(d(5), 1)], d(6))
+        b = self._root(ws, "b", spark, [(d(3), 10)], d(6))
+        assert a.chain.current_watermark() > b.chain.current_watermark()
+
+        out = Dataset.create(ws, "joined", kind="Derivative",
+                             system_time=d(6).isoformat())
+        set_transform(
+            out,
+            {"a": _os.path.join(ws, "a"), "b": _os.path.join(ws, "b")},
+            "SELECT a.event_time, a.k FROM a CROSS JOIN b",
+            system_time=d(6).isoformat(),
+        )
+        ex = TransformExecutor(out)
+        ex.execute(spark, system_time=d(6))
+        # min rule: output watermark is the LAGGARD input's (b, day 3),
+        # even though the output rows carry day-5 event times
+        assert out.chain.current_watermark() == d(3).isoformat()
+
+        # advance b's watermark explicitly, no new data rows
+        set_watermark(Dataset(_os.path.join(ws, "b")), d(4))
+        ex2 = TransformExecutor(Dataset(_os.path.join(ws, "joined")))
+        ev = ex2.execute(spark, system_time=d(7))
+        # the watermark-only pull commits and carries day 4 downstream
+        assert ev is not None and ev.get("new_data") is None
+        assert Dataset(
+            _os.path.join(ws, "joined")
+        ).chain.current_watermark() == d(4).isoformat()
+
+        # fully up to date now -> no-op pull
+        assert TransformExecutor(
+            Dataset(_os.path.join(ws, "joined"))
+        ).execute(spark, system_time=d(8)) is None
