@@ -108,8 +108,29 @@ class TransformExecutor:
                     out[alias] = iv["new_offset"]
         return out
 
+    def input_watermark(self) -> str | None:
+        """The ODF completeness rule for derivatives: the output
+        watermark is the MIN over the inputs' current watermarks (a
+        derived stream is only as complete as its least-complete
+        input; the reference ships each input's explicit_watermarks to
+        the engine — transform_helpers.rs:228-263 — and the engine
+        emits the min). None while any input is unwatermarked."""
+        wms = []
+        for path in self.inputs.values():
+            wm = Dataset(path).chain.current_watermark()
+            if wm is None:
+                return None
+            wms.append(wm)
+        return min(wms) if wms else None
+
     def elaborate(self, spark: SparkSession) -> dict[str, Any] | None:
-        """Compute per-input unprocessed intervals; None if up to date."""
+        """Compute per-input unprocessed intervals; None if up to date.
+
+        A pull proceeds on new offsets OR a pure watermark advance
+        (reference: transform_elaboration_service_impl.rs:68 skips only
+        when data slices AND explicit watermarks are both empty) — a
+        watermark-only iteration commits an empty ExecuteTransform
+        carrying the advanced watermark downstream."""
         last = self._last_processed_offsets()
         plan: dict[str, Any] = {"inputs": {}}
         any_new = False
@@ -125,28 +146,41 @@ class TransformExecutor:
             if new_offset is not None and (prev is None or new_offset > prev):
                 any_new = True
             plan["inputs"][alias] = interval
+        if not any_new:
+            in_wm = self.input_watermark()
+            out_wm = self.dataset.chain.current_watermark()
+            if in_wm is not None and (out_wm is None or in_wm > out_wm):
+                any_new = True
         return plan if any_new else None
 
     def _commit_changelog(self, spark, events, plan, system_time):
         """Commit pre-diffed changelog events, recording consumed
         intervals even when the diff is empty (so nothing reprocesses)."""
         writer = DataWriter(self.dataset, _PassthroughOps(self.dataset.vocab))
+        in_wm = self.input_watermark()
         event = writer.write(
             spark,
             events,
             system_time=system_time,
             event_kind="ExecuteTransform",
             extra_event={"query_inputs": plan["inputs"]},
+            explicit_watermark=in_wm,
         )
         if event is None:
             event = {
                 "kind": "ExecuteTransform",
                 "new_data": None,
-                "new_watermark": self.dataset.chain.current_watermark(),
+                "new_watermark": self._monotonic_wm(in_wm),
                 "query_inputs": plan["inputs"],
             }
             self.dataset.chain.append(event, system_time=system_time.isoformat())
         return event
+
+    def _monotonic_wm(self, in_wm: str | None) -> str | None:
+        out_wm = self.dataset.chain.current_watermark()
+        if in_wm is None:
+            return out_wm
+        return in_wm if out_wm is None or in_wm > out_wm else out_wm
 
 
     def execute(
@@ -196,21 +230,23 @@ class TransformExecutor:
         ):
             strategy = _PassthroughOps(v)
         writer = DataWriter(self.dataset, strategy)
+        in_wm = self.input_watermark()
         event = writer.write(
             spark,
             result,
             system_time=system_time,
             event_kind="ExecuteTransform",
             extra_event={"query_inputs": plan["inputs"]},
+            explicit_watermark=in_wm,
         )
         if event is None:
-            # No output rows, but still record consumed intervals so we
-            # don't reprocess (reference commits ExecuteTransform with
-            # empty new_data).
+            # No output rows, but still record consumed intervals (and
+            # any watermark advance) so we don't reprocess (reference
+            # commits ExecuteTransform with empty new_data).
             event = {
                 "kind": "ExecuteTransform",
                 "new_data": None,
-                "new_watermark": self.dataset.chain.current_watermark(),
+                "new_watermark": self._monotonic_wm(in_wm),
                 "query_inputs": plan["inputs"],
             }
             self.dataset.chain.append(event, system_time=system_time.isoformat())

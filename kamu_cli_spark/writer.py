@@ -314,9 +314,17 @@ class DataWriter:
         source_event_time: datetime | None = None,
         event_kind: str = "AddData",
         extra_event: dict[str, Any] | None = None,
+        explicit_watermark: str | None = None,
     ) -> dict[str, Any] | None:
         """Run the full pipeline; returns the committed event (or None if
-        the merge produced no changes — an up-to-date poll)."""
+        the merge produced no changes — an up-to-date poll).
+
+        `explicit_watermark` (ISO string) overrides the default
+        max-event-time watermark — derivative transforms pass the MIN
+        over their inputs' watermarks (the ODF completeness rule: a
+        derived stream is only as complete as its least-complete
+        input), clamped monotonic against the previous watermark.
+        """
         system_time = system_time or datetime.now(timezone.utc)
         v = self.vocab
 
@@ -390,12 +398,21 @@ class DataWriter:
             from kamu_cli_spark.verification import logical_hash, physical_hash
 
             prev_wm = self.dataset.chain.current_watermark()
-            max_et = stats["max_et"]
-            if max_et is not None:
-                et_iso = max_et.replace(tzinfo=timezone.utc).isoformat()
-                new_wm = et_iso if prev_wm is None or et_iso > prev_wm else prev_wm
+            if explicit_watermark is not None:
+                new_wm = (
+                    explicit_watermark
+                    if prev_wm is None or explicit_watermark > prev_wm
+                    else prev_wm
+                )
             else:
-                new_wm = prev_wm
+                max_et = stats["max_et"]
+                if max_et is not None:
+                    et_iso = max_et.replace(tzinfo=timezone.utc).isoformat()
+                    new_wm = (
+                        et_iso if prev_wm is None or et_iso > prev_wm else prev_wm
+                    )
+                else:
+                    new_wm = prev_wm
 
             linked = self.verify_object_links(full)
 
