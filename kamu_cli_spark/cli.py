@@ -353,6 +353,34 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_gc(args) -> int:
+    """`kamu system gc` equivalent: per dataset, remove slices no chain
+    block references (losers of the commit CAS, remnants of reset) and
+    crashed-writer `.tmp-*` staging dirs."""
+    import shutil
+
+    from kamu_cli_spark.query import QueryService
+
+    qs = QueryService(_spark(), args.workspace)
+    total = 0
+    for name in sorted(qs.list_datasets()):
+        ds = _dataset(args, name)
+        removed = ds.clean_orphan_slices()
+        tmps = [
+            f
+            for f in os.listdir(ds.path)
+            if f.startswith(".tmp-") and os.path.isdir(os.path.join(ds.path, f))
+        ]
+        for t in tmps:
+            shutil.rmtree(os.path.join(ds.path, t))
+        n = len(removed) + len(tmps)
+        total += n
+        if n:
+            print(f"{name}: removed {len(removed)} orphan slices, {len(tmps)} tmp dirs")
+    print(f"gc: {total} objects removed")
+    return 0
+
+
 def cmd_list(args) -> int:
     from kamu_cli_spark.query import QueryService
 
@@ -456,6 +484,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("delete")
     s.add_argument("dataset"); s.add_argument("--yes", action="store_true")
     s.set_defaults(fn=cmd_delete)
+    s = sub.add_parser("gc"); s.set_defaults(fn=cmd_gc)
     s = sub.add_parser("api-server")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--flight-port", type=int, default=None)

@@ -205,3 +205,31 @@ class TestWatermarkPropagation:
         assert TransformExecutor(
             Dataset(_os.path.join(ws, "joined"))
         ).execute(spark, system_time=d(8)) is None
+
+
+class TestGc:
+    def test_gc_reaps_orphans_and_tmp_dirs(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        _mk_cities(tmp_path, capsys, ws)
+        f1 = tmp_path / "d1.csv"
+        f1.write_text("city,population\nkyiv,2967\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cities", str(f1))[0] == 0
+        ds_path = os.path.join(ws, "cities")
+        # plant an orphan slice (a CAS loser's leftover) + a crashed
+        # writer staging dir
+        orphan = os.path.join(ds_path, "data", "999999-0-0-deadbeef.parquet")
+        open(orphan, "wb").write(b"not a real slice")
+        os.makedirs(os.path.join(ds_path, ".tmp-crashed"))
+
+        rc, out = _run(capsys, "--workspace", ws, "gc")
+        assert rc == 0 and "2 objects removed" in out
+        assert not os.path.exists(orphan)
+        assert not os.path.exists(os.path.join(ds_path, ".tmp-crashed"))
+        # live data untouched
+        assert Dataset(ds_path).read(spark).count() == 1
+
+    def test_gc_noop_on_clean_workspace(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        _mk_cities(tmp_path, capsys, ws)
+        rc, out = _run(capsys, "--workspace", ws, "gc")
+        assert rc == 0 and "0 objects removed" in out
