@@ -51,10 +51,11 @@ def cmd_add(args) -> int:
     name = manifest["name"]
     kind = manifest.get("kind", "Root")
     ds = Dataset.create(args.workspace, name, kind=kind)
-    if manifest.get("merge"):
-        ds.chain.append(
-            {"kind": "SetPollingSource", "merge": manifest["merge"]}
-        )
+    if manifest.get("merge") or manifest.get("preprocess"):
+        ev = {"kind": "SetPollingSource", "merge": manifest.get("merge") or {"kind": "append"}}
+        if manifest.get("preprocess"):
+            ev["preprocess"] = manifest["preprocess"]
+        ds.chain.append(ev)
     if kind == "Derivative":
         inputs = {
             alias: os.path.join(args.workspace, ref)
@@ -73,7 +74,11 @@ def cmd_add(args) -> int:
 
 def cmd_ingest(args) -> int:
     from kamu_cli_spark.operators.merge import make_merge_strategy
-    from kamu_cli_spark.sources.readers import prep_decompress, read_format
+    from kamu_cli_spark.sources.readers import (
+        apply_preprocess,
+        prep_decompress,
+        read_format,
+    )
     from kamu_cli_spark.writer import DataWriter
 
     ds = _dataset(args)
@@ -90,6 +95,9 @@ def cmd_ingest(args) -> int:
     if path.endswith((".gz", ".zip")):
         path = prep_decompress(path)
     df = read_format(spark, args.format, path)
+    df = apply_preprocess(
+        spark, df, src.event.get("preprocess") if src else None
+    )
     if args.event_time_column and args.event_time_column in df.columns:
         df = df.withColumnRenamed(args.event_time_column, ds.vocab.event_time_column)
     ev = DataWriter(ds, strategy).write(spark, df)

@@ -23,7 +23,11 @@ from pyspark.sql import SparkSession
 
 from kamu_cli_spark.dataset import Dataset
 from kamu_cli_spark.operators.merge import MergeStrategy
-from kamu_cli_spark.sources.readers import prep_decompress, read_format
+from kamu_cli_spark.sources.readers import (
+    apply_preprocess,
+    prep_decompress,
+    read_format,
+)
 from kamu_cli_spark.writer import DataWriter
 
 
@@ -86,11 +90,12 @@ def ingest_url(
     url: str,
     fmt: str = "csv",
     event_time_column: str | None = None,
+    preprocess=None,
     **reader_options,
 ) -> dict[str, Any] | None:
     """Polling ingest from a URL: conditional fetch → prep → read →
-    merge → commit, recording the HTTP cache state in the chain.
-    Returns None when the source is unchanged (304)."""
+    preprocess(SQL) → merge → commit, recording the HTTP cache state in
+    the chain. Returns None when the source is unchanged (304)."""
     import tempfile
 
     prev_state = _last_source_state(dataset)
@@ -104,6 +109,7 @@ def ingest_url(
     if staged.endswith((".gz", ".zip")):
         staged = prep_decompress(staged)
     df = read_format(spark, fmt, staged, **reader_options)
+    df = apply_preprocess(spark, df, preprocess)
     if event_time_column and event_time_column in df.columns:
         df = df.withColumnRenamed(event_time_column, dataset.vocab.event_time_column)
     writer = DataWriter(dataset, strategy, infer_schema="schema" not in reader_options)
@@ -273,6 +279,7 @@ def ingest_container(
         if staged is None:
             break
         df = read_format(spark, fmt, staged, **reader_options)
+        df = apply_preprocess(spark, df, preprocess)
         if event_time_column and event_time_column in df.columns:
             df = df.withColumnRenamed(
                 event_time_column, dataset.vocab.event_time_column
@@ -526,6 +533,7 @@ def ingest_files_glob(
     fmt: str = "csv",
     order: str = "by_name",
     event_time_column: str | None = None,
+    preprocess=None,
     **reader_options,
 ) -> list[dict[str, Any]]:
     """Poll `pattern`; ingest each not-yet-seen file as ONE commit in

@@ -266,3 +266,39 @@ def prep_pipe(path: str, command: list[str]) -> str:
     with open(path, "rb") as src, open(out, "wb") as dst:
         subprocess.run(command, stdin=src, stdout=dst, check=True)
     return out
+
+
+def apply_preprocess(spark, df, preprocess):
+    """SetPollingSource's PREPROCESS stage (fetch → prep → read →
+    **preprocess(SQL)** → merge; reference:
+    polling_ingest_service_impl.rs:141-290, and the covid examples'
+    ``FROM input`` convention): run SQL over the freshly-read batch,
+    registered as the temp view ``input``.
+
+    Accepts a plain SQL string, the ODF ``{kind: Sql, query}`` DTO, or
+    a multi-step list (``[{alias, query}, ...]``, last unaliased step =
+    output — same shape as transforms). Spark analyzes eagerly, so the
+    views can be dropped as soon as the output plan is built.
+    """
+    if preprocess is None:
+        return df
+    if isinstance(preprocess, str):
+        steps = [{"query": preprocess}]
+    elif isinstance(preprocess, dict):
+        steps = preprocess.get("queries") or [{"query": preprocess["query"]}]
+    else:
+        steps = preprocess
+    df.createOrReplaceTempView("input")
+    created = ["input"]
+    try:
+        out = df
+        for step in steps:
+            out = spark.sql(step["query"])
+            alias = step.get("alias")
+            if alias:
+                out.createOrReplaceTempView(alias)
+                created.append(alias)
+        return out
+    finally:
+        for v in created:
+            spark.catalog.dropTempView(v)

@@ -233,3 +233,73 @@ class TestGc:
         _mk_cities(tmp_path, capsys, ws)
         rc, out = _run(capsys, "--workspace", ws, "gc")
         assert rc == 0 and "0 objects removed" in out
+
+
+class TestIngestPreprocess:
+    """SetPollingSource's preprocess(SQL) stage between read and merge
+    (reference: polling_ingest_service_impl.rs:141-290; the covid
+    examples' `FROM input` convention)."""
+
+    def test_cli_ingest_runs_preprocess_sql(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        manifest = tmp_path / "cases.yaml"
+        manifest.write_text(
+            yaml.safe_dump(
+                {
+                    "kind": "Root",
+                    "name": "cases",
+                    "merge": {"kind": "ledger", "primary_key": ["id"]},
+                    # covid-parity: derive a synthetic PK and harmonize
+                    # a gender column, straight from the raw batch
+                    "preprocess": {
+                        "kind": "Sql",
+                        "query": (
+                            "SELECT CAST(row_number() OVER (ORDER BY name)"
+                            " AS BIGINT) AS id,"
+                            " CASE WHEN sex IN ('M', 'Male') THEN 'M'"
+                            "      WHEN sex IN ('F', 'Female') THEN 'F'"
+                            "      ELSE 'U' END AS gender,"
+                            " upper(name) AS name FROM input"
+                        ),
+                    },
+                }
+            )
+        )
+        assert _run(capsys, "--workspace", ws, "add", str(manifest))[0] == 0
+        f1 = tmp_path / "r1.csv"
+        f1.write_text("name,sex\nalice,Female\nbob,M\ncharlie,unknown\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cases", str(f1))[0] == 0
+
+        ds = Dataset(os.path.join(ws, "cases"))
+        rows = {
+            (r["id"], r["gender"], r["name"])
+            for r in ds.read(spark).collect()
+        }
+        assert rows == {(1, "F", "ALICE"), (2, "M", "BOB"), (3, "U", "CHARLIE")}
+        # raw columns never reach the committed schema
+        assert "sex" not in ds.read(spark).columns
+
+    def test_multi_step_preprocess(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        manifest = tmp_path / "m.yaml"
+        manifest.write_text(
+            yaml.safe_dump(
+                {
+                    "kind": "Root",
+                    "name": "m",
+                    "merge": {"kind": "append"},
+                    "preprocess": [
+                        {"alias": "cleaned",
+                         "query": "SELECT trim(v) AS v FROM input"},
+                        {"query": "SELECT v, length(v) AS n FROM cleaned"},
+                    ],
+                }
+            )
+        )
+        assert _run(capsys, "--workspace", ws, "add", str(manifest))[0] == 0
+        f1 = tmp_path / "r.csv"
+        f1.write_text("v\n  hi  \n")
+        assert _run(capsys, "--workspace", ws, "ingest", "m", str(f1))[0] == 0
+        ds = Dataset(os.path.join(ws, "m"))
+        (r,) = ds.read(spark).select("v", "n").collect()
+        assert (r["v"], r["n"]) == ("hi", 2)
