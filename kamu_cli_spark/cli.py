@@ -51,10 +51,11 @@ def cmd_add(args) -> int:
     name = manifest["name"]
     kind = manifest.get("kind", "Root")
     ds = Dataset.create(args.workspace, name, kind=kind)
-    if manifest.get("merge") or manifest.get("preprocess"):
+    if manifest.get("merge") or manifest.get("preprocess") or manifest.get("read"):
         ev = {"kind": "SetPollingSource", "merge": manifest.get("merge") or {"kind": "append"}}
-        if manifest.get("preprocess"):
-            ev["preprocess"] = manifest["preprocess"]
+        for key in ("preprocess", "read"):
+            if manifest.get(key):
+                ev[key] = manifest[key]
         ds.chain.append(ev)
     if kind == "Derivative":
         inputs = {
@@ -70,6 +71,25 @@ def cmd_add(args) -> int:
         )
     print(f"added dataset {name} ({kind})")
     return 0
+
+
+def _reader_options(read_cfg: dict) -> dict:
+    """Translate an ODF ReadStep DTO (camelCase keys, `schema` as an
+    ODF field list) into reader kwargs (snake_case, Spark StructType)."""
+    import re as _re
+
+    from kamu_cli_spark.odf_schema import odf_schema_to_struct
+
+    out = {}
+    for k, v in read_cfg.items():
+        if k == "kind":
+            continue
+        if k == "schema":
+            fields = v.get("fields") if isinstance(v, dict) else v
+            out["schema"] = odf_schema_to_struct(fields)
+            continue
+        out[_re.sub(r"(?<!^)(?=[A-Z])", "_", k).lower()] = v
+    return out
 
 
 def cmd_ingest(args) -> int:
@@ -94,7 +114,12 @@ def cmd_ingest(args) -> int:
     path = args.file
     if path.endswith((".gz", ".zip")):
         path = prep_decompress(path)
-    df = read_format(spark, args.format, path)
+    # the manifest's declared read step (format kind + reader options +
+    # explicit schema) is the contract; the --format flag overrides it
+    read_cfg = dict((src.event.get("read") if src else None) or {})
+    fmt = args.format or read_cfg.pop("kind", None) or "csv"
+    read_opts = _reader_options(read_cfg)
+    df = read_format(spark, fmt, path, **read_opts)
     df = apply_preprocess(
         spark, df, src.event.get("preprocess") if src else None
     )
@@ -440,7 +465,8 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("add"); s.add_argument("manifest"); s.set_defaults(fn=cmd_add)
     s = sub.add_parser("ingest")
     s.add_argument("dataset"); s.add_argument("file")
-    s.add_argument("--format", default="csv")
+    # None -> fall back to the manifest's declared read.kind, then csv
+    s.add_argument("--format", default=None)
     s.add_argument("--event-time-column", default=None)
     s.set_defaults(fn=cmd_ingest)
     s = sub.add_parser("pull")

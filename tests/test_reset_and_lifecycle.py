@@ -303,3 +303,45 @@ class TestIngestPreprocess:
         ds = Dataset(os.path.join(ws, "m"))
         (r,) = ds.read(spark).select("v", "n").collect()
         assert (r["v"], r["n"]) == ("hi", 2)
+
+
+class TestManifestReadStep:
+    def test_declared_read_schema_and_options(self, spark, tmp_path, capsys):
+        """The manifest's ODF ReadStep (kind, camelCase options,
+        explicit schema) is the ingest contract; no --format flag
+        needed and no schema inference drift across polls."""
+        ws = str(tmp_path)
+        manifest = tmp_path / "t.yaml"
+        manifest.write_text(
+            yaml.safe_dump(
+                {
+                    "kind": "Root",
+                    "name": "t",
+                    "merge": {"kind": "ledger", "primary_key": ["id"]},
+                    "read": {
+                        "kind": "csv",
+                        "separator": ";",
+                        "nullValue": "NA",
+                        "schema": {
+                            "fields": [
+                                {"name": "id", "type": "Int64"},
+                                {"name": "amount", "type": {"kind": "Decimal",
+                                                            "precision": 10,
+                                                            "scale": 2}},
+                                {"name": "note", "type": "String"},
+                            ]
+                        },
+                    },
+                }
+            )
+        )
+        assert _run(capsys, "--workspace", ws, "add", str(manifest))[0] == 0
+        f1 = tmp_path / "r.csv"
+        f1.write_text("id;amount;note\n1;10.50;ok\n2;3.00;NA\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "t", str(f1))[0] == 0
+
+        ds = Dataset(os.path.join(ws, "t"))
+        df = ds.read(spark)
+        assert dict(df.dtypes)["amount"] == "decimal(10,2)"
+        rows = {(r["id"], str(r["amount"]), r["note"]) for r in df.collect()}
+        assert rows == {(1, "10.50", "ok"), (2, "3.00", None)}
