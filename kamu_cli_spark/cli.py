@@ -386,6 +386,33 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_new(args) -> int:
+    """`kamu new` equivalent: write a commented starter manifest
+    (root snapshot shape, or --derivative for a transform)."""
+    out = f"{args.name}.yaml"
+    if os.path.exists(out):
+        print(f"error: {out} already exists", file=sys.stderr)
+        return 1
+    if args.derivative:
+        body = {
+            "kind": "Derivative",
+            "name": args.name,
+            "inputs": {"alias": "upstream-dataset-name"},
+            "queries": [{"query": "SELECT * FROM alias"}],
+        }
+    else:
+        body = {
+            "kind": "Root",
+            "name": args.name,
+            "read": {"kind": "csv", "header": True},
+            "merge": {"kind": "ledger", "primary_key": ["id"]},
+        }
+    with open(out, "w") as f:
+        yaml.safe_dump(body, f, sort_keys=False)
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_gc(args) -> int:
     """`kamu system gc` equivalent: per dataset, remove slices no chain
     block references (losers of the commit CAS, remnants of reset) and
@@ -519,6 +546,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("dataset"); s.add_argument("--yes", action="store_true")
     s.set_defaults(fn=cmd_delete)
     s = sub.add_parser("gc"); s.set_defaults(fn=cmd_gc)
+    s = sub.add_parser("new")
+    s.add_argument("name"); s.add_argument("--derivative", action="store_true")
+    s.set_defaults(fn=cmd_new)
     s = sub.add_parser("api-server")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--flight-port", type=int, default=None)

@@ -345,3 +345,24 @@ class TestManifestReadStep:
         assert dict(df.dtypes)["amount"] == "decimal(10,2)"
         rows = {(r["id"], str(r["amount"]), r["note"]) for r in df.collect()}
         assert rows == {(1, "10.50", "ok"), (2, "3.00", None)}
+
+
+class TestNewScaffold:
+    def test_new_root_manifest_is_addable(self, spark, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        ws = str(tmp_path)
+        rc, _ = _run(capsys, "--workspace", ws, "new", "mydata")
+        assert rc == 0 and os.path.exists("mydata.yaml")
+        rc, _ = _run(capsys, "--workspace", ws, "add", "mydata.yaml")
+        assert rc == 0
+        # refuses to clobber
+        assert cli.main(["--workspace", ws, "new", "mydata"]) == 1
+        capsys.readouterr()
+
+    def test_new_derivative_shape(self, spark, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        rc, _ = _run(capsys, "--workspace", str(tmp_path), "new", "dv",
+                     "--derivative")
+        assert rc == 0
+        m = yaml.safe_load(open("dv.yaml"))
+        assert m["kind"] == "Derivative" and "queries" in m
