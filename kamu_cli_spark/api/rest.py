@@ -189,10 +189,25 @@ class _Handler(BaseHTTPRequestHandler):
                 from kamu_cli_spark.operators.merge import make_merge_strategy
                 from kamu_cli_spark.writer import DataWriter
 
-                ds = self.qs.dataset(body["dataset"])
-                src = ds.chain.last_event("SetPollingSource") or ds.chain.last_event(
-                    "AddPushSource"
+                from kamu_cli_spark.ledger.chain import (
+                    active_polling_source,
+                    active_push_source,
                 )
+
+                ds = self.qs.dataset(body["dataset"])
+                declared = ds.chain.last_event(
+                    "SetPollingSource"
+                ) or ds.chain.last_event("AddPushSource")
+                src = active_polling_source(ds.chain) or active_push_source(
+                    ds.chain, body.get("source_name")
+                )
+                if declared is not None and src is None:
+                    self._error(
+                        400,
+                        "source is disabled (DisablePollingSource/"
+                        "DisablePushSource)",
+                    )
+                    return
                 cfg = (src.event.get("merge") if src else None) or {"kind": "append"}
                 strategy = make_merge_strategy(
                     cfg.get("kind", "append"),

@@ -103,6 +103,16 @@ def cmd_ingest(args) -> int:
 
     ds = _dataset(args)
     src = ds.chain.last_event("SetPollingSource")
+    if src is not None:
+        from kamu_cli_spark.ledger.chain import active_polling_source
+
+        if active_polling_source(ds.chain) is None:
+            print(
+                f"error: polling source of {args.dataset} is disabled "
+                "(DisablePollingSource)",
+                file=sys.stderr,
+            )
+            return 1
     merge_cfg = (src.event.get("merge") if src else None) or {"kind": "append"}
     strategy = make_merge_strategy(
         merge_cfg.get("kind", "append"),

@@ -319,3 +319,38 @@ class MetadataChain:
                 next_off = iv["end"] + 1
             prev_hash = b.block_hash
             prev_st = b.system_time
+
+
+def active_polling_source(chain: "MetadataChain") -> MetadataBlock | None:
+    """The currently-active SetPollingSource block, honoring disables:
+    a later DisablePollingSource deactivates it, a later
+    SetPollingSource re-activates (reference DTOs:
+    dtos_generated.rs:2151-2153; ingest services refuse disabled
+    sources)."""
+    active = None
+    for b in chain.blocks():
+        k = b.event.get("kind")
+        if k == "SetPollingSource":
+            active = b
+        elif k == "DisablePollingSource":
+            active = None
+    return active
+
+
+def active_push_source(
+    chain: "MetadataChain", source_name: str | None = None
+) -> MetadataBlock | None:
+    """The currently-active AddPushSource block for `source_name`
+    (None matches a source declared without a name), honoring
+    DisablePushSource{source_name} (dtos_generated.rs:2158-2162)."""
+    active: dict[str | None, MetadataBlock] = {}
+    for b in chain.blocks():
+        k = b.event.get("kind")
+        if k == "AddPushSource":
+            active[b.event.get("source_name")] = b
+        elif k == "DisablePushSource":
+            active.pop(b.event.get("source_name"), None)
+    if source_name is not None:
+        return active.get(source_name)
+    # unnamed lookup: the sole remaining source, if unambiguous
+    return next(iter(active.values())) if len(active) == 1 else active.get(None)

@@ -366,3 +366,47 @@ class TestNewScaffold:
         assert rc == 0
         m = yaml.safe_load(open("dv.yaml"))
         assert m["kind"] == "Derivative" and "queries" in m
+
+
+class TestDisabledSources:
+    """DisablePollingSource / DisablePushSource must actually refuse
+    ingestion, and a re-declared source re-enables
+    (dtos_generated.rs:2151-2162)."""
+
+    def test_polling_disable_reenable_cycle(self, spark, tmp_path, capsys):
+        ws = str(tmp_path)
+        _mk_cities(tmp_path, capsys, ws)
+        f1 = tmp_path / "d1.csv"
+        f1.write_text("city,population\nkyiv,2967\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cities", str(f1))[0] == 0
+
+        ds = Dataset(os.path.join(ws, "cities"))
+        ds.chain.append({"kind": "DisablePollingSource"})
+        assert cli.main(["--workspace", ws, "ingest", "cities", str(f1)]) == 1
+        capsys.readouterr()
+
+        # re-declaring the source re-enables ingestion
+        ds.chain.append(
+            {"kind": "SetPollingSource",
+             "merge": {"kind": "ledger", "primary_key": ["city"]}}
+        )
+        f2 = tmp_path / "d2.csv"
+        f2.write_text("city,population\nlviv,717\n")
+        assert _run(capsys, "--workspace", ws, "ingest", "cities", str(f2))[0] == 0
+        assert Dataset(os.path.join(ws, "cities")).read(spark).count() == 2
+
+    def test_push_source_activation_by_name(self, tmp_path):
+        from kamu_cli_spark.ledger.chain import active_push_source
+
+        ws = str(tmp_path)
+        ds = Dataset.create(ws, "p")
+        ds.chain.append({"kind": "AddPushSource", "source_name": "a",
+                         "merge": {"kind": "append"}})
+        ds.chain.append({"kind": "AddPushSource", "source_name": "b",
+                         "merge": {"kind": "append"}})
+        assert active_push_source(ds.chain, "a") is not None
+        ds.chain.append({"kind": "DisablePushSource", "source_name": "a"})
+        assert active_push_source(ds.chain, "a") is None
+        # 'b' unaffected; unnamed lookup resolves to the sole survivor
+        assert active_push_source(ds.chain, "b") is not None
+        assert active_push_source(ds.chain).event["source_name"] == "b"
