@@ -260,6 +260,7 @@ def ingest_container(
     env: dict[str, str | None] | None = None,
     event_time_column: str | None = None,
     max_rounds: int = 100,
+    preprocess=None,
     **reader_options,
 ) -> list[dict[str, Any]]:
     """Polling ingest from a container-protocol source: fetch → read →
@@ -467,6 +468,7 @@ def fetch_ethereum_logs(
                     "block_number": int(log["blockNumber"], 16),
                     "block_hash": log.get("blockHash"),
                     "transaction_index": int(log.get("transactionIndex", "0x0"), 16),
+                    "transaction_hash": log.get("transactionHash"),
                     "log_index": int(log.get("logIndex", "0x0"), 16),
                     "address": log.get("address"),
                     "topic0": (log.get("topics") or [None])[0],
@@ -489,10 +491,15 @@ def ingest_ethereum_logs(
     strategy: MergeStrategy,
     rpc: Any = None,
     node_url: str | None = None,
+    preprocess=None,
     **fetch_options,
 ) -> dict[str, Any] | None:
-    """Polling ingest of an EVM log scan: fetch → NDJSON read → merge →
-    commit, carrying the block cursor in the chain's source_state."""
+    """Polling ingest of an EVM log scan: fetch → NDJSON read →
+    preprocess(SQL) → merge → commit, carrying the block cursor in the
+    chain's source_state. The preprocess step is where raw log topics/
+    data decode into typed event columns (the reference decodes via the
+    declared event signature; the SQL form keeps the decode auditable —
+    see examples/reth)."""
     import tempfile
 
     prev = _last_source_state(dataset)
@@ -517,6 +524,7 @@ def ingest_ethereum_logs(
             return ev
         return None
     df = read_format(spark, "ndjson", staged)
+    df = apply_preprocess(spark, df, preprocess)
     return DataWriter(dataset, strategy, infer_schema=True).write(
         spark,
         df,
@@ -576,6 +584,7 @@ def ingest_files_glob(
         if path.endswith((".gz", ".zip")):
             staged = prep_decompress(path)
         df = read_format(spark, fmt, staged, **reader_options)
+        df = apply_preprocess(spark, df, preprocess)
         if event_time_column and event_time_column in df.columns:
             df = df.withColumnRenamed(
                 event_time_column, dataset.vocab.event_time_column

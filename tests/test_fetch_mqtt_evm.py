@@ -88,6 +88,9 @@ class FakeEthNode:
                                 "blockNumber": hex(b),
                                 "blockHash": f"0xb{b:02x}",
                                 "transactionIndex": "0x0",
+                                "transactionHash": log.get(
+                                    "transactionHash", f"0xt{b:02x}{i:02x}"
+                                ),
                                 "logIndex": hex(i),
                                 "address": log["address"],
                                 "topics": log.get("topics", []),
