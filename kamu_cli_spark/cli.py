@@ -50,7 +50,13 @@ def cmd_add(args) -> int:
     manifest = yaml.safe_load(open(args.manifest))
     name = manifest["name"]
     kind = manifest.get("kind", "Root")
-    ds = Dataset.create(args.workspace, name, kind=kind)
+    vocab_kwargs = {}
+    if manifest.get("vocab"):
+        from kamu_cli_spark.vocab import DEFAULT_VOCAB
+        from dataclasses import replace as _dc_replace
+
+        vocab_kwargs["vocab"] = _dc_replace(DEFAULT_VOCAB, **manifest["vocab"])
+    ds = Dataset.create(args.workspace, name, kind=kind, **vocab_kwargs)
     if manifest.get("merge") or manifest.get("preprocess") or manifest.get("read"):
         ev = {"kind": "SetPollingSource", "merge": manifest.get("merge") or {"kind": "append"}}
         for key in ("preprocess", "read"):

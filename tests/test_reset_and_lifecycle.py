@@ -410,3 +410,34 @@ class TestDisabledSources:
         # 'b' unaffected; unnamed lookup resolves to the sole survivor
         assert active_push_source(ds.chain, "b") is not None
         assert active_push_source(ds.chain).event["source_name"] == "b"
+
+
+class TestManifestVocab:
+    def test_custom_event_time_column_end_to_end(self, spark, tmp_path, capsys):
+        """A manifest-declared vocabulary (SetVocab) renames the system
+        columns; the writer stamps/sorts by the custom event-time name
+        and the watermark follows it."""
+        ws = str(tmp_path)
+        manifest = tmp_path / "scores.yaml"
+        manifest.write_text(
+            yaml.safe_dump(
+                {
+                    "kind": "Root",
+                    "name": "scores",
+                    "vocab": {"event_time_column": "match_time"},
+                    "merge": {"kind": "ledger", "primary_key": ["match_id"]},
+                }
+            )
+        )
+        assert _run(capsys, "--workspace", ws, "add", str(manifest))[0] == 0
+        f1 = tmp_path / "d.csv"
+        f1.write_text("match_time,match_id,score\n2024-01-02T00:00:00,1,10\n")
+        assert _run(
+            capsys, "--workspace", ws, "ingest", "scores", str(f1)
+        )[0] == 0
+
+        ds = Dataset(os.path.join(ws, "scores"))
+        assert ds.vocab.event_time_column == "match_time"
+        df = ds.read(spark)
+        assert "match_time" in df.columns and "event_time" not in df.columns
+        assert ds.chain.current_watermark().startswith("2024-01-02")
