@@ -23,6 +23,10 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     the plan's RDD for a partition count, which costs >1s of physical
     planning per call and dominated small-SF operator latency.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the stream source's concern;
+        # stats/repartition below would break streaming analysis
+        return df
     target = target or df.sparkSession.sparkContext.defaultParallelism
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
