@@ -191,16 +191,33 @@ class _Handler(BaseHTTPRequestHandler):
 
                 from kamu_cli_spark.ledger.chain import (
                     active_polling_source,
-                    active_push_source,
+                    active_push_sources,
                 )
 
                 ds = self.qs.dataset(body["dataset"])
                 declared = ds.chain.last_event(
                     "SetPollingSource"
                 ) or ds.chain.last_event("AddPushSource")
-                src = active_polling_source(ds.chain) or active_push_source(
-                    ds.chain, body.get("source_name")
-                )
+                src = active_polling_source(ds.chain)
+                if src is None:
+                    pushes = active_push_sources(ds.chain)
+                    want = body.get("source_name")
+                    if want is not None:
+                        src = pushes.get(want)
+                        if declared is not None and src is None:
+                            self._error(
+                                400, f"push source {want!r} unknown or disabled"
+                            )
+                            return
+                    elif len(pushes) == 1:
+                        src = next(iter(pushes.values()))
+                    elif len(pushes) > 1:
+                        self._error(
+                            400,
+                            "multiple active push sources — pass source_name "
+                            f"(one of {sorted(pushes)})",
+                        )
+                        return
                 if declared is not None and src is None:
                     self._error(
                         400,

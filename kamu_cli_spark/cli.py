@@ -43,6 +43,18 @@ def _dataset(args, name=None):
     return Dataset(os.path.join(args.workspace, name or args.dataset))
 
 
+def _list_datasets(workspace: str) -> list[str]:
+    """Dataset dirs in the workspace — pure filesystem, so list/search/
+    gc never pay SparkSession startup for zero Spark work."""
+    if not os.path.isdir(workspace):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(workspace)
+        if os.path.isfile(os.path.join(workspace, n, "metadata.jsonl"))
+    )
+
+
 def cmd_add(args) -> int:
     from kamu_cli_spark.dataset import Dataset
     from kamu_cli_spark.transform import set_transform
@@ -57,9 +69,9 @@ def cmd_add(args) -> int:
 
         vocab_kwargs["vocab"] = _dc_replace(DEFAULT_VOCAB, **manifest["vocab"])
     ds = Dataset.create(args.workspace, name, kind=kind, **vocab_kwargs)
-    if manifest.get("merge") or manifest.get("preprocess") or manifest.get("read"):
+    if any(manifest.get(k) for k in ("merge", "preprocess", "read", "fetch")):
         ev = {"kind": "SetPollingSource", "merge": manifest.get("merge") or {"kind": "append"}}
-        for key in ("preprocess", "read"):
+        for key in ("fetch", "preprocess", "read"):
             if manifest.get(key):
                 ev[key] = manifest[key]
         ds.chain.append(ev)
@@ -153,6 +165,57 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def _poll_root(spark, ds) -> "dict | None":
+    """Pull a Root dataset from its chain-recorded polling source: the
+    SetPollingSource event's fetch/read/preprocess/merge ARE the
+    contract, so `kamu pull` needs no flags (reference:
+    polling_ingest_service_impl.rs:141-290). Returns the last committed
+    event, or None when up-to-date / no pollable fetch declared."""
+    from kamu_cli_spark.ledger.chain import active_polling_source
+    from kamu_cli_spark.operators.merge import make_merge_strategy
+    from kamu_cli_spark.sources.fetch import (
+        ingest_ethereum_logs,
+        ingest_files_glob,
+        ingest_url,
+    )
+
+    src = active_polling_source(ds.chain)
+    if src is None:
+        return None
+    ev = src.event
+    fetch = ev.get("fetch") or {}
+    kind = str(fetch.get("kind", "")).replace("_", "").lower()
+    merge_cfg = ev.get("merge") or {"kind": "append"}
+    strategy = make_merge_strategy(
+        merge_cfg.get("kind", "append"),
+        merge_cfg.get("primary_key"),
+        merge_cfg.get("compare_columns"),
+        ds.vocab,
+    )
+    read_cfg = dict(ev.get("read") or {})
+    fmt = read_cfg.pop("kind", "csv") or "csv"
+    opts = _reader_options(read_cfg)
+    pre = ev.get("preprocess")
+    if kind == "filesglob":
+        evs = ingest_files_glob(
+            spark, ds, strategy, fetch["path"], fmt=str(fmt).lower(),
+            order=fetch.get("order", "by_name"), preprocess=pre, **opts,
+        )
+        return evs[-1] if evs else None
+    if kind == "url":
+        return ingest_url(
+            spark, ds, strategy, fetch["url"], fmt=str(fmt).lower(),
+            preprocess=pre, **opts,
+        )
+    if kind == "ethereumlogs":
+        return ingest_ethereum_logs(
+            spark, ds, strategy, node_url=fetch.get("node_url"),
+            preprocess=pre,
+            filter_address=fetch.get("filter_address"),
+        )
+    return None
+
+
 def cmd_pull(args) -> int:
     from kamu_cli_spark.provenance import lineage, topological_order
     from kamu_cli_spark.transform import make_transform_executor
@@ -163,7 +226,7 @@ def cmd_pull(args) -> int:
     def topo(node):
         for sub in node["inputs"]:
             topo(sub)
-        if node["kind"] == "Derivative" and node["name"] not in order:
+        if node["name"] not in order:
             order.append(node["name"])
 
     if args.dataset == "--all" or args.all:
@@ -174,7 +237,11 @@ def cmd_pull(args) -> int:
         order = [args.dataset]
 
     for name in order:
-        ev = make_transform_executor(_dataset(args, name)).execute(spark)
+        ds = _dataset(args, name)
+        if ds.kind == "Root":
+            ev = _poll_root(spark, ds)
+        else:
+            ev = make_transform_executor(ds).execute(spark)
         if ev is None:
             print(f"{name}: up-to-date")
         elif ev.get("new_data"):
@@ -338,11 +405,15 @@ def cmd_reset(args) -> int:
     """`kamu reset` equivalent: move the head to an earlier block
     (default: Seed) and drop later data
     (reference: reset_planner_impl.rs:29-73, reset_executor_impl.rs)."""
-    from kamu_cli_spark.reset import reset_dataset
+    from kamu_cli_spark.reset import ResetError, reset_dataset
 
-    out = reset_dataset(
-        _dataset(args), new_head=args.new_head, old_head=args.old_head
-    )
+    try:
+        out = reset_dataset(
+            _dataset(args), new_head=args.new_head, old_head=args.old_head
+        )
+    except ResetError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     print(json.dumps(out))
     return 0
 
@@ -352,11 +423,8 @@ def cmd_search(args) -> int:
     substring match on dataset names + SetInfo description/keywords
     (reference heuristic: adapter/graphql/src/queries/search.rs:29-80;
     same matcher as the GraphQL search endpoint)."""
-    from kamu_cli_spark.query import QueryService
-
-    qs = QueryService(_spark(), args.workspace)
     q = args.query.lower()
-    for name in sorted(qs.list_datasets()):
+    for name in _list_datasets(args.workspace):
         ds = _dataset(args, name)
         info = ds.chain.last_event("SetInfo")
         ev = info.event if info else {}
@@ -434,18 +502,21 @@ def cmd_gc(args) -> int:
     block references (losers of the commit CAS, remnants of reset) and
     crashed-writer `.tmp-*` staging dirs."""
     import shutil
+    import time
 
-    from kamu_cli_spark.query import QueryService
-
-    qs = QueryService(_spark(), args.workspace)
     total = 0
-    for name in sorted(qs.list_datasets()):
+    for name in _list_datasets(args.workspace):
         ds = _dataset(args, name)
         removed = ds.clean_orphan_slices()
+        # only reap staging dirs older than --min-age: a LIVE writer is
+        # staging into its .tmp-* dir right now and must not be raced
+        cutoff = time.time() - args.min_age
         tmps = [
             f
             for f in os.listdir(ds.path)
-            if f.startswith(".tmp-") and os.path.isdir(os.path.join(ds.path, f))
+            if f.startswith(".tmp-")
+            and os.path.isdir(os.path.join(ds.path, f))
+            and os.path.getmtime(os.path.join(ds.path, f)) < cutoff
         ]
         for t in tmps:
             shutil.rmtree(os.path.join(ds.path, t))
@@ -458,10 +529,7 @@ def cmd_gc(args) -> int:
 
 
 def cmd_list(args) -> int:
-    from kamu_cli_spark.query import QueryService
-
-    qs = QueryService(_spark(), args.workspace)
-    for name in qs.list_datasets():
+    for name in _list_datasets(args.workspace):
         ds = _dataset(args, name)
         n = sum(d["num_records"] for d in ds.chain.data_files())
         print(f"{name}\t{ds.kind}\t{n} records\t{len(ds.chain)} blocks")
@@ -561,7 +629,10 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("delete")
     s.add_argument("dataset"); s.add_argument("--yes", action="store_true")
     s.set_defaults(fn=cmd_delete)
-    s = sub.add_parser("gc"); s.set_defaults(fn=cmd_gc)
+    s = sub.add_parser("gc")
+    s.add_argument("--min-age", type=float, default=3600.0,
+                   help="only reap .tmp-* staging dirs older than this many seconds")
+    s.set_defaults(fn=cmd_gc)
     s = sub.add_parser("new")
     s.add_argument("name"); s.add_argument("--derivative", action="store_true")
     s.set_defaults(fn=cmd_new)

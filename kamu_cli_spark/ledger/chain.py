@@ -208,16 +208,24 @@ class MetadataChain:
         finally:
             os.remove(lock)
 
+    def _reload_if_stale(self) -> None:
+        """Re-read the chain if another process appended since we
+        loaded — callers hold the lock, so the reloaded view is the
+        true head for the duration of the write."""
+        if os.path.exists(self.path):
+            on_disk = sum(
+                1 for line in open(self.path, encoding="utf-8") if line.strip()
+            )
+            if on_disk != len(self._blocks):
+                self._blocks = MetadataChain(self.path)._blocks
+
     def _append_locked(
         self, event: dict[str, Any], system_time: str | None = None
     ) -> MetadataBlock:
         kind = event.get("kind")
         # prev-hash CAS: if another process appended since we loaded,
         # reload before validating so we chain onto the true head
-        if os.path.exists(self.path):
-            on_disk = sum(1 for line in open(self.path, encoding="utf-8") if line.strip())
-            if on_disk != len(self._blocks):
-                self._blocks = MetadataChain(self.path)._blocks
+        self._reload_if_stale()
         head = self.head()
         if head is None and kind != "Seed":
             raise ChainIntegrityError("chain must start with a Seed block")
@@ -257,22 +265,29 @@ class MetadataChain:
         self._blocks.append(block)
         return block
 
-    def truncate_to(self, block_hash: str) -> list["MetadataBlock"]:
+    def truncate_to(
+        self, block_hash: str, expect_head: str | None = None
+    ) -> list["MetadataBlock"]:
         """Move the chain head back to `block_hash`, dropping every
         later block (the linear-file equivalent of the reference's
         reset `set_ref(Head, new_head)` —
         src/infra/core/src/services/reset/reset_executor_impl.rs:24-46).
         Atomic rewrite under the chain lock; returns the dropped
-        blocks so callers can clean up orphaned slices."""
+        blocks so callers can clean up orphaned slices.
+
+        `expect_head` is the compare-and-set guard, checked INSIDE the
+        lock after reloading — a concurrent append between planning and
+        execution aborts the truncation instead of being destroyed."""
         lock = self._acquire_lock()
         try:
-            # reload for CAS safety (same rule as _append_locked)
-            if os.path.exists(self.path):
-                on_disk = sum(
-                    1 for line in open(self.path, encoding="utf-8") if line.strip()
+            self._reload_if_stale()
+            if expect_head is not None and (
+                not self._blocks or self._blocks[-1].block_hash != expect_head
+            ):
+                cur = self._blocks[-1].block_hash if self._blocks else None
+                raise ChainIntegrityError(
+                    f"head mismatch: chain head is {cur}, expected {expect_head}"
                 )
-                if on_disk != len(self._blocks):
-                    self._blocks = MetadataChain(self.path)._blocks
             idx = next(
                 (
                     i
@@ -337,12 +352,12 @@ def active_polling_source(chain: "MetadataChain") -> MetadataBlock | None:
     return active
 
 
-def active_push_source(
-    chain: "MetadataChain", source_name: str | None = None
-) -> MetadataBlock | None:
-    """The currently-active AddPushSource block for `source_name`
-    (None matches a source declared without a name), honoring
-    DisablePushSource{source_name} (dtos_generated.rs:2158-2162)."""
+def active_push_sources(
+    chain: "MetadataChain",
+) -> dict[str | None, MetadataBlock]:
+    """All currently-active AddPushSource blocks keyed by source_name,
+    honoring DisablePushSource{source_name}
+    (dtos_generated.rs:2158-2162)."""
     active: dict[str | None, MetadataBlock] = {}
     for b in chain.blocks():
         k = b.event.get("kind")
@@ -350,7 +365,16 @@ def active_push_source(
             active[b.event.get("source_name")] = b
         elif k == "DisablePushSource":
             active.pop(b.event.get("source_name"), None)
+    return active
+
+
+def active_push_source(
+    chain: "MetadataChain", source_name: str | None = None
+) -> MetadataBlock | None:
+    """The active AddPushSource for `source_name`; with no name, the
+    sole active source if unambiguous (callers wanting to distinguish
+    ambiguous-vs-disabled use :func:`active_push_sources`)."""
+    active = active_push_sources(chain)
     if source_name is not None:
         return active.get(source_name)
-    # unnamed lookup: the sole remaining source, if unambiguous
     return next(iter(active.values())) if len(active) == 1 else active.get(None)

@@ -36,6 +36,8 @@ def reset_dataset(
 ) -> dict[str, Any]:
     """Reset `ds` so `new_head` (default: the Seed block) becomes the
     chain head. Returns a summary of what moved and what was removed."""
+    from kamu_cli_spark.ledger.chain import ChainIntegrityError
+
     chain = ds.chain
     cur = chain.head()
     if cur is None:
@@ -46,7 +48,17 @@ def reset_dataset(
         )
     if new_head is None:
         new_head = chain.blocks()[0].block_hash  # Seed
-    dropped = chain.truncate_to(new_head)
+    elif all(b.block_hash != new_head for b in chain.blocks()):
+        raise ResetError(f"block {new_head} not found in chain")
+    try:
+        # the guard re-runs INSIDE the chain lock: a concurrent append
+        # between the check above and the truncation aborts the reset
+        # (reference: ResetPlanningError::OldHeadMismatch semantics)
+        dropped = chain.truncate_to(new_head, expect_head=old_head)
+    except ChainIntegrityError as e:
+        if "head mismatch" in str(e):
+            raise OldHeadMismatchError(str(e)) from e
+        raise ResetError(str(e)) from e
     removed = ds.clean_orphan_slices()
     return {
         "old_head": cur.block_hash,

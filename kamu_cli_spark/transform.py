@@ -146,10 +146,21 @@ class TransformExecutor:
             if new_offset is not None and (prev is None or new_offset > prev):
                 any_new = True
             plan["inputs"][alias] = interval
+        plan["input_watermark"] = self.input_watermark()
         if not any_new:
-            in_wm = self.input_watermark()
+            in_wm = plan["input_watermark"]
             out_wm = self.dataset.chain.current_watermark()
-            if in_wm is not None and (out_wm is None or in_wm > out_wm):
+            all_have_data = all(
+                iv["new_offset"] is not None for iv in plan["inputs"].values()
+            )
+            # a pure watermark advance needs every input's schema to
+            # exist (a data-less but watermarked input can't register a
+            # typed empty view yet) — those pulls stay clean no-ops
+            if (
+                all_have_data
+                and in_wm is not None
+                and (out_wm is None or in_wm > out_wm)
+            ):
                 any_new = True
         return plan if any_new else None
 
@@ -157,7 +168,7 @@ class TransformExecutor:
         """Commit pre-diffed changelog events, recording consumed
         intervals even when the diff is empty (so nothing reprocesses)."""
         writer = DataWriter(self.dataset, _PassthroughOps(self.dataset.vocab))
-        in_wm = self.input_watermark()
+        in_wm = plan.get("input_watermark", self.input_watermark())
         event = writer.write(
             spark,
             events,
@@ -230,7 +241,7 @@ class TransformExecutor:
         ):
             strategy = _PassthroughOps(v)
         writer = DataWriter(self.dataset, strategy)
-        in_wm = self.input_watermark()
+        in_wm = plan.get("input_watermark", self.input_watermark())
         event = writer.write(
             spark,
             result,

@@ -221,9 +221,15 @@ class TestGc:
         open(orphan, "wb").write(b"not a real slice")
         os.makedirs(os.path.join(ds_path, ".tmp-crashed"))
 
+        # default min-age: the fresh staging dir could be a LIVE writer
+        # — only the chain-orphaned slice is reaped
         rc, out = _run(capsys, "--workspace", ws, "gc")
-        assert rc == 0 and "2 objects removed" in out
+        assert rc == 0 and "1 objects removed" in out
         assert not os.path.exists(orphan)
+        assert os.path.exists(os.path.join(ds_path, ".tmp-crashed"))
+        # --min-age 0 reaps the stale staging dir too
+        rc, out = _run(capsys, "--workspace", ws, "gc", "--min-age", "0")
+        assert rc == 0 and "1 objects removed" in out
         assert not os.path.exists(os.path.join(ds_path, ".tmp-crashed"))
         # live data untouched
         assert Dataset(ds_path).read(spark).count() == 1
@@ -441,3 +447,63 @@ class TestManifestVocab:
         df = ds.read(spark)
         assert "match_time" in df.columns and "event_time" not in df.columns
         assert ds.chain.current_watermark().startswith("2024-01-02")
+
+
+class TestPullPollsRoots:
+    def test_pull_recursive_polls_root_then_transforms(
+        self, spark, tmp_path, capsys
+    ):
+        """`kamu pull --recursive` on a derivative first polls its Root
+        input from the chain-recorded FilesGlob fetch (no flags — the
+        SetPollingSource event is the whole contract), then runs the
+        transform over the fresh data."""
+        ws = str(tmp_path)
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        root_manifest = tmp_path / "cities.yaml"
+        root_manifest.write_text(
+            yaml.safe_dump(
+                {
+                    "kind": "Root",
+                    "name": "cities",
+                    "fetch": {"kind": "FilesGlob", "path": f"{inbox}/*.csv"},
+                    "read": {"kind": "csv"},
+                    "merge": {"kind": "ledger", "primary_key": ["city"]},
+                }
+            )
+        )
+        big_manifest = tmp_path / "big.yaml"
+        big_manifest.write_text(
+            yaml.safe_dump(
+                {
+                    "kind": "Derivative",
+                    "name": "big",
+                    "inputs": {"cities": "cities"},
+                    "queries": [
+                        {"query": "SELECT event_time, city, population"
+                                  " FROM cities WHERE population > 1000"}
+                    ],
+                }
+            )
+        )
+        assert _run(capsys, "--workspace", ws, "add", str(root_manifest))[0] == 0
+        assert _run(capsys, "--workspace", ws, "add", str(big_manifest))[0] == 0
+
+        (inbox / "a.csv").write_text("city,population\nkyiv,2967\nlviv,717\n")
+        rc, out = _run(capsys, "--workspace", ws, "pull", "big", "--recursive")
+        assert rc == 0
+        assert "cities: committed 2 records" in out
+        assert "big: committed 1 records" in out
+
+        # idempotent second pull
+        rc, out = _run(capsys, "--workspace", ws, "pull", "big", "--recursive")
+        assert rc == 0 and out.count("up-to-date") == 2
+
+        # a new inbox file flows through root AND derivative in one pull
+        (inbox / "b.csv").write_text("city,population\nkharkiv,1421\n")
+        rc, out = _run(capsys, "--workspace", ws, "pull", "big", "--recursive")
+        assert rc == 0
+        assert "cities: committed 1 records" in out
+        assert "big: committed 1 records" in out
+        big = Dataset(os.path.join(ws, "big")).read(spark)
+        assert {r["city"] for r in big.collect()} == {"kyiv", "kharkiv"}
