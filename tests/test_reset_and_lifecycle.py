@@ -507,3 +507,34 @@ class TestPullPollsRoots:
         assert "big: committed 1 records" in out
         big = Dataset(os.path.join(ws, "big")).read(spark)
         assert {r["city"] for r in big.collect()} == {"kyiv", "kharkiv"}
+
+
+class TestResetAppendRace:
+    def test_in_lock_cas_aborts_on_concurrent_append(self, tmp_path):
+        """The old-head guard re-runs inside the chain lock: an append
+        that lands between reset planning and execution aborts the
+        truncation instead of being destroyed."""
+        from kamu_cli_spark.ledger.chain import MetadataChain
+
+        ws = str(tmp_path)
+        ds = Dataset.create(ws, "r")
+        ds.chain.append({"kind": "SetPollingSource", "merge": {"kind": "append"}})
+        planned_head = ds.chain.head().block_hash
+
+        # simulate the interleaved writer: ANOTHER process handle
+        # appends after our reset has planned against planned_head
+        other = MetadataChain(ds.chain.path)
+        other.append({"kind": "SetInfo", "description": "late commit"})
+
+        try:
+            # our stale in-memory view still shows planned_head, so the
+            # pre-check passes; the locked reload must catch it
+            reset_dataset(ds, new_head=ds.chain.blocks()[0].block_hash,
+                          old_head=planned_head)
+            assert False, "expected OldHeadMismatchError"
+        except OldHeadMismatchError:
+            pass
+        # the concurrent append survived intact
+        fresh = MetadataChain(ds.chain.path)
+        assert fresh.head().event["kind"] == "SetInfo"
+        assert len(fresh) == 3
