@@ -2185,7 +2185,8 @@ def q_documents_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         "n_bytes",
         "sha256",
         F.expr(
-            "transform(feature, x -> CAST(round(x * 1000) AS BIGINT))"
+            "array_join(transform(feature,"
+            " x -> CAST(CAST(round(x * 1000) AS BIGINT) AS STRING)), ',')"
         ).alias("feature_q"),
     )
 
@@ -2198,9 +2199,9 @@ WITH f AS (
   FROM documents
 )
 SELECT media_id, mime, n_bytes, sha256,
-       list_transform([0,1,2,3,4,5,6,7], i ->
+       array_to_string(list_transform([0,1,2,3,4,5,6,7], i ->
          CAST(round(((CAST(concat('0x', substr(sha256, 1 + 2*i, 2)) AS INT)
-                      / 255.0) * 2 - 1) * 1000) AS BIGINT)) AS feature_q
+                      / 255.0) * 2 - 1) * 1000) AS BIGINT)), ',') AS feature_q
 FROM f
 """
 
