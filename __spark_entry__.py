@@ -2265,12 +2265,12 @@ WITH base AS (
 m AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         round(CASE WHEN len(toks) > 0
-               THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
-               ELSE 0.0 END, 4) AS mean_word_len,
-         round(CASE WHEN len(toks) > 0
-               THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
-               ELSE 0.0 END, 4) AS alpha_frac,
+         floor(CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END * 10000 + 0.5) / 10000 AS mean_word_len,
+         floor(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END * 10000 + 0.5) / 10000 AS alpha_frac,
          len(list_filter(ltoks,
              x -> x IN ('the','and','of','to','is','a','in','that','it','for'))) AS stop_hits
   FROM base

@@ -507,9 +507,10 @@ def cmd_gc(args) -> int:
     total = 0
     for name in _list_datasets(args.workspace):
         ds = _dataset(args, name)
-        removed = ds.clean_orphan_slices()
-        # only reap staging dirs older than --min-age: a LIVE writer is
-        # staging into its .tmp-* dir right now and must not be raced
+        # --min-age guards BOTH reap classes against live writers: a
+        # writer lands its parquet in data/ before the chain commit, so
+        # an unreferenced-but-fresh slice may be committed moments later
+        removed = ds.clean_orphan_slices(min_age=args.min_age)
         cutoff = time.time() - args.min_age
         tmps = [
             f

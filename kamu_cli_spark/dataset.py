@@ -183,20 +183,51 @@ class Dataset:
         with open(os.path.join(self.state_path(), "_HEAD"), "w") as f:
             f.write(self.head_hash() or "")
 
-    def clean_orphan_slices(self) -> list[str]:
+    def clean_orphan_slices(
+        self, min_age: float = 0.0, paths: list[str] | None = None
+    ) -> list[str]:
         """Remove data files not referenced by the chain — leftovers of a
-        writer that crashed between slice write and commit. Explicit
-        (not automatic) so concurrent writers can't race it."""
-        live = {d["path"] for d in self.chain.data_files()}
-        data_dir = os.path.join(self.path, "data")
-        removed = []
-        if os.path.isdir(data_dir):
-            for fn in os.listdir(data_dir):
-                rel = "data/" + fn
-                if rel not in live and fn.endswith(".parquet"):
+        writer that crashed between slice write and commit, or slices a
+        reset dropped.
+
+        Two guards close the race with an in-flight writer, which lands
+        its final parquet in data/ BEFORE committing the chain block:
+
+        - the chain is re-read from disk under the chain lock before
+          computing the live set, so a slice committed by another
+          process since we loaded is never treated as orphaned;
+        - with `paths=None`, only unreferenced files whose mtime is at
+          least `min_age` seconds old are reaped — a just-written slice
+          whose commit is still in flight survives. Callers that know
+          the exact orphans (reset, after truncate_to returns the
+          dropped blocks) pass them via `paths` and skip the age guard.
+        """
+        import time
+
+        lock = self.chain._acquire_lock()
+        try:
+            self.chain._reload_if_stale()
+            live = {d["path"] for d in self.chain.data_files()}
+            data_dir = os.path.join(self.path, "data")
+            cutoff = time.time() - min_age
+            removed = []
+            if os.path.isdir(data_dir):
+                for fn in os.listdir(data_dir):
+                    rel = "data/" + fn
+                    if rel in live or not fn.endswith(".parquet"):
+                        continue
+                    if paths is not None:
+                        if rel not in paths:
+                            continue
+                    else:
+                        full = os.path.join(data_dir, fn)
+                        if os.path.getmtime(full) >= cutoff:
+                            continue
                     os.remove(os.path.join(data_dir, fn))
                     removed.append(rel)
-        return removed
+            return removed
+        finally:
+            os.remove(lock)
 
     def schema_event(self, as_of: str | None = None) -> dict[str, Any] | None:
         b = self.chain.last_event("SetDataSchema", as_of)

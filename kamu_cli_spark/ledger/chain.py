@@ -209,15 +209,27 @@ class MetadataChain:
             os.remove(lock)
 
     def _reload_if_stale(self) -> None:
-        """Re-read the chain if another process appended since we
+        """Re-read the chain if another process changed it since we
         loaded — callers hold the lock, so the reloaded view is the
-        true head for the duration of the write."""
-        if os.path.exists(self.path):
-            on_disk = sum(
-                1 for line in open(self.path, encoding="utf-8") if line.strip()
-            )
-            if on_disk != len(self._blocks):
-                self._blocks = MetadataChain(self.path)._blocks
+        true head for the duration of the write.
+
+        Staleness is detected by CONTENT (head block_hash), not line
+        count: truncate_to makes the file length non-monotonic, so a
+        reset followed by the same number of appends would re-equal a
+        stale count while pointing at a different head — and chaining
+        onto that stale head would silently corrupt the ledger."""
+        if not os.path.exists(self.path):
+            if self._blocks:
+                self._blocks = []
+            return
+        with open(self.path, encoding="utf-8") as f:
+            lines = [line for line in f if line.strip()]
+        mem_head = self._blocks[-1].block_hash if self._blocks else None
+        disk_head = (
+            json.loads(lines[-1])["block_hash"] if lines else None
+        )
+        if len(lines) != len(self._blocks) or disk_head != mem_head:
+            self._blocks = [MetadataBlock.from_json(ln) for ln in lines]
 
     def _append_locked(
         self, event: dict[str, Any], system_time: str | None = None

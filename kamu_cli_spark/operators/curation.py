@@ -68,14 +68,17 @@ def quality_filter(
     scan-bound by design.
 
     Determinism contract: tokenization is the repo-wide ``\\s+`` split
-    (ASCII, matching Java/RE2 ``\\s``); ratios round via decimal
-    HALF_UP at 4 digits — exactly Spark's ``F.round``/DuckDB ``round``
-    semantics — so keep/drop decisions are bit-identical across
-    engines.
+    (ASCII, matching Java/RE2 ``\\s``); ratios snap to 4 digits via
+    ``floor(x*1e4 + 0.5) / 1e4`` — pure IEEE double arithmetic, the
+    same formulation vector_stats uses and the oracle SQL mirrors
+    verbatim, so keep/drop decisions are bit-identical across engines
+    (decimal-HALF_UP-on-the-exact-binary-value was NOT: Spark/DuckDB
+    ``round`` rescale a shortest-repr double and can land on the other
+    side of a tie).
     """
+    import math as _math
     import re as _re
     from collections.abc import Iterator
-    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
@@ -85,11 +88,11 @@ def quality_filter(
     ws_re = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 \s parity (see text.py)
     alpha_re = _re.compile(r"[A-Za-z]")
     stopset = frozenset(_STOPWORDS)
-    q4 = Decimal("0.0001")
 
     def r4(x: float) -> float:
-        # Spark F.round = BigDecimal HALF_UP on the double's exact value
-        return float(Decimal(x).quantize(q4, rounding=ROUND_HALF_UP))
+        # engine-portable 4-digit snap (ratios are non-negative, so
+        # floor(+0.5) == half-up); mirrored in the oracle SQL
+        return _math.floor(x * 1e4 + 0.5) / 1e4
 
     def grade(n_tokens, mean_wl, alpha, stops):
         if n_tokens < r["min_tokens"]:

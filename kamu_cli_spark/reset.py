@@ -59,7 +59,15 @@ def reset_dataset(
         if "head mismatch" in str(e):
             raise OldHeadMismatchError(str(e)) from e
         raise ResetError(str(e)) from e
-    removed = ds.clean_orphan_slices()
+    # reap exactly the slices the truncation dropped (computed from the
+    # under-lock reloaded chain, so never a stale view) — an in-flight
+    # writer's not-yet-committed slice is untouched
+    dropped_paths = [
+        b.event["new_data"]["path"]
+        for b in dropped
+        if b.event.get("new_data")
+    ]
+    removed = ds.clean_orphan_slices(paths=dropped_paths)
     return {
         "old_head": cur.block_hash,
         "new_head": new_head,

@@ -404,6 +404,13 @@ class DataWriter:
                     if prev_wm is None or explicit_watermark > prev_wm
                     else prev_wm
                 )
+            elif event_kind == "ExecuteTransform":
+                # derivative with no input watermark (some input never
+                # asserted one): deriving a watermark from the OUTPUT's
+                # event times would advance completeness beyond anything
+                # the inputs claimed — keep the previous watermark (the
+                # reference emits no watermark when inputs have none)
+                new_wm = prev_wm
             else:
                 max_et = stats["max_et"]
                 if max_et is not None:

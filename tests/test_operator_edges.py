@@ -73,3 +73,39 @@ def test_orphan_slice_cleanup(spark, tmp_path):
     assert removed == ["data/999999-5-9.parquet"]
     assert ds.read(spark).count() == 1
     ds.chain.verify()
+
+
+def test_orphan_cleanup_min_age_spares_inflight_slice(spark, tmp_path):
+    """gc's --min-age applies to unreferenced parquet too: a writer
+    lands its slice in data/ BEFORE committing the chain block, so a
+    fresh unreferenced slice may belong to an in-flight commit and must
+    survive an aged gc pass."""
+    ds = Dataset.create(str(tmp_path), "o", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyLedger(["k"])).write(
+        spark, spark.createDataFrame([("a", 1)], "k string, v int"), system_time=T0
+    )
+    inflight = tmp_path / "o" / "data" / "000010-1-1.parquet"
+    inflight.write_bytes(b"slice awaiting its chain commit")
+    assert ds.clean_orphan_slices(min_age=3600.0) == []  # spared
+    assert inflight.exists()
+    assert ds.clean_orphan_slices() == ["data/000010-1-1.parquet"]
+
+
+def test_reset_cleanup_spares_unrelated_orphans(spark, tmp_path):
+    """reset reaps exactly the slices its truncation dropped — an
+    unreferenced file from a concurrent in-flight writer is untouched."""
+    from kamu_cli_spark.reset import reset_dataset
+
+    ds = Dataset.create(str(tmp_path), "o", system_time=T0.isoformat())
+    w = DataWriter(ds, MergeStrategyLedger(["k"]))
+    w.write(spark, spark.createDataFrame([("a", 1)], "k string, v int"), system_time=T0)
+    head_after_first = ds.head_hash()
+    w.write(spark, spark.createDataFrame([("b", 2)], "k string, v int"), system_time=_t(2))
+    inflight = tmp_path / "o" / "data" / "999999-5-9.parquet"
+    inflight.write_bytes(b"concurrent writer, not yet committed")
+    out = reset_dataset(ds, new_head=head_after_first)
+    assert out["dropped_blocks"] == 1
+    assert len(out["removed_slices"]) == 1  # the dropped slice only
+    assert inflight.exists()
+    ds.chain.verify()
+    assert ds.read(spark).count() == 1

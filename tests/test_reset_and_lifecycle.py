@@ -206,6 +206,39 @@ class TestWatermarkPropagation:
             Dataset(_os.path.join(ws, "joined"))
         ).execute(spark, system_time=d(8)) is None
 
+    def test_no_input_watermark_means_no_advance(self, spark, tmp_path):
+        """A derivative commit whose inputs assert NO watermark must not
+        derive one from its OUTPUT batch's event times — that would
+        claim completeness beyond anything the inputs asserted (the
+        reference emits no watermark when inputs have none). An AddData
+        root commit of the same rows still derives max-event-time."""
+        from datetime import datetime, timezone
+
+        from kamu_cli_spark.dataset import Dataset
+        from kamu_cli_spark.operators import MergeStrategyAppend
+        from kamu_cli_spark.writer import DataWriter
+
+        d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+        ws = str(tmp_path)
+        rows = spark.createDataFrame([(d(5), 1)], "event_time timestamp, k long")
+
+        der = Dataset.create(ws, "der", kind="Derivative",
+                             system_time=d(6).isoformat())
+        ev = DataWriter(der, MergeStrategyAppend()).write(
+            spark, rows, system_time=d(6),
+            event_kind="ExecuteTransform",
+            extra_event={"query_inputs": {}},
+            explicit_watermark=None,
+        )
+        assert ev["new_watermark"] is None  # no advance past the inputs
+        assert Dataset(der.path).chain.current_watermark() is None
+
+        root = Dataset.create(ws, "root", system_time=d(6).isoformat())
+        ev2 = DataWriter(root, MergeStrategyAppend()).write(
+            spark, rows, system_time=d(6)
+        )
+        assert ev2["new_watermark"] == d(5).isoformat()
+
 
 class TestGc:
     def test_gc_reaps_orphans_and_tmp_dirs(self, spark, tmp_path, capsys):
@@ -221,15 +254,17 @@ class TestGc:
         open(orphan, "wb").write(b"not a real slice")
         os.makedirs(os.path.join(ds_path, ".tmp-crashed"))
 
-        # default min-age: the fresh staging dir could be a LIVE writer
-        # — only the chain-orphaned slice is reaped
+        # default min-age: BOTH fresh artifacts could belong to a LIVE
+        # writer (the slice lands in data/ before its chain commit) —
+        # nothing younger than the cutoff is reaped
         rc, out = _run(capsys, "--workspace", ws, "gc")
-        assert rc == 0 and "1 objects removed" in out
-        assert not os.path.exists(orphan)
+        assert rc == 0 and "0 objects removed" in out
+        assert os.path.exists(orphan)
         assert os.path.exists(os.path.join(ds_path, ".tmp-crashed"))
-        # --min-age 0 reaps the stale staging dir too
+        # --min-age 0 reaps the orphan slice and the staging dir
         rc, out = _run(capsys, "--workspace", ws, "gc", "--min-age", "0")
-        assert rc == 0 and "1 objects removed" in out
+        assert rc == 0 and "2 objects removed" in out
+        assert not os.path.exists(orphan)
         assert not os.path.exists(os.path.join(ds_path, ".tmp-crashed"))
         # live data untouched
         assert Dataset(ds_path).read(spark).count() == 1
