@@ -2206,6 +2206,52 @@ FROM f
 """
 
 
+def q_documents_image_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode under the oracle gate: per document, build a
+    solid-color 4x3 PPM payload whose color derives from doc_id, decode
+    it through the vendored pure-Python codec
+    (operators/imagecodec.py via multimodal.decode_image — a
+    mapInPandas Arrow pass, no shuffle), resize 2x2, and emit pixel
+    stats DuckDB can derive arithmetically (solid color => every byte
+    equals the color)."""
+    from kamu_cli_spark.operators.multimodal import decode_image
+
+    d = load_table(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        # color channel in 10..109: ASCII-safe, so string->binary cast
+        # is byte-exact; 4*3 px * 3 ch = 36 payload bytes
+        F.expr(
+            "cast(concat('P6\\n4 3\\n255\\n',"
+            " repeat(char(doc_id % 100 + 10), 36)) as binary)"
+        ).alias("content"),
+        F.expr("map('codec','ppm')").alias("meta"),
+    )
+    dec = decode_image(media, 2, 2)
+    return dec.select(
+        "media_id",
+        "orig_width",
+        "orig_height",
+        "decoded",
+        F.expr("length(pixels)").alias("px_len"),
+        F.expr("cast(conv(hex(substring(pixels, 1, 1)), 16, 10) as int)").alias(
+            "first_px"
+        ),
+    )
+
+
+O_IMAGE_DECODE = """
+SELECT doc_id AS media_id,
+       4 AS orig_width,
+       3 AS orig_height,
+       TRUE AS decoded,
+       12 AS px_len,
+       CAST(doc_id % 100 + 10 AS INT) AS first_px
+FROM documents
+"""
+
+
 def q_events_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase salted GROUP BY (plans/skew.py) under the oracle gate:
     per-user event stats computed via the hot-key-safe salt/partial/
@@ -2531,9 +2577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii_scrub": q_documents_pii_scrub,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
-        "documents_global_shuffle": q_documents_global_shuffle,
+        "documents_image_decode": q_documents_image_decode,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
+        "documents_global_shuffle": q_documents_global_shuffle,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "events_snapshot_cdc": q_events_snapshot_cdc,
         "tpch_q4": q_tpch_q4,
@@ -2616,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_pii_scrub": O_PII_SCRUB,
         "documents_domain_mix": _o_domain_mix(),
         "documents_token_curriculum": O_TOKEN_CURRICULUM,
+        "documents_image_decode": O_IMAGE_DECODE,
         "embeddings_centroid_stats": O_CENTROID_STATS,
         "documents_global_shuffle": O_GLOBAL_SHUFFLE,
         # --- not driver-graded (position > 50 in queries()); graded

@@ -4,10 +4,13 @@ Media rides as opaque `binary` columns with typed metadata structs;
 decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched pandas functions over `mapInPandas` — the only operators
 in this engine where Python in the data path is justified (C-speed
-media libs). The media libraries are NOT present in this environment,
-so the decode kernels are deterministic stubs behind `_HAS_*` guards;
-the Spark-side plumbing (schema, batch iteration, partitioning,
-metadata extraction) is real and tested.
+media libs). The heavyweight media libraries are NOT present in this
+environment, so payloads in formats that need them featurize via a
+deterministic digest stub — but PPM and uncompressed 24-bit BMP decode
+for REAL through the vendored pure-Python codec
+(operators/imagecodec.py), so the decode plumbing (sniff -> decode ->
+resize -> featurize, schema, batch iteration, partitioning) is
+exercised on actual image bytes.
 
 At 100 TB: binaries live in parquet alongside metadata; filters on the
 typed metadata (width, duration, mime) push down to the scan so decode
@@ -24,14 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # pragma: no cover - not in this environment
-    import PIL.Image  # type: ignore
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
-
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -70,12 +65,39 @@ def _stub_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [(d[i] / 255.0) * 2.0 - 1.0 for i in range(dim)]
 
 
+def _image_feature(payload: bytes, dim: int = 8) -> list[float] | None:
+    """REAL 8-dim feature for decodable payloads (PPM / 24-bit BMP):
+    [w, h, mean RGB, std RGB] each mapped into [-1, 1]. None when the
+    payload isn't a decodable image (caller falls back to the stub)."""
+    from kamu_cli_spark.operators import imagecodec
+
+    if imagecodec.sniff(payload) is None:
+        return None
+    try:
+        img = imagecodec.decode(payload)
+    except imagecodec.ImageDecodeError:
+        return None
+    h, w = img.shape[:2]
+    f = img.reshape(-1, 3).astype("float64")
+    means = f.mean(axis=0) / 255.0 * 2.0 - 1.0  # [0,255] -> [-1,1]
+    stds = f.std(axis=0) / 127.5 * 2.0 - 1.0  # [0,127.5] -> [-1,1]
+    dims = [min(w, 4096) / 4096.0 * 2.0 - 1.0, min(h, 4096) / 4096.0 * 2.0 - 1.0]
+    out = dims + list(means) + list(stds)
+    return [float(x) for x in out[:dim]]
+
+
 def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Decode + featurize media via mapInPandas (Arrow batches).
 
-    Real pipeline shape: per-batch vectorized decode; here the decode
-    kernel is the deterministic stub above unless PIL is installed.
+    Payloads that sniff as PPM/BMP decode for real through
+    operators/imagecodec.py and featurize from pixel statistics; other
+    formats (the media libs are absent here) use the deterministic
+    digest stub.
     """
+
+    def feat(b: bytes | None) -> list[float]:
+        b = b or b""
+        return _image_feature(b) or _stub_feature(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,7 +110,7 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: _stub_feature(b or b"")),
+                    "feature": payloads.map(feat),
                 }
             )
             yield out
@@ -96,14 +118,50 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+DECODED_SCHEMA = (
+    "media_id long, mime string, orig_width int, orig_height int, "
+    "width int, height int, decoded boolean, pixels binary"
+)
+
+
 def decode_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image decode+resize — requires a real codec library."""
-    if not _HAS_PIL:  # pragma: no cover
-        raise NotImplementedError(
-            "image decode requires PIL/pillow (not in this environment); "
-            "plumbing validated via extract_features stub path"
-        )
-    raise NotImplementedError("real decode path intentionally unimplemented here")
+    """Decode + nearest-neighbor resize media payloads to `width` x
+    `height` raw RGB (row-major, 3 bytes/pixel) via mapInPandas.
+
+    PPM / 24-bit BMP payloads decode through the vendored pure-Python
+    codec (PIL, when installed, could slot in for the long tail of
+    formats); rows whose payload isn't decodable pass through with
+    decoded=false and null pixels so callers can filter or route them.
+    At 100 TB the shape matters: one Arrow-batched map pass, no
+    shuffle; metadata filters (mime, dimensions) push to the scan so
+    decode only sees matching rows.
+    """
+    from kamu_cli_spark.operators import imagecodec
+
+    def one(mid, mime, b):
+        try:
+            img = imagecodec.decode(b or b"")
+        except imagecodec.ImageDecodeError:
+            return (mid, mime, None, None, width, height, False, None)
+        oh, ow = img.shape[:2]
+        small = imagecodec.resize_nearest(img, width, height)
+        return (mid, mime, ow, oh, width, height, True, small.tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "mime", "orig_width", "orig_height",
+            "width", "height", "decoded", "pixels",
+        ]
+        for pdf in batches:
+            rows = [
+                one(mid, mime, b)
+                for mid, mime, b in zip(
+                    pdf["media_id"], pdf["mime"], pdf["content"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
