@@ -2,6 +2,7 @@ from kamu_cli_spark.streaming.stream import (
     read_dataset_stream,
     session_aggregate,
     stream_ingest,
+    streaming_asof_enrich,
     streaming_dedup_exact,
     windowed_aggregate,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "read_dataset_stream",
     "session_aggregate",
     "stream_ingest",
+    "streaming_asof_enrich",
     "streaming_dedup_exact",
     "windowed_aggregate",
 ]

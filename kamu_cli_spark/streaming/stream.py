@@ -152,6 +152,88 @@ def stream_ingest(
     return writer.start()
 
 
+def streaming_asof_enrich(
+    source: DataFrame,
+    lookup: Dataset,
+    target: Dataset,
+    strategy: MergeStrategy,
+    checkpoint_dir: str,
+    on: list[str],
+    left_time: str,
+    right_time: str | None = None,
+    right_values: list[str] | None = None,
+    suffix: str = "",
+    strict: bool = False,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of the temporal-table / as-of join (the
+    reference's Flink ``FOR SYSTEM_TIME AS OF tr.event_time`` pattern,
+    dtos_generated.rs:1485-1490, examples/currency_conversion).
+
+    Each micro-batch of the driving stream is enriched with the
+    newest `lookup` row per key whose ``right_time`` is at or before
+    the event's ``left_time`` — by running the BATCH
+    :func:`~kamu_cli_spark.operators.asof.asof_join` against the
+    lookup dataset's versioned history, re-read fresh per batch (a
+    rate committed between batches is visible to every later batch).
+    The enriched batch commits to `target` through the full writer
+    pipeline, so results are ordinary AddData blocks replayable by the
+    batch executor.
+
+    Semantics contract (same as Flink's processing-time temporal join
+    progression): an event is joined against the lookup versions
+    *ingested before its micro-batch ran*. When the lookup stream is
+    kept ahead of the driving stream (the reference aligns them with
+    watermarks), this is exactly the batch as-of result — which is
+    what the equivalence test asserts.
+
+    At scale: the lookup side is a versioned dimension (rates,
+    configs) — orders of magnitude smaller than the stream — and the
+    as-of union-window shuffles on the join keys only; Spark
+    broadcasts the small side automatically under AQE.
+    """
+    from kamu_cli_spark.operators.asof import asof_join
+
+    rt = right_time or lookup.vocab.event_time_column
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hist = Dataset(lookup.path).read(spark)  # fresh per batch
+        if hist is not None:
+            v = lookup.vocab
+            drop = [
+                c
+                for c in (v.offset_column, v.system_time_column, v.operation_type_column)
+                if c in hist.columns
+            ]
+            enriched = asof_join(
+                batch_df,
+                hist.drop(*drop),
+                on,
+                left_time,
+                rt,
+                right_values=right_values,
+                suffix=suffix,
+                strict=strict,
+            )
+        else:
+            enriched = batch_df
+        DataWriter(target, strategy).write(
+            spark, enriched, system_time=datetime.now(timezone.utc)
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     id_col: str,

@@ -316,10 +316,7 @@ class AggregatingTransformExecutor(TransformExecutor):
         spark: SparkSession,
         system_time: datetime | None = None,
     ) -> dict[str, Any] | None:
-        from kamu_cli_spark.operators.merge import (
-            MergeStrategySnapshot,
-            project_changelog,
-        )
+        from kamu_cli_spark.operators.merge import MergeStrategySnapshot
 
         plan = self.elaborate(spark)
         if plan is None:
@@ -336,19 +333,16 @@ class AggregatingTransformExecutor(TransformExecutor):
 
         # full input state as of new_offset, re-aggregated only for
         # affected groups. elaborate() always sets new_offset to the
-        # input's current head, so the head-hash-guarded materialized
-        # state (when the writer maintains one under the SAME projection
-        # key) is an exact O(state) substitute for re-projecting the
-        # full O(history) changelog — the checkpoint the reference's
-        # engine contract ships as prev_checkpoint_path.
-        mat = src.read_state(spark, primary_key=self.input_primary_key)
-        if mat is not None:
-            state = mat.filter(
-                F.col(src.vocab.operation_type_column) != F.lit(int(Op.RETRACT))
-            )
-        else:
-            hist = src.read_between(spark, None, iv["new_offset"])
-            state = project_changelog(hist, self.input_primary_key, src.vocab)
+        # input's current head, so refresh_state serves the per-key
+        # checkpoint (the reference's prev_checkpoint_path contract):
+        # fresh → zero extra work; stale → folds only the delta
+        # interval; full-history projection happens at most once per
+        # key per history rewrite, never per pull.
+        state = src.refresh_state(
+            spark, self.input_primary_key, iv["new_offset"]
+        ).filter(
+            F.col(src.vocab.operation_type_column) != F.lit(int(Op.RETRACT))
+        )
         state.join(affected, on=self.group_keys, how="left_semi").createOrReplaceTempView(
             alias
         )
@@ -424,10 +418,7 @@ class StatefulTransformExecutor(TransformExecutor):
         spark: SparkSession,
         system_time: datetime | None = None,
     ) -> dict[str, Any] | None:
-        from kamu_cli_spark.operators.merge import (
-            MergeStrategySnapshot,
-            project_changelog,
-        )
+        from kamu_cli_spark.operators.merge import MergeStrategySnapshot
 
         plan = self.elaborate(spark)
         if plan is None:
@@ -439,17 +430,13 @@ class StatefulTransformExecutor(TransformExecutor):
             src = Dataset(self.inputs[alias])
             pk = self.input_primary_keys.get(alias)
             if pk:
-                mat = src.read_state(spark, primary_key=pk)
-                if mat is not None:
-                    state = mat.filter(
-                        F.col(src.vocab.operation_type_column)
-                        != F.lit(int(Op.RETRACT))
-                    )
-                else:
-                    hist = src.read_between(spark, None, iv["new_offset"])
-                    if hist is None:
-                        raise TransformError(f"input {alias} has no data")
-                    state = project_changelog(hist, pk, src.vocab)
+                mat = src.refresh_state(spark, pk, iv["new_offset"])
+                if mat is None:
+                    raise TransformError(f"input {alias} has no data")
+                state = mat.filter(
+                    F.col(src.vocab.operation_type_column)
+                    != F.lit(int(Op.RETRACT))
+                )
             else:
                 state = src.read_between(spark, None, iv["new_offset"])
                 if state is None:

@@ -341,7 +341,7 @@ class DataWriter:
         prev = None
         pk = getattr(self.strategy, "primary_key", None)
         if self.maintain_state and pk:
-            prev = self.dataset.read_state(spark)
+            prev = self.dataset.read_state(spark, primary_key=pk)
         if prev is None:
             prev = self.dataset.read(spark)
         if prev is not None:

