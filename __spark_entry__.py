@@ -1865,6 +1865,117 @@ WHERE round(list_inner_product(a.ve, b.ve)
 
 
 def q_embeddings_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level IVF ANN with md5-formula-generated cells
+    (similarity.py:ivf_ann_hierarchical): both levels' directions are
+    regenerated inside each task from integer indices, so NOTHING
+    data-dependent is collected/broadcast at any corpus size, and
+    per-row assignment work is O(sqrt(k_total)) not O(k_total). Fully
+    deterministic -> FULL output strictly oracle-checked. The
+    data-sampled `ivf_ann_seeded` stays verified in the tail
+    (embeddings_ivf_seeded)."""
+    from kamu_cli_spark.operators.similarity import ivf_ann_hierarchical
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return ivf_ann_hierarchical(
+        q, e, "vec_id", "vec_id", coarse_probe=2, n_probe=4, k=5
+    )
+
+
+# Mirrors hier_cell_sizes + _formula_dirs: k_total = max(16,ceil(sqrt n)),
+# k1 = max(4, ceil(sqrt k_total)), k2 = ceil(k_total/k1); direction
+# element = (int(md5('<tag><i>|<d>')[:8],16)/0xFFFFFFFF)*2-1 with tags
+# 'ivfc' (coarse) and 'ivff<c1>.' (fine). generate_series needs constant
+# bounds: caps of 256 coarse x 64 fine cover n up to ~4x10^9 rows at the
+# oracle SFs we run (the operator itself has no cap), and keep the
+# generator cross join small (256*64*64 = 1M rows).
+O_IVF_ANN = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+p AS (
+  SELECT k1, CAST(ceil(ktot::DOUBLE / k1) AS INT) AS k2 FROM (
+    SELECT ktot, greatest(4, CAST(ceil(sqrt(ktot)) AS INT)) AS k1 FROM (
+      SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) AS ktot FROM v))
+),
+coarse AS (
+  SELECT i AS c1, list(val ORDER BY d) AS dir FROM (
+    SELECT ig.i, dg.d,
+           (CAST(concat('0x', substr(md5('ivfc' || CAST(ig.i AS VARCHAR) || '|'
+                        || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 255) ig(i), generate_series(0, 63) dg(d), p
+    WHERE ig.i < p.k1
+  ) GROUP BY 1
+),
+fine AS (
+  SELECT c1, j, list(val ORDER BY d) AS dir FROM (
+    SELECT cg.i AS c1, jg.j, dg.d,
+           (CAST(concat('0x', substr(md5('ivff' || CAST(cg.i AS VARCHAR) || '.'
+                        || CAST(jg.j AS VARCHAR) || '|'
+                        || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 255) cg(i), generate_series(0, 63) jg(j),
+         generate_series(0, 63) dg(d), p
+    WHERE cg.i < p.k1 AND jg.j < p.k2
+  ) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, ve, c1 FROM (
+    SELECT v.vec_id, v.ve, c.c1,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.ve, c.dir)
+             / (sqrt(list_inner_product(v.ve, v.ve))
+                * sqrt(list_inner_product(c.dir, c.dir))) DESC,
+             c.c1 ASC) AS r
+    FROM v CROSS JOIN coarse c) WHERE r = 1
+),
+assigned AS (
+  SELECT vec_id, ve, c1 * k2 + j AS cell FROM (
+    SELECT a1.vec_id, a1.ve, a1.c1, f.j, p.k2,
+           row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+             list_inner_product(a1.ve, f.dir)
+             / (sqrt(list_inner_product(a1.ve, a1.ve))
+                * sqrt(list_inner_product(f.dir, f.dir))) DESC,
+             f.j ASC) AS r
+    FROM a1 JOIN fine f ON f.c1 = a1.c1, p) WHERE r = 1
+),
+qc AS (
+  SELECT qid, qv, c1 FROM (
+    SELECT v.vec_id AS qid, v.ve AS qv, c.c1,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.ve, c.dir)
+             / (sqrt(list_inner_product(v.ve, v.ve))
+                * sqrt(list_inner_product(c.dir, c.dir))) DESC,
+             c.c1 ASC) AS r
+    FROM v CROSS JOIN coarse c WHERE v.vec_id % 25 = 0) WHERE r <= 2
+),
+probes AS (
+  SELECT qid, qv, c1 * k2 + j AS cell FROM (
+    SELECT q.qid, q.qv, q.c1, f.j, p.k2,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_inner_product(q.qv, f.dir)
+             / (sqrt(list_inner_product(q.qv, q.qv))
+                * sqrt(list_inner_product(f.dir, f.dir))) DESC,
+             q.c1 ASC, f.j ASC) AS pr
+    FROM qc q JOIN fine f ON f.c1 = q.c1, p) WHERE pr <= 4
+),
+scored AS (
+  SELECT pr.qid, a.vec_id AS cid,
+         round(list_inner_product(pr.qv, a.ve)
+               / (sqrt(list_inner_product(pr.qv, pr.qv))
+                  * sqrt(list_inner_product(a.ve, a.ve))), 6) AS cosine
+  FROM probes pr JOIN assigned a USING (cell)
+  WHERE pr.qid <> a.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embeddings_ivf_seeded(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with deterministic md5-selected seed centroids — same
     broadcast-centroid / cell-shuffle plan as the KMeans-trained
     `ivf_ann` (which stays in the API for clustered corpora), but every
@@ -1877,7 +1988,7 @@ def q_embeddings_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_ann_seeded(q, e, "vec_id", "vec_id", n_probe=4, k=5)
 
 
-O_IVF_ANN = """
+O_IVF_SEEDED = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 -- adaptive index size: max(16, ceil(sqrt(|corpus|))) cells, same exact
 -- integer formula the Spark operator computes
@@ -2599,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_lang_confusion": q_documents_lang_confusion,
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "documents_two_stage_dedup": q_documents_two_stage_dedup,
+        "embeddings_ivf_seeded": q_embeddings_ivf_seeded,
     }
 
 
@@ -2654,6 +2766,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cosine_topk": O_COSINE_TOPK,
         "embeddings_ann_lsh": O_ANN_LSH,
         "embeddings_ivf_ann": O_IVF_ANN,
+        "embeddings_ivf_seeded": O_IVF_SEEDED,
         "documents_train_split": O_TRAIN_SPLIT,
         "documents_repetition": O_REPETITION,
         "embeddings_quantize": O_QUANTIZE,

@@ -63,3 +63,84 @@ def test_cached_count_memoizes_by_object_identity(spark):
     # identity keying is what makes the cache staleness-free
     b = spark.range(0, 123).filter("id < 10")
     assert cached_count(b) == 10
+
+
+class TestHierarchicalIVF:
+    def test_hier_cell_sizes(self):
+        from kamu_cli_spark.operators.similarity import hier_cell_sizes
+
+        for n, (k1, k2) in [
+            (1, (4, 4)),      # ktot=16 -> k1=4, k2=4
+            (500, (5, 5)),    # ktot=23 -> k1=5, k2=5
+            (2000, (7, 7)),   # ktot=45
+            (10**6, (32, 32)),
+            (10**11, (563, 562)),
+        ]:
+            got = hier_cell_sizes(n)
+            assert got == (k1, k2), (n, got)
+            # k1*k2 always covers the single-level cell count
+            ktot = max(16, ceil_sqrt(n))
+            assert got[0] * got[1] >= ktot
+
+    def test_hier_sizes_match_duckdb(self):
+        """The oracle's k1/k2 SQL must match hier_cell_sizes exactly."""
+        from kamu_cli_spark.operators.similarity import hier_cell_sizes
+
+        con = duckdb.connect()
+        for n in [1, 2, 16, 17, 256, 500, 2000, 20000, 500000]:
+            k1, k2 = con.execute(
+                "SELECT k1, CAST(ceil(ktot::DOUBLE / k1) AS INT) FROM ("
+                " SELECT ktot, greatest(4, CAST(ceil(sqrt(ktot)) AS INT)) AS k1"
+                f" FROM (SELECT greatest(16, CAST(ceil(sqrt({n}))AS INT)) AS ktot))"
+            ).fetchone()
+            assert (k1, k2) == hier_cell_sizes(n), n
+
+    def test_formula_dirs_deterministic_and_duckdb_identical(self):
+        from kamu_cli_spark.operators.similarity import _formula_dirs
+
+        M, nrm = _formula_dirs("ivfc", 3, 8)
+        M2, _ = _formula_dirs("ivfc", 3, 8)
+        assert (M == M2).all()
+        con = duckdb.connect()
+        for i in range(3):
+            for d in range(8):
+                (v,) = con.execute(
+                    "SELECT (CAST(concat('0x', substr(md5('ivfc' || $1 || '|' || $2), 1, 8))"
+                    " AS BIGINT)::DOUBLE / 4294967295.0) * 2.0 - 1.0",
+                    [str(i), str(d)],
+                ).fetchone()
+                assert v == M[i, d]  # bit-identical
+
+    def test_no_driver_collect_in_hierarchical_path(self):
+        """The scale-free property: the hierarchical operator never
+        collects data-dependent state (the sqrt(n) seed collect was
+        ivf_ann_seeded's 10^11-doc bottleneck)."""
+        import inspect
+
+        from kamu_cli_spark.operators import similarity as s
+
+        for fn in (s.ivf_ann_hierarchical, s._hier_assign_udf, s._hier_probe_udf):
+            assert ".collect(" not in inspect.getsource(fn)
+
+    def test_hierarchical_output_shape(self, spark):
+        from kamu_cli_spark.operators.similarity import ivf_ann_hierarchical
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter("vec_id % 25 = 0")
+        out = ivf_ann_hierarchical(q, e, "vec_id", "vec_id", n_probe=4, k=5)
+        rows = out.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append(r["rank"])
+            assert r["qid"] != r["cid"]
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
+        # deterministic across invocations
+        rows2 = ivf_ann_hierarchical(
+            q, e, "vec_id", "vec_id", n_probe=4, k=5
+        ).collect()
+        key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+        assert sorted(map(tuple, rows), key=lambda t: (t[0], t[3])) == sorted(
+            map(tuple, rows2), key=lambda t: (t[0], t[3])
+        )
