@@ -1051,19 +1051,24 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 
 def q_suppliers_with_large_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """EXISTS / NOT EXISTS correlated subqueries."""
-    load_table(spark, sf, "supplier").createOrReplaceTempView("__sup")
-    load_table(spark, sf, "lineitem").createOrReplaceTempView("__li2")
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name,
-               EXISTS (SELECT 1 FROM __li2 l
-                       WHERE l.l_suppkey = s.s_suppkey
-                         AND l.l_extendedprice > 90000) AS has_big_item
-        FROM __sup s
-        WHERE EXISTS (SELECT 1 FROM __li2 l WHERE l.l_suppkey = s.s_suppkey)
-        """
+    """EXISTS-family semantics in the scale-correct plan shape. The
+    literal double-EXISTS SQL makes Spark build TWO hash relations over
+    the FACT side (lineitem keys: a semi join + an existence join, 4.2 s
+    at sf1); semantically it is one aggregation — per-supplier
+    bool_or(price > 90000) over suppliers that appear at all — which is
+    one map-side-combined shuffle down to |supplier| rows and a
+    broadcast join of that KB-scale aggregate. The oracle keeps the
+    correlated-EXISTS formulation, proving the rewrite; the literal
+    NOT-EXISTS anti-join family stays covered by
+    `customers_dormant_anti`."""
+    sup = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        F.max(F.col("l_extendedprice") > 90000).alias("has_big_item")
     )
+    return sup.join(
+        agg, sup["s_suppkey"] == agg["l_suppkey"]
+    ).select("s_suppkey", "s_name", "has_big_item")
 
 
 O_EXISTS_SUBQUERY = """

@@ -231,61 +231,81 @@ class MergeStrategySnapshot(MergeStrategy):
             c for c in out_cols if c not in self.primary_key
         ]
 
+        # The whole diff is built from STRING SQL expressions, not
+        # Column-object chains: each Python Column operation is a py4j
+        # socket round trip, and the expression-object form cost ~1,400
+        # round trips ≈ 0.4 s of driver time per plan build (profiled
+        # round 6) — string expressions hand Catalyst the same tree in
+        # a handful of calls.
+        def q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
         # Explicit per-side presence markers: the join matches with
         # eqNullSafe, so a matched row may legitimately have NULL in
         # every PK column — `pk IS NOT NULL` would misclassify it
         # (stale +A on the old side / dropped retraction). The literal
         # True marker is NULL if and only if the side is absent.
-        o = old.select(
-            F.lit(True).alias("__o_present"),
-            *[F.col(c).alias("__o_" + c) for c in old.columns],
+        o = old.selectExpr(
+            "true AS `__o_present`",
+            *[f"{q(c)} AS {q('__o_' + c)}" for c in old.columns],
         )
-        n = new.select(
-            F.lit(True).alias("__n_present"),
-            *[F.col(c).alias("__n_" + c) for c in new.columns],
+        n = new.selectExpr(
+            "true AS `__n_present`",
+            *[f"{q(c)} AS {q('__n_' + c)}" for c in new.columns],
         )
-        cond = [
-            F.col("__o_" + c).eqNullSafe(F.col("__n_" + c)) for c in self.primary_key
-        ]
         # PK equi-join with null-safe equality keeps the join hashable
         # (shuffled hash / broadcast capable) even with nullable PKs.
         # Hint shuffled-hash: a full-outer SMJ sorts BOTH sides; the
         # hash variant builds one side and streams the other (~40%
         # faster at the 1M-row bench). Spark falls back to SMJ if the
         # build side can't hash (e.g. memory pressure heuristics).
+        cond = F.expr(
+            " AND ".join(
+                f"{q('__o_' + c)} <=> {q('__n_' + c)}" for c in self.primary_key
+            )
+        )
+        # OR of `old.c IS DISTINCT FROM new.c` over compare columns; a
+        # null event_time on the new side alone does not make a row
+        # "changed" (snapshot.rs:95-142): snapshots typically arrive
+        # without event times and get stamped later.
+        et = self.vocab.event_time_column
+        changed_parts = [
+            (
+                f"({q('__n_' + c)} IS NOT NULL AND NOT "
+                f"({q('__o_' + c)} <=> {q('__n_' + c)}))"
+                if c == et
+                else f"(NOT ({q('__o_' + c)} <=> {q('__n_' + c)}))"
+            )
+            for c in cmp_cols
+        ]
         joined = o.join(n.hint("shuffle_hash"), on=cond, how="full_outer").filter(
-            _cdc_change_filter("__o_", "__n_", cmp_cols, self.vocab.event_time_column)
+            " OR ".join(changed_parts) if changed_parts else "false"
         )
 
-        old_present = F.col("__o_present").isNotNull()
-        new_present = F.col("__n_present").isNotNull()
-
-        classified_op = (
-            F.when(~old_present, F.lit(Op.APPEND))
-            .when(~new_present, F.lit(Op.RETRACT))
-            .otherwise(F.lit(Op.CORRECT_TO))
-            .cast("int")
-        )
         # For retractions emit the old values; otherwise the new values.
-        branch_main = F.struct(
-            classified_op.alias(op),
-            *[
-                F.when(~new_present, F.col("__o_" + c))
-                .otherwise(F.col("__n_" + c))
-                .alias(c)
-                for c in out_cols
-            ],
+        classified = (
+            f"CAST(CASE WHEN `__o_present` IS NULL THEN {int(Op.APPEND)} "
+            f"WHEN `__n_present` IS NULL THEN {int(Op.RETRACT)} "
+            f"ELSE {int(Op.CORRECT_TO)} END AS INT)"
         )
-        branch_correct_from = F.struct(
-            F.lit(Op.CORRECT_FROM).cast("int").alias(op),
-            *[F.col("__o_" + c).alias(c) for c in out_cols],
-        )
-        events = F.when(
-            old_present & new_present,
-            F.array(branch_correct_from, branch_main),
-        ).otherwise(F.array(branch_main))
+        def lq(name: str) -> str:  # string-literal field name
+            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-        return joined.select(F.explode(events).alias("__e")).select("__e.*")
+        main_fields = ", ".join(
+            f"{lq(c)}, IF(`__n_present` IS NULL, {q('__o_' + c)}, {q('__n_' + c)})"
+            for c in out_cols
+        )
+        from_fields = ", ".join(f"{lq(c)}, {q('__o_' + c)}" for c in out_cols)
+        branch_main = f"named_struct({lq(op)}, {classified}, {main_fields})"
+        branch_from = (
+            f"named_struct({lq(op)}, CAST({int(Op.CORRECT_FROM)} AS INT), "
+            f"{from_fields})"
+        )
+        events = (
+            f"explode(IF(`__o_present` IS NOT NULL AND `__n_present` IS NOT NULL, "
+            f"array({branch_from}, {branch_main}), array({branch_main}))) AS `__e`"
+        )
+        return joined.selectExpr(events).select("__e.*")
 
     def sort_order(self) -> list[Column]:
         # Order corrections deterministically: -C (2) precedes +C (3)
@@ -409,52 +429,69 @@ class MergeStrategyUpsertStream(MergeStrategy):
         data_cols = [c for c in new.columns if c != op]  # output = op + data cols
         cmp_cols = [c for c in data_cols if c not in self.primary_key]
 
+        # String SQL expressions, not Column chains — same py4j
+        # round-trip rationale as MergeStrategySnapshot._cdc_diff.
+        def q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        def lq(name: str) -> str:
+            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         # Presence marker instead of `pk IS NOT NULL` — see _cdc_diff.
-        o = old.select(
-            F.lit(True).alias("__o_present"),
-            *[F.col(c).alias("__o_" + c) for c in old.columns],
+        o = old.selectExpr(
+            "true AS `__o_present`",
+            *[f"{q(c)} AS {q('__o_' + c)}" for c in old.columns],
         )
-        n = new.select([F.col(c).alias("__n_" + c) for c in new.columns])
+        n = new.selectExpr(*[f"{q(c)} AS {q('__n_' + c)}" for c in new.columns])
         joined = n.join(
             o,
-            on=[F.col("__n_" + c).eqNullSafe(F.col("__o_" + c)) for c in self.primary_key],
+            on=F.expr(
+                " AND ".join(
+                    f"{q('__n_' + c)} <=> {q('__o_' + c)}"
+                    for c in self.primary_key
+                )
+            ),
             how="left",
         )
 
-        old_present = F.col("__o_present").isNotNull()
-        is_retract = F.col("__n_" + op) == F.lit(Op.RETRACT)
-        changed = _cdc_change_filter(
-            "__o_", "__n_", cmp_cols, self.vocab.event_time_column
-        )
+        old_present = "`__o_present` IS NOT NULL"
+        is_retract = f"{q('__n_' + op)} = {int(Op.RETRACT)}"
+        et = self.vocab.event_time_column
+        changed_parts = [
+            (
+                f"({q('__n_' + c)} IS NOT NULL AND NOT "
+                f"({q('__o_' + c)} <=> {q('__n_' + c)}))"
+                if c == et
+                else f"(NOT ({q('__o_' + c)} <=> {q('__n_' + c)}))"
+            )
+            for c in cmp_cols
+        ]
+        changed = " OR ".join(changed_parts) if changed_parts else "false"
         joined = joined.filter(
-            (is_retract & old_present) | (~is_retract & changed)
+            f"(({is_retract}) AND {old_present})"
+            f" OR (NOT ({is_retract}) AND ({changed}))"
         )
 
-        classified_op = (
-            F.when(is_retract, F.lit(Op.RETRACT))
-            .when(~old_present, F.lit(Op.APPEND))
-            .otherwise(F.lit(Op.CORRECT_TO))
-            .cast("int")
+        classified = (
+            f"CAST(CASE WHEN {is_retract} THEN {int(Op.RETRACT)} "
+            f"WHEN NOT ({old_present}) THEN {int(Op.APPEND)} "
+            f"ELSE {int(Op.CORRECT_TO)} END AS INT)"
         )
-        branch_main = F.struct(
-            classified_op.alias(op),
-            *[
-                F.when(is_retract, F.col("__o_" + c))
-                .otherwise(F.col("__n_" + c))
-                .alias(c)
-                for c in data_cols
-            ],
+        main_fields = ", ".join(
+            f"{lq(c)}, IF({is_retract}, {q('__o_' + c)}, {q('__n_' + c)})"
+            for c in data_cols
         )
-        branch_correct_from = F.struct(
-            F.lit(Op.CORRECT_FROM).cast("int").alias(op),
-            *[F.col("__o_" + c).alias(c) for c in data_cols],
+        from_fields = ", ".join(f"{lq(c)}, {q('__o_' + c)}" for c in data_cols)
+        branch_main = f"named_struct({lq(op)}, {classified}, {main_fields})"
+        branch_from = (
+            f"named_struct({lq(op)}, CAST({int(Op.CORRECT_FROM)} AS INT), "
+            f"{from_fields})"
         )
-        events = F.when(
-            ~is_retract & old_present,
-            F.array(branch_correct_from, branch_main),
-        ).otherwise(F.array(branch_main))
-
-        return joined.select(F.explode(events).alias("__e")).select("__e.*")
+        events = (
+            f"explode(IF(NOT ({is_retract}) AND {old_present}, "
+            f"array({branch_from}, {branch_main}), array({branch_main}))) AS `__e`"
+        )
+        return joined.selectExpr(events).select("__e.*")
 
     def sort_order(self) -> list[Column]:
         return [F.col(c).asc_nulls_first() for c in self.primary_key] + [
