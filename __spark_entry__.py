@@ -1741,6 +1741,101 @@ FROM q
 """
 
 
+def q_documents_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary induction (operators/text.py:vocabulary):
+    top-200 tokens by frequency with dense ranks — the tokenizer/vocab
+    training first step. One map-side-combined count shuffle +
+    TakeOrderedAndProject."""
+    from kamu_cli_spark.operators.text import vocabulary
+
+    return vocabulary(load_table(spark, sf, "documents"), top_k=200)
+
+
+O_VOCABULARY = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT token, n,
+       row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+FROM counts ORDER BY n DESC, token ASC LIMIT 200
+"""
+
+
+def q_documents_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document coverage/OOV rate against the induced top-500
+    vocabulary (operators/text.py:vocab_coverage) — the CCNet-style
+    'does this doc look like the corpus' quality signal, exact integer
+    arithmetic end to end."""
+    from kamu_cli_spark.operators.text import vocab_coverage, vocabulary
+
+    d = load_table(spark, sf, "documents")
+    vocab = vocabulary(d, top_k=500)
+    return vocab_coverage(d, vocab)
+
+
+O_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+vocab AS (SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 500),
+totals AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*) AS in_vocab FROM toks
+  WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(h.in_vocab, 0) AS in_vocab,
+       CASE WHEN t.n_tokens > 0
+            THEN CAST(floor(1000000 * coalesce(h.in_vocab, 0) / t.n_tokens) AS BIGINT)
+            ELSE 0 END AS coverage_e6
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_documents_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by the exact-integer
+    tf-idf variant (operators/text.py:tfidf_topk — rational idf instead
+    of ln so cross-engine ranking is bit-identical)."""
+    from kamu_cli_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf, "documents"), k=3)
+
+
+O_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+weighted AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(floor(1000000 * (n.nd - d.df) / n.nd) AS BIGINT) AS idf_e6
+  FROM tf JOIN dfreq d USING (term), n
+)
+SELECT doc_id, term, tf, idf_e6, tf * idf_e6 AS weight_e6, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tf * idf_e6 DESC, term ASC) AS rank
+  FROM weighted
+) WHERE rank <= 3
+"""
+
+
 def q_documents_two_stage_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The canonical scale dedup pipeline: MinHash-LSH candidate
     generation (sub-quadratic) → exact n-gram Jaccard verification →
@@ -2167,16 +2262,21 @@ def q_lineitem_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr(
-                "CAST(round(percentile(l_quantity, 0.5) * 100) AS BIGINT)"
-            ).alias("p50_qty_c"),
-            F.expr(
-                "CAST(round(percentile(l_quantity, 0.9) * 100) AS BIGINT)"
-            ).alias("p90_qty_c"),
+            # one percentile(col, array(...)) buffer per source column,
+            # not one per requested quantile — halves the per-group
+            # value-map builds (sf1: 2.6 s -> 2.2 s warm, 5.1 -> 2.6 cold)
+            F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("__pq"),
             F.expr(
                 "CAST(round(percentile(l_extendedprice, 0.25) * 100) AS BIGINT)"
             ).alias("p25_price_c"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "CAST(round(__pq[0] * 100) AS BIGINT) AS p50_qty_c",
+            "CAST(round(__pq[1] * 100) AS BIGINT) AS p90_qty_c",
+            "p25_price_c",
+            "n",
         )
         .orderBy("l_returnflag")
     )
@@ -2716,6 +2816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "documents_two_stage_dedup": q_documents_two_stage_dedup,
         "embeddings_ivf_seeded": q_embeddings_ivf_seeded,
+        "documents_vocabulary": q_documents_vocabulary,
+        "documents_vocab_coverage": q_documents_vocab_coverage,
+        "documents_tfidf_topk": q_documents_tfidf_topk,
     }
 
 
@@ -2772,6 +2875,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ann_lsh": O_ANN_LSH,
         "embeddings_ivf_ann": O_IVF_ANN,
         "embeddings_ivf_seeded": O_IVF_SEEDED,
+        "documents_vocabulary": O_VOCABULARY,
+        "documents_vocab_coverage": O_VOCAB_COVERAGE,
+        "documents_tfidf_topk": O_TFIDF_TOPK,
         "documents_train_split": O_TRAIN_SPLIT,
         "documents_repetition": O_REPETITION,
         "embeddings_quantize": O_QUANTIZE,

@@ -59,6 +59,7 @@ EXTRA = [
     "documents_token_curriculum",
     "embeddings_centroid_stats",
     "documents_global_shuffle",
+    "documents_image_decode",
 ]
 
 

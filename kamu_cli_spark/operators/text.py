@@ -9,7 +9,7 @@ push filters below them and prune columns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword anchors for the n-gram/stopword heuristic
@@ -239,4 +239,134 @@ def repetition_metrics(
 
     return spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
         run, schema
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary induction: the `top_k` most frequent tokens
+    with dense frequency ranks — the first step of tokenizer/vocab
+    training over a corpus (no reference twin; LLM-pipeline surface).
+
+    Plan shape at 100 TB: explode -> ONE count shuffle with map-side
+    combine (per-task partial counts mean the exchange moves at most
+    |vocab| rows per task, not |tokens|), then the top-k is a
+    TakeOrderedAndProject (per-partition heaps, no global sort). Ties
+    break lexicographically so every engine produces the same set.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from kamu_cli_spark.operators.windows import top_n
+
+    ranked = top_n(counts, top_k, order_by=[F.desc("n"), F.asc("token")])
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # the window runs AFTER the top-k limit, so it ranks top_k rows,
+    # never the corpus
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against an induced
+    vocabulary — the CCNet-style "does this doc look like the corpus"
+    quality signal, with exact integer arithmetic (coverage_e6 =
+    floor(1e6 * in_vocab / n_tokens)) so it is engine-portable without
+    float-rounding hazards.
+
+    The vocabulary is top-k bounded (KB scale), so the membership probe
+    is a broadcast semi-join against the exploded tokens followed by
+    one count-by-doc shuffle; the document table itself is scanned
+    once, shuffle-free."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per_tok = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    hits = (
+        per_tok.join(F.broadcast(vocab.select("token")), "token", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("in_vocab"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("in_vocab"), F.lit(0)).alias("in_vocab"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    (F.lit(1_000_000) * F.coalesce(F.col("in_vocab"), F.lit(0)))
+                    / F.col("n_tokens")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coverage_e6"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k characteristic terms per document by an exact-integer
+    tf-idf variant: weight = tf * floor(1e6 * (N - df) / N), where N is
+    the corpus document count and df the term's document frequency.
+
+    The rational idf substitutes for ln(N/df) deliberately: natural-log
+    libms differ across engines in the last ulp, which can flip a
+    rank at a tie boundary — the integer form is bit-identical
+    everywhere while preserving the tf-idf ordering property (rarer
+    term => larger weight). Ties break (term ASC).
+
+    Plan: one tf shuffle keyed (doc, term) with map-side combine, one
+    df aggregation keyed term (|vocab| rows — broadcast back), then a
+    per-doc WindowGroupLimit top-k. No cartesian or global sort.
+    """
+    from kamu_cli_spark.operators.util import cached_count
+
+    n_docs = cached_count(df)
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per_tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = per_tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_e6 = F.floor(
+        (F.lit(1_000_000) * (F.lit(n_docs) - F.col("df"))) / F.lit(n_docs)
+    ).cast("long")
+    weighted = tf.join(F.broadcast(dfreq.select("term", idf_e6.alias("idf_e6"))), "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.col("tf") * F.col("idf_e6")), F.asc("term")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "idf_e6",
+            (F.col("tf") * F.col("idf_e6")).alias("weight_e6"),
+            "rank",
+        )
     )
