@@ -2489,6 +2489,7 @@ def q_events_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
             "max_event": ("event_id", "max"),
         },
         salt_buckets=16,
+        salt_col="event_id",  # deterministic salt: replayable + fusible
     )
     return out.select(
         "user_id",

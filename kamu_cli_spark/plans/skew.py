@@ -18,21 +18,32 @@ def salted_aggregate(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: `aggs` maps output column →
     (input column, fn) with fn in {sum, count, min, max, avg}.
 
     Phase 1 aggregates on (keys + salt) — the hot key's rows spread over
     `salt_buckets` reducers; phase 2 combines the per-salt partials.
+
+    `salt_col`: a high-cardinality column to derive the salt from
+    (``pmod(hash(col), buckets)``). Prefer it over the ``F.rand``
+    fallback: a deterministic salt keeps replays byte-identical AND
+    stays a deterministic expression, which Catalyst can reorder/fuse —
+    ``rand()`` is flagged nondeterministic and pins its own projection
+    barrier.
     """
     supported = {"sum", "count", "min", "max", "avg"}
     for out, (col, fn) in aggs.items():
         if fn not in supported:
             raise ValueError(f"{out}: unsupported aggregate {fn}")
 
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    salt = (
+        F.pmod(F.hash(F.col(salt_col)), F.lit(salt_buckets))
+        if salt_col is not None
+        else (F.rand(seed=7) * salt_buckets).cast("int")
     )
+    salted = df.withColumn("__salt", salt)
 
     phase1 = []
     for out, (col, fn) in aggs.items():
