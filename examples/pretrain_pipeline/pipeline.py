@@ -1,0 +1,139 @@
+"""End-to-end pretraining-data pipeline — the composition story.
+
+Every stage exists as an individually oracle-gated operator; this
+example wires them into the pipeline a training-data team actually
+runs, in the canonical order:
+
+    raw documents
+      └─ 1. quality filter   (Gopher-style rule battery, keep/drop)
+      └─ 2. PII scrub audit  (emails/IPs/phones counted + fingerprint)
+      └─ 3. exact dedup      (normalized-text fingerprint, min-id wins)
+      └─ 4. near-dup dedup   (MinHash → LSH bands → connected
+                              components; cluster min-id wins)
+      └─ 5. vocabulary + OOV coverage (corpus-fit quality signal)
+      └─ 6. train/val/test split (deterministic md5 thresholds)
+      └─ 7. sequence packing  (train split only; bucketed
+                               contiguous-fill manifest)
+      └─ 8. global shuffle    (deterministic shard + position manifest)
+
+Everything is deterministic end to end: re-running the pipeline on the
+same input yields byte-identical manifests (asserted by the test), so
+the training corpus is reproducible from the ledger alone — the same
+property the ODF chain gives ingest (no reference twin; this surface
+is the LLM-pipeline extension of it).
+
+Scale shape: stages 1-3 and 5-6 are scan + one keyed shuffle each;
+stage 4 is the sub-quadratic sketch path (shingle/minhash Arrow
+kernels, single-shuffle LSH banding, adaptive connected components);
+stages 7-8 are bucketed windows / terasort shards — no stage holds a
+global sort or an unbounded driver collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.curation import pii_scrub, quality_filter
+from kamu_cli_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from kamu_cli_spark.operators.sampling import (
+    global_shuffle_manifest,
+    pack_sequences,
+    split_assignment,
+)
+from kamu_cli_spark.operators.text import vocab_coverage, vocabulary
+
+
+@dataclass
+class PipelineResult:
+    kept: DataFrame            # surviving documents (doc_id, text, split)
+    quality: DataFrame         # per-doc rule audit
+    pii: DataFrame             # per-doc scrub audit
+    exact_groups: DataFrame    # exact-dup groups
+    near_clusters: DataFrame   # near-dup components (id, component)
+    vocab: DataFrame           # induced vocabulary
+    coverage: DataFrame        # per-doc OOV coverage
+    split_sizes: DataFrame     # (split, n_docs)
+    packed: DataFrame          # train-split packing manifest
+    shuffle: DataFrame         # global shuffle/shard manifest
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 500,
+    minhash_hashes: int = 16,
+    lsh_bands: int = 4,
+    seq_len: int = 512,
+    fractions: dict[str, float] | None = None,
+) -> PipelineResult:
+    """Run the full curation pipeline over `docs`; all outputs are
+    unmaterialized DataFrames so a caller can sink each stage into a
+    dataset (DataWriter) or export shards directly."""
+    # 1. quality gate
+    quality = quality_filter(docs, text_col=text_col, id_col=id_col)
+    good_ids = quality.filter(F.col("keep")).select(id_col)
+    good = docs.join(good_ids, id_col, "left_semi")
+
+    # 2. PII audit rides alongside (the scrubbed corpus is derivable;
+    # the audit is what reviewers consume)
+    pii = pii_scrub(good, text_col=text_col, id_col=id_col)
+
+    # 3. exact dedup: keep fingerprint-canonical docs
+    exact = dedup_exact(good, id_col, text_col=text_col)
+    exact_survivors = exact.filter(F.col("is_canonical")).select(id_col)
+    uniq = good.join(exact_survivors, id_col, "left_semi")
+
+    # 4. near-dup dedup: LSH candidates -> components -> min-id wins
+    sig = minhash_signature(
+        uniq, id_col, num_hashes=minhash_hashes, shingle_n=3, text_col=text_col
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col, num_hashes=minhash_hashes, bands=lsh_bands
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    near_losers = clusters.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    kept_docs = uniq.join(near_losers, id_col, "left_anti")
+
+    # 5. corpus fit: vocabulary over the SURVIVING corpus + coverage
+    vocab = vocabulary(kept_docs, text_col=text_col, top_k=vocab_k)
+    coverage = vocab_coverage(
+        kept_docs, vocab, id_col=id_col, text_col=text_col
+    )
+
+    # 6. deterministic split
+    kept = kept_docs.withColumn(
+        "split", split_assignment(F.col(id_col), fractions)
+    )
+    split_sizes = kept.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    # 7. pack the train split into fixed-budget sequences
+    train = kept.filter(F.col("split") == "train")
+    packed = pack_sequences(train, id_col, text_col=text_col, seq_len=seq_len)
+
+    # 8. shuffled shard manifest for the exporter
+    shuffle = global_shuffle_manifest(train, id_col)
+
+    return PipelineResult(
+        kept=kept,
+        quality=quality,
+        pii=pii,
+        exact_groups=exact,
+        near_clusters=clusters,
+        vocab=vocab,
+        coverage=coverage,
+        split_sizes=split_sizes,
+        packed=packed,
+        shuffle=shuffle,
+    )

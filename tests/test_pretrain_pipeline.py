@@ -1,0 +1,100 @@
+"""End-to-end pretraining-data pipeline (examples/pretrain_pipeline):
+stage invariants on real testdata + byte-identical determinism across
+re-runs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "examples", "pretrain_pipeline"
+    ),
+)
+
+from pipeline import run_pipeline  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+def test_pipeline_stage_invariants(spark):
+    docs = _docs(spark)
+    n_raw = docs.count()
+    r = run_pipeline(spark, docs, seq_len=256)
+
+    n_good = r.quality.filter(F.col("keep")).count()
+    assert 0 < n_good <= n_raw
+
+    kept = r.kept.cache()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_good  # dedup only removes
+
+    # every kept doc survived BOTH dedup stages: it is its exact-group
+    # canonical and not a near-dup cluster loser
+    exact_losers = r.exact_groups.filter(~F.col("is_canonical")).select("doc_id")
+    assert kept.join(exact_losers, "doc_id", "left_semi").count() == 0
+    near_losers = r.near_clusters.filter(F.col("id") != F.col("component"))
+    assert (
+        kept.join(
+            near_losers.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        ).count()
+        == 0
+    )
+
+    # split partitions the kept corpus exactly
+    sizes = {row["split"]: row["n_docs"] for row in r.split_sizes.collect()}
+    assert sum(sizes.values()) == n_kept
+    assert set(sizes) <= {"train", "val", "test"}
+
+    # packing conserves tokens over the train split
+    train = kept.filter(F.col("split") == "train")
+    from kamu_cli_spark.operators.text import token_count
+
+    total_tokens = train.select(
+        F.sum(token_count(F.col("text"))).alias("t")
+    ).collect()[0]["t"]
+    packed_tokens = r.packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert packed_tokens == total_tokens
+    assert r.packed.agg(F.sum("n_docs")).collect()[0][0] == train.count()
+
+    # shuffle manifest covers the train split once, positions dense
+    sh = r.shuffle
+    assert sh.count() == train.count()
+    per_shard = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos_in_shard").alias("mx"), F.min("pos_in_shard").alias("mn")
+    )
+    for row in per_shard.collect():
+        assert (row["mn"], row["mx"]) == (1, row["n"]) or (
+            (row["mn"], row["mx"]) == (0, row["n"] - 1)
+        )
+
+    # coverage rows exist for every kept doc and are sane
+    cov = r.coverage
+    assert cov.count() == n_kept
+    bad = cov.filter(
+        (F.col("coverage_e6") < 0) | (F.col("coverage_e6") > 1_000_000)
+    ).count()
+    assert bad == 0
+    kept.unpersist()
+
+
+def test_pipeline_is_deterministic(spark):
+    docs = _docs(spark)
+    a = run_pipeline(spark, docs, seq_len=256)
+    b = run_pipeline(spark, docs, seq_len=256)
+
+    def canon(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert canon(a.kept, ["doc_id", "split"]) == canon(b.kept, ["doc_id", "split"])
+    assert canon(a.packed, a.packed.columns) == canon(b.packed, b.packed.columns)
+    assert canon(a.shuffle, a.shuffle.columns) == canon(b.shuffle, b.shuffle.columns)
+    assert canon(a.vocab, a.vocab.columns) == canon(b.vocab, b.vocab.columns)
