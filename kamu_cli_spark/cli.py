@@ -511,6 +511,7 @@ def cmd_gc(args) -> int:
         # writer lands its parquet in data/ before the chain commit, so
         # an unreferenced-but-fresh slice may be committed moments later
         removed = ds.clean_orphan_slices(min_age=args.min_age)
+        dead_states = ds.clean_dead_state_variants(min_age=args.min_age)
         cutoff = time.time() - args.min_age
         tmps = [
             f
@@ -521,10 +522,13 @@ def cmd_gc(args) -> int:
         ]
         for t in tmps:
             shutil.rmtree(os.path.join(ds.path, t))
-        n = len(removed) + len(tmps)
+        n = len(removed) + len(tmps) + len(dead_states)
         total += n
         if n:
-            print(f"{name}: removed {len(removed)} orphan slices, {len(tmps)} tmp dirs")
+            print(
+                f"{name}: removed {len(removed)} orphan slices, "
+                f"{len(tmps)} tmp dirs, {len(dead_states)} dead state checkpoints"
+            )
     print(f"gc: {total} objects removed")
     return 0
 

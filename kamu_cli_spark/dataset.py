@@ -303,6 +303,35 @@ class Dataset:
             return self.read_state(spark, primary_key=primary_key)
         return state
 
+    def clean_dead_state_variants(self, min_age: float = 0.0) -> list[str]:
+        """Remove state-checkpoint variants whose covered data block is
+        no longer IN the chain (reset/compaction rewrote history) — such
+        a checkpoint can never be served OR incrementally refreshed, so
+        it is dead weight. Merely-stale variants (covered block still in
+        the chain) are kept: refresh_state folds deltas into them."""
+        import shutil
+        import time
+
+        root = self.state_path()
+        if not os.path.isdir(root):
+            return []
+        live_hashes = {b.block_hash for b in self.chain.blocks()}
+        cutoff = time.time() - min_age
+        removed = []
+        for d in sorted(os.listdir(root)):
+            vdir = os.path.join(root, d)
+            meta_path = os.path.join(vdir, "_META.json")
+            if not os.path.isdir(vdir) or not os.path.exists(meta_path):
+                continue
+            meta = json.load(open(meta_path))
+            if meta.get("block_hash") in live_hashes:
+                continue
+            if os.path.getmtime(vdir) >= cutoff:
+                continue  # a writer may be mid-refresh
+            shutil.rmtree(vdir)
+            removed.append("state/" + d)
+        return removed
+
     def clean_orphan_slices(
         self, min_age: float = 0.0, paths: list[str] | None = None
     ) -> list[str]:

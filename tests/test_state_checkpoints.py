@@ -168,3 +168,29 @@ def test_state_meta_tracks_covered_offset(spark, tmp_path):
     assert meta["max_offset"] == root.chain.next_offset() - 1
     assert meta["primary_key"] == ["city"]
     assert meta["block_hash"] == root.last_data_block_hash()
+
+
+def test_gc_reaps_dead_state_variants_only(spark, tmp_path):
+    """After a reset rewrites history, checkpoints covering dropped
+    blocks are unrecoverable (cannot be served or delta-folded) and gc
+    reaps them; a live checkpoint is untouched."""
+    from kamu_cli_spark.reset import reset_dataset
+
+    root = Dataset.create(str(tmp_path), "cities", system_time=T(1).isoformat())
+    w = DataWriter(root, MergeStrategySnapshot(["city"]))
+    _write(spark, w, 1, POLL1)
+    head1 = root.head_hash()
+    _write(spark, w, 2, POLL2)
+    assert root.state_meta(["city"]) is not None
+    reset_dataset(root, new_head=head1)
+
+    # fresh variant (rebuilt against the post-reset head) must survive
+    root.refresh_state(spark, ["city", "country"])
+    assert root.state_meta(["city", "country"]) is not None
+
+    spared = root.clean_dead_state_variants(min_age=3600.0)
+    assert spared == []  # age guard protects even dead ones
+    removed = root.clean_dead_state_variants()
+    assert len(removed) == 1 and removed[0].startswith("state/")
+    assert root.state_meta(["city"]) is None  # dead one gone
+    assert root.state_meta(["city", "country"]) is not None  # live kept
