@@ -275,12 +275,20 @@ class Dataset:
             project_changelog_keep_retractions,
         )
 
-        mat = self.read_state(spark, primary_key=primary_key)
-        if mat is not None:
-            return mat
+        head = self.chain.next_offset() - 1
+        # a checkpoint covers offsets up to its stamp; a pinned
+        # new_offset OLDER than that coverage cannot be served from it
+        # (the checkpoint would include rows past the pin) — fall
+        # through to the bounded full projection instead
+        if new_offset is None or new_offset >= head:
+            mat = self.read_state(spark, primary_key=primary_key)
+            if mat is not None:
+                return mat
         meta = self.state_meta(primary_key)
         hist = None
-        if meta is not None and meta["block_hash"] and any(
+        if meta is not None and meta["block_hash"] and (
+            new_offset is None or new_offset >= meta["max_offset"]
+        ) and any(
             b.block_hash == meta["block_hash"] for b in self.chain.blocks()
         ):
             delta = self.read_between(spark, meta["max_offset"], new_offset)

@@ -31,7 +31,35 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kamu_cli_spark.dataset import Dataset
 from kamu_cli_spark.operators.merge import MergeStrategy
+from kamu_cli_spark.vocab import OperationType
 from kamu_cli_spark.writer import DataWriter
+
+
+def _stream_source_id(checkpoint_dir: str) -> str:
+    """Stable identity for a streaming query, derived from its checkpoint
+    location — the same dir a crash-replayed query resumes from, so the
+    (source, batch_id) pair survives restarts and distinguishes two
+    different queries feeding the same dataset."""
+    import hashlib
+    import os
+
+    return hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+
+
+def _batch_already_committed(target: Dataset, source_id: str, batch_id: int) -> bool:
+    """foreachBatch is at-least-once: a crash between the chain commit and
+    the streaming checkpoint write replays the batch. Each committed block
+    records its (source, batch_id); a replayed batch finds it in the chain
+    and becomes a no-op — making the sink effectively exactly-once."""
+    try:
+        target.chain._reload_if_stale()
+    except Exception:
+        pass
+    for b in target.chain.blocks():
+        sb = b.event.get("streaming_batch")
+        if sb and sb.get("source") == source_id and sb.get("id") == batch_id:
+            return True
+    return False
 
 
 def read_dataset_stream(
@@ -130,9 +158,13 @@ def stream_ingest(
     streaming commit is indistinguishable from a batch one.
     """
 
+    source_id = _stream_source_id(checkpoint_dir)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if _batch_already_committed(target, source_id, batch_id):
+            return  # crash-replayed batch: already durable in the chain
         if transform is not None:
             batch_df = transform(batch_df)
         writer = DataWriter(target, strategy)
@@ -140,6 +172,7 @@ def stream_ingest(
             batch_df.sparkSession,
             batch_df,
             system_time=datetime.now(timezone.utc),
+            extra_event={"streaming_batch": {"source": source_id, "id": batch_id}},
         )
 
     writer = (
@@ -192,17 +225,68 @@ def streaming_asof_enrich(
     as-of union-window shuffles on the join keys only; Spark
     broadcasts the small side automatically under AQE.
     """
+    from pyspark.sql import Window
+
     from kamu_cli_spark.operators.asof import asof_join
 
     rt = right_time or lookup.vocab.event_time_column
+    source_id = _stream_source_id(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if _batch_already_committed(target, source_id, batch_id):
+            return  # crash-replayed batch: already durable in the chain
         spark = batch_df.sparkSession
         hist = Dataset(lookup.path).read(spark)  # fresh per batch
         if hist is not None:
             v = lookup.vocab
+            # Project the changelog to temporal-table VERSIONS before
+            # the as-of join (round-6 ADVICE: the raw changelog leaked
+            # dead versions). Per (key, event_time) the max-offset row
+            # wins, so a correction supersedes the value it corrects
+            # instead of tying with it; surviving -C rows (possible
+            # only if a correction pair straddled event times) are
+            # dropped; a -R survivor becomes a TOMBSTONE version — its
+            # value columns nulled, the row kept — so events before the
+            # retraction still match the live prior version and events
+            # after it enrich with NULL rather than resurrecting the
+            # retracted value.
+            if v.offset_column in hist.columns and (
+                v.operation_type_column in hist.columns
+            ):
+                meta_cols = {
+                    v.offset_column,
+                    v.system_time_column,
+                    v.operation_type_column,
+                }
+                w = Window.partitionBy(*on, rt).orderBy(
+                    F.col(v.offset_column).desc()
+                )
+                is_retract = F.col(v.operation_type_column) == F.lit(
+                    int(OperationType.RETRACT)
+                )
+                hist = (
+                    hist.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                    .filter(
+                        F.col(v.operation_type_column)
+                        != F.lit(int(OperationType.CORRECT_FROM))
+                    )
+                    .select(
+                        *[
+                            (
+                                F.when(is_retract, F.lit(None))
+                                .otherwise(F.col(c))
+                                .alias(c)
+                                if c not in meta_cols and c not in on and c != rt
+                                else F.col(c)
+                            )
+                            for c in hist.columns
+                        ]
+                    )
+                )
             drop = [
                 c
                 for c in (v.offset_column, v.system_time_column, v.operation_type_column)
@@ -221,7 +305,10 @@ def streaming_asof_enrich(
         else:
             enriched = batch_df
         DataWriter(target, strategy).write(
-            spark, enriched, system_time=datetime.now(timezone.utc)
+            spark,
+            enriched,
+            system_time=datetime.now(timezone.utc),
+            extra_event={"streaming_batch": {"source": source_id, "id": batch_id}},
         )
 
     writer = (

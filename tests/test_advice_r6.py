@@ -1,0 +1,153 @@
+"""Regression tests for the round-6 ADVICE defects:
+
+1. `streaming_asof_enrich` joined against the RAW lookup changelog, so
+   retraction (-R) and correct-from (-C) rows remained candidate
+   versions — a retracted key kept enriching and a correction tied
+   nondeterministically with the value it corrected. Fixed by
+   projecting to live versions (max-offset per (key, event_time),
+   drop -R/-C) before the as-of join.
+2. foreachBatch sinks committed a chain block per micro-batch with no
+   batch_id idempotence guard; foreachBatch is at-least-once, so a
+   crash between chain commit and streaming-checkpoint write replayed
+   the batch into duplicate AddData rows. Fixed by recording
+   (source, batch_id) in the committed event and skipping known ids.
+3. `Dataset.refresh_state` ignored a pinned `new_offset` older than
+   the checkpoint's coverage, serving rows past the pin. Fixed by
+   bypassing the checkpoint paths when new_offset < coverage.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timedelta, timezone
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators import MergeStrategyAppend, MergeStrategySnapshot
+from kamu_cli_spark.streaming import read_dataset_stream, streaming_asof_enrich
+from kamu_cli_spark.streaming.stream import stream_ingest
+from kamu_cli_spark.writer import DataWriter
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def H(h):
+    return T0 + timedelta(hours=h)
+
+
+def test_streaming_asof_ignores_retracted_and_corrected_versions(spark, tmp_path):
+    """Lookup maintained by snapshot CDC: after a poll that drops EUR
+    (-R) and corrects USD (-C/+C), the stream must enrich with the
+    corrected USD value and find NO rate for EUR — not the retracted
+    1.45 and not a tie between 1.30 and 1.35."""
+    ws = str(tmp_path)
+    rates = Dataset.create(ws, "rates", system_time=T0.isoformat())
+    w = DataWriter(rates, MergeStrategySnapshot(["currency"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [("USD", 1.30), ("EUR", 1.45)], "currency string, rate double"
+        ),
+        system_time=H(0),
+        source_event_time=H(0),
+    )
+    w.write(
+        spark,
+        spark.createDataFrame([("USD", 1.35)], "currency string, rate double"),
+        system_time=H(6),
+        source_event_time=H(6),
+    )
+
+    txs = Dataset.create(ws, "txs", system_time=T0.isoformat())
+    DataWriter(txs, MergeStrategyAppend()).write(
+        spark,
+        spark.createDataFrame(
+            [(1, "USD", H(7), 100.0), (2, "EUR", H(7), 50.0), (3, "EUR", H(1), 20.0)],
+            "tx_id int, currency string, event_time timestamp, amount double",
+        ),
+        system_time=H(7),
+    )
+    out = Dataset.create(ws, "enriched", kind="Derivative", system_time=T0.isoformat())
+
+    q = streaming_asof_enrich(
+        read_dataset_stream(spark, txs).drop("offset", "op", "system_time"),
+        rates,
+        out,
+        MergeStrategyAppend(),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on=["currency"],
+        left_time="event_time",
+        right_time="event_time",
+        right_values=["rate"],
+    )
+    q.awaitTermination(180)
+
+    got = {r["tx_id"]: r["rate"] for r in out.read(spark).collect()}
+    assert got[1] == 1.35  # corrected value, never the superseded 1.30
+    assert got[2] is None  # EUR retracted at H(6) — tombstone matches H(7)
+    assert got[3] == 1.45  # before the retraction the version was live
+
+
+def test_stream_ingest_replayed_batch_is_noop(spark, tmp_path):
+    """Simulate the at-least-once crash window: after a successful run,
+    wipe the streaming checkpoint (as if the crash happened after the
+    chain commit but before the checkpoint write) and rerun — the
+    replayed batch must be skipped, not appended twice."""
+    ws = str(tmp_path)
+    src = Dataset.create(ws, "src", system_time=T0.isoformat())
+    DataWriter(src, MergeStrategyAppend()).write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        system_time=T0,
+    )
+    tgt = Dataset.create(ws, "tgt", kind="Derivative", system_time=T0.isoformat())
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_ingest(
+            read_dataset_stream(spark, src).drop("offset", "op", "system_time"),
+            tgt,
+            MergeStrategyAppend(),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert Dataset(tgt.path).read(spark).count() == 2
+
+    shutil.rmtree(ckpt)  # lose the sink-side progress, keep the chain
+    run()  # replays batch 0 with the same batch_id
+    assert Dataset(tgt.path).read(spark).count() == 2
+    Dataset(tgt.path).chain.verify()
+
+
+def test_refresh_state_honors_pinned_offset_older_than_checkpoint(spark, tmp_path):
+    """A checkpoint covering the head must NOT be served for a pinned
+    new_offset older than its coverage — the as-of state at the pin
+    has the original values, not the later corrections."""
+    ds = Dataset.create(str(tmp_path), "cities", system_time=T0.isoformat())
+    w = DataWriter(ds, MergeStrategySnapshot(["city"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [("kyiv", 3), ("lviv", 7)], "city string, population int"
+        ),
+        system_time=H(0),
+        source_event_time=H(0),
+    )
+    head_after_poll1 = ds.chain.next_offset() - 1
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [("kyiv", 4), ("lviv", 7)], "city string, population int"
+        ),
+        system_time=H(1),
+        source_event_time=H(1),
+    )
+    # materialize a checkpoint at the current head (covers the correction)
+    full = ds.refresh_state(spark, ["city"])
+    assert {r["city"]: r["population"] for r in full.collect()}["kyiv"] == 4
+
+    pinned = ds.refresh_state(spark, ["city"], new_offset=head_after_poll1)
+    vals = {r["city"]: r["population"] for r in pinned.collect()}
+    assert vals["kyiv"] == 3  # pre-correction value, not the checkpoint's 4
+    assert max(r["offset"] for r in pinned.collect()) <= head_after_poll1
