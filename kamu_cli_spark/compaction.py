@@ -101,7 +101,11 @@ def compact(
         os.replace(os.path.join(tmp_dir, part), os.path.join(dataset.path, rel))
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
-        from kamu_cli_spark.verification import logical_hash, physical_hash
+        from kamu_cli_spark.verification import (
+            LOGICAL_HASH_SCHEME,
+            logical_hash,
+            physical_hash,
+        )
 
         desc = {
             "offset_interval": {"start": start, "end": end},
@@ -113,6 +117,7 @@ def compact(
             desc["logical_hash"] = logical_hash(
                 spark.read.parquet(os.path.join(dataset.path, rel)), off
             )
+            desc["logical_hash_scheme"] = LOGICAL_HASH_SCHEME
         new_files.append((rel, desc))
         data_events.append(batch[-1])  # carries the latest watermark
 

@@ -43,18 +43,18 @@ def physical_hash(path: str) -> str:
     return "f1620" + h.hexdigest()
 
 
-def logical_hash(df: DataFrame, offset_column: str = "offset") -> str:
-    """Order-sensitive digest of the canonical row serialization.
+#: Rows per Merkle leaf block in the scheme-2 logical hash. Fixed by
+#: the scheme (NOT by cluster parallelism) so the digest is independent
+#: of partitioning: 2^18 rows ≈ 25 MB of hex digests per leaf group.
+MERKLE_BLOCK_ROWS = 1 << 18
 
-    Rows are serialized to a canonical string JVM-side (concat of
-    columns with unit separators, nulls marked), sha256'd per row, then
-    folded in offset order. Only (offset, digest) pairs leave the
-    executors, and they are STREAMED partition-by-partition: rows are
-    range-partitioned and sorted by offset, and `toLocalIterator`
-    walks the range partitions in order, so the driver holds one
-    partition of digests at a time instead of the whole slice
-    (~100 B/row × 10M rows ≈ 1 GB with a plain collect).
-    """
+#: Scheme stamped on newly committed slices. 1 = sequential driver-side
+#: fold (legacy); 2 = depth-1 Merkle (distributed leaves).
+LOGICAL_HASH_SCHEME = 2
+
+
+def _canonical_digest_pairs(df: DataFrame, offset_column: str):
+    """(offset, sha256(canonical row)) pairs, computed JVM-side."""
     cols = df.columns
     canon = F.concat_ws(
         "\x01",
@@ -63,9 +63,21 @@ def logical_hash(df: DataFrame, offset_column: str = "offset") -> str:
             for c in cols
         ],
     )
+    return df.select(
+        F.col(offset_column).alias("__off"), F.sha2(canon, 256).alias("__d")
+    )
+
+
+def logical_hash_v1(df: DataFrame, offset_column: str = "offset") -> str:
+    """Scheme 1 (legacy): sha3 fold over ALL row digests in offset
+    order, streamed through the driver via `toLocalIterator` over
+    range partitions. O(n_rows) driver traffic (~100 B/row) — retained
+    only to verify chains committed before scheme 2; new commits use
+    :func:`logical_hash`.
+    """
     n = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        df.select(F.col(offset_column).alias("__off"), F.sha2(canon, 256).alias("__d"))
+        _canonical_digest_pairs(df, offset_column)
         .repartitionByRange(n, "__off")
         .sortWithinPartitions("__off")
     )
@@ -73,6 +85,57 @@ def logical_hash(df: DataFrame, offset_column: str = "offset") -> str:
     for r in pairs.toLocalIterator():
         h.update(r["__d"].encode())
     return "f1620" + h.hexdigest()
+
+
+def logical_hash(df: DataFrame, offset_column: str = "offset") -> str:
+    """Scheme 2: depth-1 Merkle over the canonical row serialization.
+
+    The reference folds row digests sequentially in one process
+    (hash.rs:24-84); scheme 1 mirrored that but streamed every row
+    digest through the driver — ~10 TB through one socket to verify a
+    10^11-row dataset. Scheme 2 keeps the same canonical per-row
+    serialization and offset ordering but distributes the fold:
+
+    - leaf blocks are FIXED ranges of ``MERKLE_BLOCK_ROWS`` offsets
+      (block = offset div 2^18) — a property of the data, not of the
+      cluster, so any partitioning/parallelism yields the same digest;
+    - each leaf digest is sha256 over its rows' hex digests
+      concatenated in offset order, computed entirely JVM-side
+      (sort_array of (offset, digest) structs inside a hash
+      aggregation — one shuffle on block id);
+    - the driver chains only the O(n_rows / 2^18) leaf digests in
+      block order with sha3 — 400k leaves (~32 MB) for 10^11 rows,
+      vs 10^11 row digests under scheme 1.
+    """
+    import pandas as pd
+
+    pairs = _canonical_digest_pairs(df, offset_column).withColumn(
+        "__blk", (F.col("__off") / F.lit(MERKLE_BLOCK_ROWS)).cast("long")
+    )
+
+    # One Arrow group = one leaf block: ~2^18 × 72 B ≈ 20 MB per task,
+    # independent of total size. (A collect_list aggregation computes
+    # the same digest but its map-side partial lists buffer EVERY row
+    # digest of a task's input partition as Java strings — measured
+    # OOM at 60M rows on an 8 GB heap; the grouped-Arrow fold is the
+    # memory-safe shape.)
+    def _leaf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__off")
+        digest = hashlib.sha256("".join(pdf["__d"]).encode()).hexdigest()
+        return pd.DataFrame({"__blk": [int(pdf["__blk"].iloc[0])], "__leaf": [digest]})
+
+    leaves = (
+        pairs.groupBy("__blk")
+        .applyInPandas(_leaf, "__blk long, __leaf string")
+        .orderBy("__blk")
+    )
+    h = hashlib.sha3_256()
+    for r in leaves.toLocalIterator():
+        h.update(r["__leaf"].encode())
+    return "f1620" + h.hexdigest()
+
+
+_SCHEMES = {1: logical_hash_v1, 2: logical_hash}
 
 
 def verify_dataset(
@@ -117,7 +180,14 @@ def verify_dataset(
                 f"[{stats['lo']},{stats['hi']}] != {iv}"
             )
         if check_logical and "logical_hash" in d:
-            lh = logical_hash(df, off)
+            # chains committed before scheme 2 carry no scheme marker —
+            # they verify under the legacy sequential fold
+            scheme = d.get("logical_hash_scheme", 1)
+            if scheme not in _SCHEMES:
+                raise VerificationError(
+                    f"unknown logical hash scheme {scheme} for {d['path']}"
+                )
+            lh = _SCHEMES[scheme](df, off)
             if lh != d["logical_hash"]:
                 raise VerificationError(
                     f"logical hash mismatch for {d['path']}"

