@@ -4,6 +4,7 @@ from kamu_cli_spark.streaming.stream import (
     stream_ingest,
     streaming_asof_enrich,
     streaming_dedup_exact,
+    streaming_interval_join,
     windowed_aggregate,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "stream_ingest",
     "streaming_asof_enrich",
     "streaming_dedup_exact",
+    "streaming_interval_join",
     "windowed_aggregate",
 ]

@@ -321,6 +321,52 @@ def streaming_asof_enrich(
     return writer.start()
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    watermark_delay: str = "0 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Streaming twin of :func:`kamu_cli_spark.operators.windows.interval_join`
+    — the reference's continuous stream-to-stream shipments join
+    (examples/overdue_shipments: ``s.event_time BETWEEN o.event_time
+    AND o.event_time + INTERVAL '2' DAY`` on Flink; SURVEY §2.6).
+
+    Spark-first: this is a NATIVE Structured Streaming stream-stream
+    join, not a foreachBatch emulation. Both sides get an event-time
+    watermark and the join carries the equi-key condition plus the
+    time-range predicate; Spark derives the state watermark from the
+    range bound, so buffered rows are evicted as soon as no future
+    match is possible — state is O(in-flight interval), not
+    O(stream). ``how='left_outer'`` emits unmatched left rows once the
+    watermark passes their upper bound (late flush: in bounded
+    ``availableNow`` replays the final outer rows emit on the next
+    trigger that advances the watermark, same as Flink's bounded
+    semantics).
+
+    At scale both sides shuffle once on the join keys; the range
+    predicate is a residual on the per-key sorted state, never a
+    cartesian expansion.
+    """
+    lw = left.withWatermark(left_time, watermark_delay).alias("__L")
+    rw = right.withWatermark(right_time, watermark_delay).alias("__R")
+    lt, rt = F.col(f"__L.{left_time}"), F.col(f"__R.{right_time}")
+    cond = [F.col(f"__L.{c}") == F.col(f"__R.{c}") for c in on]
+    cond.append(rt >= lt + F.expr(lower))
+    cond.append(rt <= lt + F.expr(upper))
+    joined = lw.join(rw, on=cond, how=how)
+    rcols = [c for c in right.columns if c not in on]
+    return joined.select(
+        *[F.col(f"__L.{c}") for c in left.columns],
+        *[F.col(f"__R.{c}") for c in rcols],
+    )
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     id_col: str,
