@@ -298,6 +298,13 @@ def ivf_ann(
     )
 
 
+#: Above this many seed centroids the √n-vector driver collect in
+#: :func:`ivf_ann_seeded` stops being "bounded" in any useful sense
+#: (4096 seeds ⇔ corpus ≳ 16M vectors); `scale_safe` dispatches to the
+#: collect-free :func:`ivf_ann_hierarchical` instead.
+MAX_SEED_CENTROIDS = 4096
+
+
 def ivf_ann_seeded(
     queries: DataFrame,
     corpus: DataFrame,
@@ -308,6 +315,7 @@ def ivf_ann_seeded(
     n_probe: int = 4,
     k: int = 5,
     round_digits: int = 6,
+    scale_safe: bool = True,
 ) -> DataFrame:
     """Deterministic IVF ANN: cells are seeded by the `n_centroids`
     corpus vectors with the smallest ``md5(corpus_id)`` — a
@@ -315,6 +323,17 @@ def ivf_ann_seeded(
     (no RNG state, no training step), which makes the FULL ANN output
     strictly SQL-oracle-checkable, unlike the KMeans-trained
     :func:`ivf_ann` (approximate training → rows-only check).
+
+    **At scale, prefer :func:`ivf_ann_hierarchical`**: it has NO
+    data-dependent driver collect at any corpus size, while this
+    variant collects the √n seed vectors (~160 MB at 10^11 docs). The
+    seeded variant's niche is strongly CLUSTERED corpora, where
+    data-sampled cells give better recall than formula directions.
+    With ``scale_safe=True`` (default) a call whose centroid count
+    would exceed ``MAX_SEED_CENTROIDS`` (corpus ≳ 16M vectors)
+    auto-dispatches to the hierarchical variant so the unbounded
+    collect can't be reached by accident; pass ``scale_safe=False``
+    to force seeded cells on a large clustered corpus deliberately.
 
     ``n_centroids=None`` (default) sizes the index as
     ``max(16, ceil(sqrt(|corpus|)))`` — the standard IVF scaling. A
@@ -333,15 +352,27 @@ def ivf_ann_seeded(
     """
     import math
 
+    if n_centroids is None:
+        n_corpus = cached_count(corpus)
+        r = math.isqrt(max(n_corpus, 1))
+        n_centroids = max(16, r if r * r == n_corpus else r + 1)
+    if scale_safe and n_centroids > MAX_SEED_CENTROIDS:
+        return ivf_ann_hierarchical(
+            queries,
+            corpus,
+            query_id,
+            corpus_id,
+            vec_col=vec_col,
+            n_probe=n_probe,
+            k=k,
+            round_digits=round_digits,
+        )
+
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    if n_centroids is None:
-        n_corpus = cached_count(corpus)
-        r = math.isqrt(max(n_corpus, 1))
-        n_centroids = max(16, r if r * r == n_corpus else r + 1)
     seeds = (
         c.select("cid", "cv", F.md5(F.col("cid").cast("string")).alias("h"))
         .orderBy("h")

@@ -144,3 +144,43 @@ class TestHierarchicalIVF:
         assert sorted(map(tuple, rows), key=lambda t: (t[0], t[3])) == sorted(
             map(tuple, rows2), key=lambda t: (t[0], t[3])
         )
+
+    def test_seeded_scale_safe_dispatch(self, spark, monkeypatch):
+        """A seeded call whose centroid count exceeds MAX_SEED_CENTROIDS
+        must route to the collect-free hierarchical variant by default
+        (so the sqrt(n) driver collect can't be reached by accident at
+        scale), while scale_safe=False keeps the seeded cells."""
+        from kamu_cli_spark.operators import similarity as s
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter("vec_id % 50 = 0")
+        # force the dispatch with a tiny threshold — data stays small
+        monkeypatch.setattr(s, "MAX_SEED_CENTROIDS", 8)
+        k = lambda r: (r["qid"], r["rank"], r["cid"])  # noqa: E731
+        routed = sorted(
+            map(k, s.ivf_ann_seeded(q, e, "vec_id", "vec_id", n_probe=4, k=5).collect())
+        )
+        hier = sorted(
+            map(
+                k,
+                s.ivf_ann_hierarchical(
+                    q, e, "vec_id", "vec_id", n_probe=4, k=5
+                ).collect(),
+            )
+        )
+        assert routed == hier
+        forced = sorted(
+            map(
+                k,
+                s.ivf_ann_seeded(
+                    q, e, "vec_id", "vec_id", n_probe=4, k=5, scale_safe=False
+                ).collect(),
+            )
+        )
+        assert forced != hier  # different cell geometry -> different candidates
+        # under the real threshold this small corpus never dispatches
+        monkeypatch.undo()
+        small = sorted(
+            map(k, s.ivf_ann_seeded(q, e, "vec_id", "vec_id", n_probe=4, k=5).collect())
+        )
+        assert small == forced
