@@ -51,6 +51,8 @@ def asof_join(
     strict: if True use ``right_time < left_time`` (exclusive);
         default inclusive (``<=``)
     """
+    from pyspark.sql.types import StructField, StructType
+
     if right_values is None:
         right_values = [c for c in right.columns if c not in on and c != right_time]
     left_extra = [c for c in left.columns if c not in on and c != left_time]
@@ -59,22 +61,50 @@ def asof_join(
     # semantics, after them for strict
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
 
-    rpayload = F.struct(*[F.col(c) for c in right_values])
-    rpayload_t = right.select(rpayload.alias("__rp")).schema["__rp"].dataType
-    l_sel = left.select(
-        *[F.col(c) for c in on],
-        F.col(left_time).alias("__t"),
-        F.lit(left_tag).alias("__tag"),
-        F.struct(*[F.col(c) for c in left_extra]).alias("__lpayload"),
-        F.lit(None).cast(rpayload_t).alias("__rpayload"),
+    # Built from STRING SQL expressions (the round-6 CDC trick,
+    # operators/merge.py): Column-object chains over wide payloads cost
+    # one py4j socket round trip per call (~1,400 for this builder,
+    # profiled round 7), and the two `.schema` probes on derived frames
+    # each forced a full analysis pass. The payload struct types come
+    # from the INPUT schemas instead — one cached property read.
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def lq(name: str) -> str:  # string-literal field name
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    def struct_ddl(names: list[str], types: dict) -> str:
+        if not names:  # payload never unpacked; CAST needs a valid type
+            return "struct<__dummy:int>"
+        return StructType(
+            [StructField(n, types[n]) for n in names]
+        ).simpleString()
+
+    def named_struct(names: list[str]) -> str:
+        if not names:
+            return "named_struct('__dummy', 1)"
+        return (
+            "named_struct("
+            + ", ".join(f"{lq(n)}, {q(n)}" for n in names)
+            + ")"
+        )
+
+    l_sel = left.selectExpr(
+        *[q(c) for c in on],
+        f"{q(left_time)} AS `__t`",
+        f"{left_tag} AS `__tag`",
+        f"{named_struct(left_extra)} AS `__lpayload`",
+        f"CAST(NULL AS {struct_ddl(right_values, rtypes)}) AS `__rpayload`",
     )
-    lpayload_t = l_sel.schema["__lpayload"].dataType
-    r_sel = right.select(
-        *[F.col(c) for c in on],
-        F.col(right_time).alias("__t"),
-        F.lit(right_tag).alias("__tag"),
-        F.lit(None).cast(lpayload_t).alias("__lpayload"),
-        rpayload.alias("__rpayload"),
+    r_sel = right.selectExpr(
+        *[q(c) for c in on],
+        f"{q(right_time)} AS `__t`",
+        f"{right_tag} AS `__tag`",
+        f"CAST(NULL AS {struct_ddl(left_extra, ltypes)}) AS `__lpayload`",
+        f"{named_struct(right_values)} AS `__rpayload`",
     )
 
     w = (
@@ -85,16 +115,16 @@ def asof_join(
     carried = (
         l_sel.unionByName(r_sel)
         .withColumn("__carried", F.last("__rpayload", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == F.lit(left_tag))
+        .filter(f"`__tag` = {left_tag}")
     )
 
     taken = set(on) | {left_time} | set(left_extra)
-    out = carried.select(
-        *[F.col(c) for c in on],
-        F.col("__t").alias(left_time),
-        *[F.col("__lpayload." + c).alias(c) for c in left_extra],
+    out = carried.selectExpr(
+        *[q(c) for c in on],
+        f"`__t` AS {q(left_time)}",
+        *[f"`__lpayload`.{q(c)} AS {q(c)}" for c in left_extra],
         *[
-            F.col("__carried." + c).alias(c + suffix if c in taken else c)
+            f"`__carried`.{q(c)} AS {q(c + suffix if c in taken else c)}"
             for c in right_values
         ],
     )

@@ -122,44 +122,71 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document metric columns.
 
     Staged so the expensive regex splits run ONCE per row: stage 1
     materializes the token arrays and raw ratios as columns, stage 2
-    derives every metric from them (Catalyst doesn't reliably CSE
-    repeated split/regexp calls across independent expressions)."""
+    binds the argmax-language struct, stage 3 derives every metric
+    (Catalyst doesn't reliably CSE repeated split/regexp calls across
+    independent expressions).
+
+    Built from STRING SQL expressions (the round-6 CDC trick): the
+    Column-object form cost ~1,300 py4j round trips ≈ 0.4 s of driver
+    time per plan build (profiled round 7). Double literals carry the
+    `D` suffix — a bare `100.0` parses as DECIMAL and would change the
+    division/rounding semantics vs the Column form's double.
+    """
     from kamu_cli_spark.operators.util import spread
 
-    t = F.col(text_col)
+    t = "`" + text_col.replace("`", "``") + "`"
     sw = LANG_MARKERS["en"] + ["a", "in", "that", "it", "for"]
+    sw_list = ", ".join(_sql_str(w) for w in sw)
+
+    toks = rf"filter(split(trim({t}), '\\s+'), t -> t != '')"
+    ltoks = rf"filter(split(trim(lower({t})), '\\s+'), t -> t != '')"
+    praw = (
+        rf"CASE WHEN length({t}) > 0 THEN "
+        rf"length(regexp_replace({t}, '[^.,;:!?\'\"()\\[\\]{{}}-]', '')) "
+        rf"/ length({t}) ELSE 0.0D END"
+    )
+    lang_entries = ", ".join(
+        f"named_struct('h', size(filter(`__ltoks`, t -> t IN "
+        f"({', '.join(_sql_str(m) for m in markers)}))), "
+        f"'ni', {-idx}, 'l', {_sql_str(lang)})"
+        for idx, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
+    )
 
     df = spread(df)
-    staged = df.select(
+    staged = df.selectExpr(
         "*",
-        tokens(t).alias("__toks"),
-        tokens(F.lower(t)).alias("__ltoks"),
-        punct_ratio(t).alias("__praw"),
-    )
-    n = F.size(F.col("__ltoks"))
-    hits = F.size(F.filter(F.col("__ltoks"), lambda x: x.isin(sw)))
-    swraw = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
-    n_tok = F.size(F.col("__toks"))
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("__praw") * 5)
-    sw_score = F.least(swraw * 5, F.lit(1.0))
+        f"{toks} AS `__toks`",
+        f"{ltoks} AS `__ltoks`",
+        f"{praw} AS `__praw`",
+    ).selectExpr("*", f"array_max(array({lang_entries})) AS `__best`")
 
-    lang_expr = _argmax_lang(F.col("__ltoks"))
+    n = "size(`__ltoks`)"
+    hits = f"size(filter(`__ltoks`, t -> t IN ({sw_list})))"
+    swraw = f"CASE WHEN {n} > 0 THEN {hits} / {n} ELSE 0.0D END"
+    len_score = "least(size(`__toks`) / 100.0D, 1.0D)"
+    punct_penalty = "greatest(0.0D, 1.0D - `__praw` * 5)"
+    sw_score = f"least(({swraw}) * 5, 1.0D)"
 
-    return staged.select(
-        *df.columns,
-        n_tok.alias("n_tokens"),
-        char_count(t).alias("n_chars_computed"),
-        F.round(F.col("__praw"), 4).alias("punct_ratio"),
-        F.round(swraw, 4).alias("stopword_ratio"),
-        F.round((len_score + punct_penalty + sw_score) / 3.0, 4).alias("quality"),
-        lang_expr.alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+    return staged.selectExpr(
+        *["`" + c.replace("`", "``") + "`" for c in df.columns],
+        "size(`__toks`) AS `n_tokens`",
+        f"length({t}) AS `n_chars_computed`",
+        "round(`__praw`, 4) AS `punct_ratio`",
+        f"round({swraw}, 4) AS `stopword_ratio`",
+        f"round(({len_score} + {punct_penalty} + {sw_score}) / 3.0D, 4) "
+        "AS `quality`",
+        "CASE WHEN `__best`.`h` > 0 THEN `__best`.`l` ELSE 'und' END "
+        "AS `lang_pred`",
+        rf"md5(trim(regexp_replace(lower({t}), '\\s+', ' '))) AS `fingerprint`",
     )
 
 
