@@ -55,13 +55,20 @@ def project_changelog_keep_retractions(
     _require_columns(
         ledger, [vocab.offset_column, vocab.operation_type_column], "project_changelog"
     )
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def lq(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     other = [c for c in ledger.columns if c not in primary_key]
+    # string-SQL build (see _cdc_diff): the Column-object form costs a
+    # py4j round trip per call on wide schemas
+    payload = "named_struct(" + ", ".join(f"{lq(c)}, {q(c)}" for c in other) + ")"
     return (
         ledger.groupBy(*[F.col(c) for c in primary_key])
         .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in other]), F.col(vocab.offset_column)
-            ).alias("__latest")
+            F.expr(f"max_by({payload}, {q(vocab.offset_column)})").alias("__latest")
         )
         .select(*primary_key, "__latest.*")
         .select(*ledger.columns)
@@ -406,6 +413,13 @@ class MergeStrategyUpsertStream(MergeStrategy):
         """
         op = self.vocab.operation_type_column
         cols = new.columns
+
+        def q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        def lq(name: str) -> str:
+            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         seq = (
             F.col(self.order_column)
             if self.order_column
@@ -413,13 +427,12 @@ class MergeStrategyUpsertStream(MergeStrategy):
         )
         with_seq = new.select(*cols, seq.alias("__seq"))
         other = [c for c in cols if c not in self.primary_key]
+        payload = (
+            "named_struct(" + ", ".join(f"{lq(c)}, {q(c)}" for c in other) + ")"
+        )
         return (
             with_seq.groupBy(*self.primary_key)
-            .agg(
-                F.max_by(F.struct(*[F.col(c) for c in other]), F.col("__seq")).alias(
-                    "__latest"
-                )
-            )
+            .agg(F.expr(f"max_by({payload}, `__seq`)").alias("__latest"))
             .select(*self.primary_key, "__latest.*")
             .select(*cols)
         )
