@@ -1,0 +1,130 @@
+"""Property-based tests for the round-7 rewrites: the string-SQL
+asof_join against a brute-force oracle, interval_join against the same,
+and the Merkle logical hash's layout invariance. These guard the
+subtle parts of the rewrites (identifier quoting, struct-type DDL,
+literal typing) for ALL inputs, not just fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import kamu_cli_spark.verification as V
+from kamu_cli_spark.operators.asof import asof_join
+from kamu_cli_spark.operators.windows import interval_join
+from kamu_cli_spark.verification import logical_hash
+
+# naive timestamps: collected rows come back session-local-naive,
+# so expectations are built naive too (session tz = UTC)
+T0 = datetime(2024, 1, 1)
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEYS = st.sampled_from(["a", "b", "c"])
+HOURS = st.integers(min_value=0, max_value=20)
+
+# left rows: (key, hour, payload); right rows keyed uniquely on
+# (key, hour) so the asof tie-break is well-defined
+LEFT = st.lists(st.tuples(KEYS, HOURS, st.integers(-9, 9)), max_size=12)
+RIGHT = st.dictionaries(st.tuples(KEYS, HOURS), st.integers(-9, 9), max_size=12)
+
+
+def H(h):
+    return T0 + timedelta(hours=h)
+
+
+@given(left=LEFT, right=RIGHT, strict=st.booleans())
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right, strict):
+    lrows = [(k, H(h), p) for k, h, p in left]
+    rrows = [(k, H(h), v) for (k, h), v in sorted(right.items())]
+    ldf = spark.createDataFrame(
+        lrows or [("zz", H(0), 0)], "k string, t timestamp, payload int"
+    ).limit(len(lrows))
+    rdf = spark.createDataFrame(
+        rrows or [("zz", H(0), 0)], "k string, rt timestamp, rate int"
+    ).limit(len(rrows))
+
+    got = sorted(
+        (r["k"], r["t"], r["payload"], r["rate"])
+        for r in asof_join(
+            ldf, rdf, ["k"], "t", "rt", right_values=["rate"], strict=strict
+        ).collect()
+    )
+
+    # brute force: newest right (k, rt <= t) — or < t when strict;
+    # duplicates on the left each produce their own output row
+    want = []
+    for k, h, p in left:
+        cands = [
+            (rh, v)
+            for (rk, rh), v in right.items()
+            if rk == k and (rh < h if strict else rh <= h)
+        ]
+        want.append((k, H(h), p, max(cands)[1] if cands else None))
+
+    assert got == sorted(want)
+
+
+@given(left=LEFT, right=RIGHT, how=st.sampled_from(["inner", "left_outer"]))
+@SETTINGS
+def test_interval_join_matches_bruteforce(spark, left, right, how):
+    lrows = [(k, H(h), p) for k, h, p in left]
+    rrows = [(k, H(h), v) for (k, h), v in sorted(right.items())]
+    ldf = spark.createDataFrame(
+        lrows or [("zz", H(0), 0)], "k string, t timestamp, payload int"
+    ).limit(len(lrows))
+    rdf = spark.createDataFrame(
+        rrows or [("zz", H(0), 0)], "k string, rt timestamp, val int"
+    ).limit(len(rrows))
+
+    got = sorted(
+        (r["k"], r["t"], r["payload"], r["rt"], r["val"])
+        for r in interval_join(
+            ldf, rdf, ["k"], "t", "rt",
+            "INTERVAL 0 HOUR", "INTERVAL 3 HOUR", how=how,
+        ).collect()
+    )
+
+    want = []
+    for k, h, p in left:
+        matches = [
+            (H(rh), v)
+            for (rk, rh), v in sorted(right.items())
+            if rk == k and h <= rh <= h + 3
+        ]
+        if matches:
+            want.extend((k, H(h), p, rt, v) for rt, v in matches)
+        elif how == "left_outer":
+            want.append((k, H(h), p, None, None))
+    assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(st.integers(-99, 99), min_size=1, max_size=40, unique=False),
+    parts=st.integers(min_value=1, max_value=7),
+    block=st.sampled_from([2, 4, 16]),
+)
+@SETTINGS
+def test_merkle_hash_layout_invariance(spark, monkeypatch, rows, parts, block):
+    """For ANY data, partition count, and leaf-block size: the digest
+    depends on (data, block size) only — never on the physical layout —
+    and changes whenever any value changes."""
+    monkeypatch.setattr(V, "MERKLE_BLOCK_ROWS", block)
+    data = [(i, v) for i, v in enumerate(rows)]
+    df = spark.createDataFrame(data, "offset long, v int")
+    h1 = logical_hash(df.repartition(parts))
+    h2 = logical_hash(df.repartition(1))
+    h3 = logical_hash(df.repartitionByRange(min(parts, len(data)), "offset"))
+    assert h1 == h2 == h3
+    mutated = [(i, v + 1 if i == len(rows) - 1 else v) for i, v in data]
+    hm = logical_hash(
+        spark.createDataFrame(mutated, "offset long, v int").repartition(parts)
+    )
+    assert hm != h1
