@@ -76,10 +76,11 @@ def make_fixtures(fixtures_dir: str) -> dict[str, str]:
     with open(hoods_path, "w") as f:
         json.dump(_fc(hoods), f)
 
-    # block-outlines: 5x5 grid of blocks; the hole block (7.5,7.5) falls
-    # in the Northeast park, block (11,11) is outside every hood
-    # grid points sit strictly off the x=5 / y=5 quadrant boundary —
-    # a centroid exactly on a shared edge flips by float rounding
+    # block-outlines: 5x5 grid of blocks; block (11,11) is outside
+    # every hood. Grid points sit strictly off the x=5 / y=5 quadrant
+    # boundary (a centroid exactly on a shared edge flips by float
+    # rounding) and clear of the Northeast park hole — the hole's
+    # even-odd semantics are asserted directly in the test.
     blocks = []
     bid = 0
     for i in range(5):

@@ -60,25 +60,49 @@ def _rings(geom: dict | None) -> list[np.ndarray]:
 
 
 def _poly_centroid(geom: dict | None) -> tuple[float, float] | None:
-    """Area-weighted centroid (shoelace) over exterior rings; falls back
-    to the vertex mean for degenerate/zero-area geometries."""
-    rings = _rings(geom)
-    if not rings:
+    """Area-weighted centroid (shoelace). The first ring of each
+    polygon is the shell; subsequent rings are holes and SUBTRACT,
+    normalized by |area| regardless of winding — real-world GeoJSON
+    routinely violates RFC 7946 ring orientation, and a same-winding
+    hole must still pull the centroid away from itself, matching
+    st_centroid. Points/LineStrings and zero-area geometries fall back
+    to the vertex mean."""
+    if not geom:
         return None
+    t = geom.get("type")
+    if t == "Polygon":
+        polys = [geom["coordinates"]]
+    elif t == "MultiPolygon":
+        polys = geom["coordinates"]
+    else:
+        rings = _rings(geom)
+        if not rings:
+            return None
+        pts = np.vstack(rings)
+        return float(pts[:, 0].mean()), float(pts[:, 1].mean())
     a_sum = cx = cy = 0.0
-    for ring in rings:
-        if len(ring) < 3:
-            continue
-        x, y = ring[:, 0], ring[:, 1]
-        x2, y2 = np.roll(x, -1), np.roll(y, -1)
-        cross = x * y2 - x2 * y
-        a = cross.sum() / 2.0
-        if a == 0.0:
-            continue
-        cx += ((x + x2) * cross).sum() / 6.0
-        cy += ((y + y2) * cross).sum() / 6.0
-        a_sum += a
+    for rings in polys:
+        for ri, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 3:
+                continue
+            x, y = r[:, 0], r[:, 1]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            cross = x * y2 - x2 * y
+            a = cross.sum() / 2.0
+            if a == 0.0:
+                continue
+            cxr = ((x + x2) * cross).sum() / 6.0
+            cyr = ((y + y2) * cross).sum() / 6.0
+            sign = 1.0 if a > 0 else -1.0  # normalize to +orientation
+            a, cxr, cyr = a * sign, cxr * sign, cyr * sign
+            if ri > 0:  # hole: subtract, whatever its winding
+                a, cxr, cyr = -a, -cxr, -cyr
+            a_sum += a
+            cx += cxr
+            cy += cyr
     if a_sum == 0.0:
+        rings = _rings(geom)
         pts = np.vstack(rings)
         return float(pts[:, 0].mean()), float(pts[:, 1].mean())
     return cx / a_sum, cy / a_sum

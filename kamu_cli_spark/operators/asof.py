@@ -51,7 +51,10 @@ def asof_join(
     strict: if True use ``right_time < left_time`` (exclusive);
         default inclusive (``<=``)
     """
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from kamu_cli_spark.operators.util import sql_ident as q
+    from kamu_cli_spark.operators.util import sql_str as lq
 
     if right_values is None:
         right_values = [c for c in right.columns if c not in on and c != right_time]
@@ -66,22 +69,20 @@ def asof_join(
     # one py4j socket round trip per call (~1,400 for this builder,
     # profiled round 7), and the two `.schema` probes on derived frames
     # each forced a full analysis pass. The payload struct types come
-    # from the INPUT schemas instead — one cached property read.
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
-
-    def lq(name: str) -> str:  # string-literal field name
-        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
+    # from the INPUT schemas instead — one cached property read. The
+    # null payload is cast via a StructType OBJECT, not DDL text:
+    # simpleString() emits unquoted field names, which breaks on
+    # non-identifier column names (spaces etc.) that are legal here.
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     rtypes = {f.name: f.dataType for f in right.schema.fields}
 
-    def struct_ddl(names: list[str], types: dict) -> str:
-        if not names:  # payload never unpacked; CAST needs a valid type
-            return "struct<__dummy:int>"
-        return StructType(
+    def null_payload(names: list[str], types: dict):
+        fields = (
             [StructField(n, types[n]) for n in names]
-        ).simpleString()
+            if names  # payload never unpacked when empty; cast needs a type
+            else [StructField("__dummy", IntegerType())]
+        )
+        return F.lit(None).cast(StructType(fields))
 
     def named_struct(names: list[str]) -> str:
         if not names:
@@ -97,15 +98,13 @@ def asof_join(
         f"{q(left_time)} AS `__t`",
         f"{left_tag} AS `__tag`",
         f"{named_struct(left_extra)} AS `__lpayload`",
-        f"CAST(NULL AS {struct_ddl(right_values, rtypes)}) AS `__rpayload`",
-    )
+    ).withColumn("__rpayload", null_payload(right_values, rtypes))
     r_sel = right.selectExpr(
         *[q(c) for c in on],
         f"{q(right_time)} AS `__t`",
         f"{right_tag} AS `__tag`",
-        f"CAST(NULL AS {struct_ddl(left_extra, ltypes)}) AS `__lpayload`",
         f"{named_struct(right_values)} AS `__rpayload`",
-    )
+    ).withColumn("__lpayload", null_payload(left_extra, ltypes))
 
     w = (
         Window.partitionBy(*on)

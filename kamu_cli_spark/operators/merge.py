@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kamu_cli_spark.operators.util import sql_ident, sql_str
 from kamu_cli_spark.vocab import DEFAULT_VOCAB, DatasetVocabulary, OperationType as Op
 
 
@@ -55,11 +56,7 @@ def project_changelog_keep_retractions(
     _require_columns(
         ledger, [vocab.offset_column, vocab.operation_type_column], "project_changelog"
     )
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
-
-    def lq(name: str) -> str:
-        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    q, lq = sql_ident, sql_str
 
     other = [c for c in ledger.columns if c not in primary_key]
     # string-SQL build (see _cdc_diff): the Column-object form costs a
@@ -244,8 +241,7 @@ class MergeStrategySnapshot(MergeStrategy):
         # round trips ≈ 0.4 s of driver time per plan build (profiled
         # round 6) — string expressions hand Catalyst the same tree in
         # a handful of calls.
-        def q(name: str) -> str:
-            return "`" + name.replace("`", "``") + "`"
+        q, lq = sql_ident, sql_str
 
         # Explicit per-side presence markers: the join matches with
         # eqNullSafe, so a matched row may legitimately have NULL in
@@ -295,9 +291,6 @@ class MergeStrategySnapshot(MergeStrategy):
             f"WHEN `__n_present` IS NULL THEN {int(Op.RETRACT)} "
             f"ELSE {int(Op.CORRECT_TO)} END AS INT)"
         )
-        def lq(name: str) -> str:  # string-literal field name
-            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
         main_fields = ", ".join(
             f"{lq(c)}, IF(`__n_present` IS NULL, {q('__o_' + c)}, {q('__n_' + c)})"
             for c in out_cols
@@ -414,11 +407,7 @@ class MergeStrategyUpsertStream(MergeStrategy):
         op = self.vocab.operation_type_column
         cols = new.columns
 
-        def q(name: str) -> str:
-            return "`" + name.replace("`", "``") + "`"
-
-        def lq(name: str) -> str:
-            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        q, lq = sql_ident, sql_str
 
         seq = (
             F.col(self.order_column)
@@ -444,11 +433,7 @@ class MergeStrategyUpsertStream(MergeStrategy):
 
         # String SQL expressions, not Column chains — same py4j
         # round-trip rationale as MergeStrategySnapshot._cdc_diff.
-        def q(name: str) -> str:
-            return "`" + name.replace("`", "``") + "`"
-
-        def lq(name: str) -> str:
-            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        q, lq = sql_ident, sql_str
 
         # Presence marker instead of `pk IS NOT NULL` — see _cdc_diff.
         o = old.selectExpr(

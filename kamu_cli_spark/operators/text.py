@@ -122,10 +122,6 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document metric columns.
 
@@ -141,9 +137,9 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     `D` suffix — a bare `100.0` parses as DECIMAL and would change the
     division/rounding semantics vs the Column form's double.
     """
-    from kamu_cli_spark.operators.util import spread
+    from kamu_cli_spark.operators.util import spread, sql_ident, sql_str as _sql_str
 
-    t = "`" + text_col.replace("`", "``") + "`"
+    t = sql_ident(text_col)
     sw = LANG_MARKERS["en"] + ["a", "in", "that", "it", "for"]
     sw_list = ", ".join(_sql_str(w) for w in sw)
 

@@ -63,3 +63,17 @@ def cached_count(df: DataFrame) -> int:
     n = df.count()
     _COUNT_CACHE[key] = (df, n)
     return n
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote an identifier for embedding in a string SQL
+    expression. THE one copy — every string-SQL plan builder
+    (merge/asof/text) must use this, not a local variant: the escaping
+    is correctness/injection-sensitive and has to stay identical."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (for named_struct field names,
+    IN lists, etc.). Same single-copy rule as :func:`sql_ident`."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

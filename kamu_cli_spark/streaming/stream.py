@@ -36,29 +36,44 @@ from kamu_cli_spark.writer import DataWriter
 
 
 def _stream_source_id(checkpoint_dir: str) -> str:
-    """Stable identity for a streaming query, derived from its checkpoint
-    location — the same dir a crash-replayed query resumes from, so the
-    (source, batch_id) pair survives restarts and distinguishes two
-    different queries feeding the same dataset."""
+    """Stable identity for a streaming query: the query id Spark
+    persists in ``<checkpoint>/metadata`` at start. It survives
+    restarts from the same checkpoint (so crash replays dedup), and a
+    DELETED checkpoint mints a fresh id — a deliberate reset
+    reprocesses from scratch instead of colliding with the previous
+    run's markers and silently dropping data (a path-derived id had
+    exactly that failure). Read lazily per batch: the file appears
+    when the query starts. Falls back to a path hash if unreadable."""
     import hashlib
+    import json
     import os
 
-    return hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+    except Exception:
+        return hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:16]
 
 
 def _batch_already_committed(target: Dataset, source_id: str, batch_id: int) -> bool:
     """foreachBatch is at-least-once: a crash between the chain commit and
     the streaming checkpoint write replays the batch. Each committed block
     records its (source, batch_id); a replayed batch finds it in the chain
-    and becomes a no-op — making the sink effectively exactly-once."""
+    and becomes a no-op — making the sink effectively exactly-once.
+
+    Batch ids are monotone per source, so scanning from the TAIL and
+    stopping at this source's newest marker answers membership in
+    O(blocks since that marker), not O(chain length) per batch."""
     try:
         target.chain._reload_if_stale()
     except Exception:
         pass
-    for b in target.chain.blocks():
+    for b in reversed(target.chain.blocks()):
         sb = b.event.get("streaming_batch")
-        if sb and sb.get("source") == source_id and sb.get("id") == batch_id:
-            return True
+        if sb and sb.get("source") == source_id:
+            return sb.get("id") >= batch_id
     return False
 
 
@@ -158,11 +173,12 @@ def stream_ingest(
     streaming commit is indistinguishable from a batch one.
     """
 
-    source_id = _stream_source_id(checkpoint_dir)
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # read per batch: the checkpoint's metadata file (query id)
+        # exists only once the query has started
+        source_id = _stream_source_id(checkpoint_dir)
         if _batch_already_committed(target, source_id, batch_id):
             return  # crash-replayed batch: already durable in the chain
         if transform is not None:
@@ -230,11 +246,11 @@ def streaming_asof_enrich(
     from kamu_cli_spark.operators.asof import asof_join
 
     rt = right_time or lookup.vocab.event_time_column
-    source_id = _stream_source_id(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        source_id = _stream_source_id(checkpoint_dir)
         if _batch_already_committed(target, source_id, batch_id):
             return  # crash-replayed batch: already durable in the chain
         spark = batch_df.sparkSession
@@ -353,17 +369,19 @@ def streaming_interval_join(
     predicate is a residual on the per-key sorted state, never a
     cartesian expansion.
     """
-    lw = left.withWatermark(left_time, watermark_delay).alias("__L")
-    rw = right.withWatermark(right_time, watermark_delay).alias("__R")
-    lt, rt = F.col(f"__L.{left_time}"), F.col(f"__R.{right_time}")
-    cond = [F.col(f"__L.{c}") == F.col(f"__R.{c}") for c in on]
-    cond.append(rt >= lt + F.expr(lower))
-    cond.append(rt <= lt + F.expr(upper))
-    joined = lw.join(rw, on=cond, how=how)
-    rcols = [c for c in right.columns if c not in on]
-    return joined.select(
-        *[F.col(f"__L.{c}") for c in left.columns],
-        *[F.col(f"__R.{c}") for c in rcols],
+    from kamu_cli_spark.operators.windows import interval_join
+
+    # one implementation of the condition/projection logic: the batch
+    # operator runs unchanged on watermarked streaming inputs
+    return interval_join(
+        left.withWatermark(left_time, watermark_delay),
+        right.withWatermark(right_time, watermark_delay),
+        on,
+        left_time,
+        right_time,
+        lower,
+        upper,
+        how=how,
     )
 
 

@@ -100,9 +100,9 @@ def logical_hash(df: DataFrame, offset_column: str = "offset") -> str:
       (block = offset div 2^18) — a property of the data, not of the
       cluster, so any partitioning/parallelism yields the same digest;
     - each leaf digest is sha256 over its rows' hex digests
-      concatenated in offset order, computed entirely JVM-side
-      (sort_array of (offset, digest) structs inside a hash
-      aggregation — one shuffle on block id);
+      concatenated in offset order, folded executor-side in one
+      grouped Arrow pass (one shuffle on block id; see the memory
+      note below on why NOT a collect_list aggregation);
     - the driver chains only the O(n_rows / 2^18) leaf digests in
       block order with sha3 — 400k leaves (~32 MB) for 10^11 rows,
       vs 10^11 row digests under scheme 1.

@@ -432,6 +432,18 @@ class DataWriter:
             bounds = [
                 (a, min(a + step - 1, hi)) for a in range(lo, hi + 1, step)
             ]
+            if len(bounds) > 1 and (extra_event or {}).get("streaming_batch"):
+                # the replay-dedup marker rides on the LAST slice block;
+                # a crash between slice commits would leave earlier
+                # slices durable but unmarked and the replayed batch
+                # would duplicate them — fail loudly instead of
+                # breaking the sink's exactly-once contract
+                raise WriterError(
+                    "a streaming batch must commit as a single slice: "
+                    f"{len(bounds)} slices under max_slice_records="
+                    f"{self.max_slice_records}; raise it or split the "
+                    "stream upstream"
+                )
             event = None
             for a, b in bounds:
                 last = b == hi

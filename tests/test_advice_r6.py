@@ -87,12 +87,7 @@ def test_streaming_asof_ignores_retracted_and_corrected_versions(spark, tmp_path
     assert got[3] == 1.45  # before the retraction the version was live
 
 
-def test_stream_ingest_replayed_batch_is_noop(spark, tmp_path):
-    """Simulate the at-least-once crash window: after a successful run,
-    wipe the streaming checkpoint (as if the crash happened after the
-    chain commit but before the checkpoint write) and rerun — the
-    replayed batch must be skipped, not appended twice."""
-    ws = str(tmp_path)
+def _mk_ingest_pair(spark, ws):
     src = Dataset.create(ws, "src", system_time=T0.isoformat())
     DataWriter(src, MergeStrategyAppend()).write(
         spark,
@@ -100,23 +95,54 @@ def test_stream_ingest_replayed_batch_is_noop(spark, tmp_path):
         system_time=T0,
     )
     tgt = Dataset.create(ws, "tgt", kind="Derivative", system_time=T0.isoformat())
+    return src, tgt
+
+
+def _run_ingest(spark, src, tgt, ckpt):
+    q = stream_ingest(
+        read_dataset_stream(spark, src).drop("offset", "op", "system_time"),
+        tgt,
+        MergeStrategyAppend(),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_ingest_replayed_batch_is_noop(spark, tmp_path):
+    """Simulate the at-least-once crash window: lose the sink-side
+    PROGRESS (offsets/commits) but keep the checkpoint's identity
+    (metadata), as a real crash between chain commit and checkpoint
+    write does — the replayed batch must be skipped, not appended
+    twice."""
+    ws = str(tmp_path)
+    src, tgt = _mk_ingest_pair(spark, ws)
     ckpt = str(tmp_path / "ckpt")
 
-    def run():
-        q = stream_ingest(
-            read_dataset_stream(spark, src).drop("offset", "op", "system_time"),
-            tgt,
-            MergeStrategyAppend(),
-            checkpoint_dir=ckpt,
-        )
-        q.awaitTermination(180)
-
-    run()
+    _run_ingest(spark, src, tgt, ckpt)
     assert Dataset(tgt.path).read(spark).count() == 2
 
-    shutil.rmtree(ckpt)  # lose the sink-side progress, keep the chain
-    run()  # replays batch 0 with the same batch_id
+    for sub in ("offsets", "commits"):
+        shutil.rmtree(ckpt + "/" + sub, ignore_errors=True)
+    _run_ingest(spark, src, tgt, ckpt)  # replays batch 0, same query id
     assert Dataset(tgt.path).read(spark).count() == 2
+    Dataset(tgt.path).chain.verify()
+
+
+def test_stream_ingest_checkpoint_reset_reprocesses(spark, tmp_path):
+    """Deleting the WHOLE checkpoint is a deliberate reset: the new run
+    mints a new query id, so its batch ids must NOT collide with the
+    previous run's markers — fresh data is reprocessed (appended
+    again), never silently dropped (round-7 review finding)."""
+    ws = str(tmp_path)
+    src, tgt = _mk_ingest_pair(spark, ws)
+    ckpt = str(tmp_path / "ckpt")
+
+    _run_ingest(spark, src, tgt, ckpt)
+    assert Dataset(tgt.path).read(spark).count() == 2
+
+    shutil.rmtree(ckpt)  # full reset, metadata (query id) included
+    _run_ingest(spark, src, tgt, ckpt)
+    assert Dataset(tgt.path).read(spark).count() == 4  # reprocessed
     Dataset(tgt.path).chain.verify()
 
 
