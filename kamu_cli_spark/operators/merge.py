@@ -95,6 +95,54 @@ def project_changelog(
     )
 
 
+def project_temporal_versions(
+    hist: DataFrame,
+    keys: list[str],
+    vocab: DatasetVocabulary = DEFAULT_VOCAB,
+    time_col: str | None = None,
+) -> DataFrame:
+    """Temporal-table projection of a changelog — the versioned-lookup
+    view an as-of join should see (Flink maintains exactly this state
+    for ``FOR SYSTEM_TIME AS OF``; round-6 ADVICE: joining the RAW
+    changelog leaks dead versions). Per (keys, event_time) the
+    max-offset row wins, so a correction supersedes the -C partner it
+    corrects instead of tying with it; surviving -C rows (possible only
+    when a correction pair straddles event times) are dropped; a -R
+    survivor is kept as a TOMBSTONE version — its value columns nulled
+    — so lookups before the retraction still match the prior live
+    version and lookups after it see NULL rather than the retracted
+    values. A no-op for append-only histories. One window shuffle on
+    (keys, time); at scale this is the same partitioning the as-of
+    join itself uses, so AQE reuses the exchange."""
+    t = time_col or vocab.event_time_column
+    off, op, st = (
+        vocab.offset_column,
+        vocab.operation_type_column,
+        vocab.system_time_column,
+    )
+    if off not in hist.columns or op not in hist.columns:
+        return hist  # not a changelog (already projected/plain table)
+    keep = set(keys) | {t, off, op, st}
+    w = Window.partitionBy(*keys, t).orderBy(F.col(off).desc())
+    is_retract = F.col(op) == F.lit(int(Op.RETRACT))
+    return (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col(op) != F.lit(int(Op.CORRECT_FROM)))
+        .select(
+            *[
+                (
+                    F.when(is_retract, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    if c not in keep
+                    else F.col(c)
+                )
+                for c in hist.columns
+            ]
+        )
+    )
+
+
 def _is_distinct_from(a: Column, b: Column) -> Column:
     """SQL `a IS DISTINCT FROM b` (null-safe inequality)."""
     return ~a.eqNullSafe(b)

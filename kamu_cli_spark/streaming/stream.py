@@ -31,7 +31,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kamu_cli_spark.dataset import Dataset
 from kamu_cli_spark.operators.merge import MergeStrategy
-from kamu_cli_spark.vocab import OperationType
 from kamu_cli_spark.writer import DataWriter
 
 
@@ -241,9 +240,8 @@ def streaming_asof_enrich(
     as-of union-window shuffles on the join keys only; Spark
     broadcasts the small side automatically under AQE.
     """
-    from pyspark.sql import Window
-
     from kamu_cli_spark.operators.asof import asof_join
+    from kamu_cli_spark.operators.merge import project_temporal_versions
 
     rt = right_time or lookup.vocab.event_time_column
 
@@ -257,52 +255,10 @@ def streaming_asof_enrich(
         hist = Dataset(lookup.path).read(spark)  # fresh per batch
         if hist is not None:
             v = lookup.vocab
-            # Project the changelog to temporal-table VERSIONS before
-            # the as-of join (round-6 ADVICE: the raw changelog leaked
-            # dead versions). Per (key, event_time) the max-offset row
-            # wins, so a correction supersedes the value it corrects
-            # instead of tying with it; surviving -C rows (possible
-            # only if a correction pair straddled event times) are
-            # dropped; a -R survivor becomes a TOMBSTONE version — its
-            # value columns nulled, the row kept — so events before the
-            # retraction still match the live prior version and events
-            # after it enrich with NULL rather than resurrecting the
-            # retracted value.
-            if v.offset_column in hist.columns and (
-                v.operation_type_column in hist.columns
-            ):
-                meta_cols = {
-                    v.offset_column,
-                    v.system_time_column,
-                    v.operation_type_column,
-                }
-                w = Window.partitionBy(*on, rt).orderBy(
-                    F.col(v.offset_column).desc()
-                )
-                is_retract = F.col(v.operation_type_column) == F.lit(
-                    int(OperationType.RETRACT)
-                )
-                hist = (
-                    hist.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                    .filter(
-                        F.col(v.operation_type_column)
-                        != F.lit(int(OperationType.CORRECT_FROM))
-                    )
-                    .select(
-                        *[
-                            (
-                                F.when(is_retract, F.lit(None))
-                                .otherwise(F.col(c))
-                                .alias(c)
-                                if c not in meta_cols and c not in on and c != rt
-                                else F.col(c)
-                            )
-                            for c in hist.columns
-                        ]
-                    )
-                )
+            # project the changelog to temporal-table VERSIONS before
+            # the as-of join (round-6 ADVICE: raw changelog leaked dead
+            # versions): corrections supersede, retractions tombstone
+            hist = project_temporal_versions(hist, on, vocab=v, time_col=rt)
             drop = [
                 c
                 for c in (v.offset_column, v.system_time_column, v.operation_type_column)

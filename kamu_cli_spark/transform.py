@@ -205,6 +205,8 @@ class TransformExecutor:
             return None
         system_time = system_time or datetime.now(timezone.utc)
 
+        from kamu_cli_spark.operators.merge import project_temporal_versions
+
         for alias, iv in plan["inputs"].items():
             src = Dataset(self.inputs[alias])
             lo = None if alias in self.temporal_tables else iv["prev_offset"]
@@ -215,6 +217,14 @@ class TransformExecutor:
                 ).limit(0) if src.slice_paths() else None
             if df is None:
                 raise TransformError(f"input {alias} has no data or schema")
+            if alias in self.temporal_tables:
+                # the user's as-of SQL must see temporal-table VERSIONS,
+                # not the raw changelog — otherwise retracted/corrected
+                # lookup rows remain match candidates (same defect class
+                # as the round-6 streaming-enrich ADVICE, batch side)
+                df = project_temporal_versions(
+                    df, self.temporal_tables[alias], vocab=src.vocab
+                )
             df.createOrReplaceTempView(alias)
 
         result: DataFrame | None = None
