@@ -33,9 +33,19 @@ def reset_dataset(
     ds: Dataset,
     new_head: str | None = None,
     old_head: str | None = None,
+    defer_slice_gc: bool = False,
 ) -> dict[str, Any]:
     """Reset `ds` so `new_head` (default: the Seed block) becomes the
-    chain head. Returns a summary of what moved and what was removed."""
+    chain head. Returns a summary of what moved and what was removed.
+
+    ``defer_slice_gc=True`` moves the head but leaves the dropped
+    slice files on disk for a later aged ``gc`` sweep
+    (``clean_orphan_slices(min_age=...)``) — the multi-reader-safe
+    mode: a query planned against the old head can still read its
+    files instead of failing mid-job on a concurrent physical delete
+    (the transient race the chain stress test documents). Default
+    remains immediate deletion, matching the reference's
+    ref-move-then-GC behavior for a single-operator workspace."""
     from kamu_cli_spark.ledger.chain import ChainIntegrityError
 
     chain = ds.chain
@@ -67,10 +77,13 @@ def reset_dataset(
         for b in dropped
         if b.event.get("new_data")
     ]
-    removed = ds.clean_orphan_slices(paths=dropped_paths)
+    removed = (
+        [] if defer_slice_gc else ds.clean_orphan_slices(paths=dropped_paths)
+    )
     return {
         "old_head": cur.block_hash,
         "new_head": new_head,
         "dropped_blocks": len(dropped),
         "removed_slices": removed,
+        **({"deferred_slices": dropped_paths} if defer_slice_gc else {}),
     }

@@ -573,3 +573,43 @@ class TestResetAppendRace:
         fresh = MetadataChain(ds.chain.path)
         assert fresh.head().event["kind"] == "SetInfo"
         assert len(fresh) == 3
+
+
+def test_reset_defer_slice_gc_leaves_files_for_aged_sweep(spark, tmp_path):
+    """Multi-reader mode: a deferred reset moves the head but keeps the
+    dropped slice files until an aged gc reaps them — a reader planned
+    against the old head can still finish."""
+    import os
+    import time
+    from datetime import datetime, timezone
+
+    from kamu_cli_spark.operators import MergeStrategyAppend
+    from kamu_cli_spark.reset import reset_dataset
+    from kamu_cli_spark.writer import DataWriter
+
+    T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    ds = Dataset.create(str(tmp_path), "d", system_time=T0.isoformat())
+    w = DataWriter(ds, MergeStrategyAppend())
+    w.write(spark, spark.createDataFrame([(1,)], "k int"), system_time=T0)
+    head1 = ds.chain.head().block_hash
+    w.write(
+        spark,
+        spark.createDataFrame([(2,)], "k int"),
+        system_time=datetime(2024, 1, 2, tzinfo=timezone.utc),
+    )
+    dropped_path = ds.chain.data_files()[-1]["path"]
+
+    res = reset_dataset(ds, new_head=head1, defer_slice_gc=True)
+    assert res["removed_slices"] == []
+    assert res["deferred_slices"] == [dropped_path]
+    full = os.path.join(ds.path, dropped_path)
+    assert os.path.exists(full)  # still readable by an in-flight query
+    ds.chain.verify()
+    assert ds.read(spark).count() == 1
+
+    # the aged sweep refuses young files, then reaps once past min_age
+    assert ds.clean_orphan_slices(min_age=3600) == []
+    assert os.path.exists(full)
+    os.utime(full, (time.time() - 7200, time.time() - 7200))
+    assert ds.clean_orphan_slices(min_age=3600) == [dropped_path]
+    assert not os.path.exists(full)
