@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 from kamu_cli_spark.operators.asof import asof_join
 from kamu_cli_spark.operators.dedup import (
     connected_components,
+    dedup_against,
     dedup_exact,
     lsh_candidate_pairs,
+    lsh_cross_candidates,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
@@ -1252,6 +1254,92 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_documents_cross_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cross-corpus dedup (dedup.py:dedup_against): docs with
+    doc_id % 10 != 0 play the fresh crawl, doc_id % 10 == 0 the
+    existing training corpus; survivors are crawl docs whose normalized
+    fingerprint never appears in the corpus. One fingerprint anti-join,
+    no text through the shuffle."""
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    reference = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup_against(corpus, reference).select("doc_id", "lang", "n_chars")
+
+
+O_CROSS_DEDUP = """
+WITH fp AS (
+  SELECT doc_id, lang, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS f
+  FROM documents
+)
+SELECT c.doc_id, c.lang, c.n_chars
+FROM fp c
+WHERE c.doc_id % 10 != 0
+  AND NOT EXISTS (
+    SELECT 1 FROM fp r WHERE r.doc_id % 10 = 0 AND r.f = c.f
+  )
+"""
+
+
+def q_documents_cross_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus NEAR-dup candidates (dedup.py:lsh_cross_candidates):
+    crawl docs sharing any MinHash band bucket with a training-corpus
+    doc — the sub-quadratic crawl-vs-training dedup join."""
+    d = load_table(spark, sf, "documents")
+    sig_c = minhash_signature(
+        d.filter(F.col("doc_id") % 10 != 0), "doc_id", num_hashes=16, shingle_n=3
+    )
+    sig_r = minhash_signature(
+        d.filter(F.col("doc_id") % 10 == 0), "doc_id", num_hashes=16, shingle_n=3
+    )
+    return lsh_cross_candidates(
+        sig_c, sig_r, "doc_id", num_hashes=16, bands=4, max_bucket_size=64
+    )
+
+
+def _o_cross_lsh() -> str:
+    from kamu_cli_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    coeffs = ",".join(
+        f"({s},{a},{b})" for s, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words
+  )
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM sh
+),
+mh AS (
+  SELECT doc_id, seed, min((a * h + b) % {MINHASH_PRIME}) AS mhv
+  FROM hashed CROSS JOIN (VALUES {coeffs}) seeds(seed, a, b)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mhv::VARCHAR, '|' ORDER BY seed)) AS bh
+  FROM mh GROUP BY doc_id, seed // 4
+),
+ref_bands AS (
+  SELECT * FROM bands WHERE doc_id % 10 = 0
+  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 64
+)
+SELECT DISTINCT c.doc_id AS corpus_id, r.doc_id AS ref_id
+FROM bands c JOIN ref_bands r ON c.band = r.band AND c.bh = r.bh
+WHERE c.doc_id % 10 != 0
 """
 
 
@@ -2774,6 +2862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_upsert_merge": q_events_upsert_merge,
         "documents_dedup_exact": q_documents_dedup_exact,
         "documents_minhash_lsh": q_documents_minhash_lsh,
+        "documents_cross_dedup": q_documents_cross_dedup,
+        "documents_cross_lsh": q_documents_cross_lsh,
         "documents_dup_clusters": q_documents_dup_clusters,
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash_pairs": q_documents_simhash_pairs,
@@ -2861,6 +2951,8 @@ def oracle_sql() -> dict[str, str]:
         "events_upsert_merge": O_UPSERT_MERGE,
         "documents_dedup_exact": O_DEDUP_EXACT,
         "documents_minhash_lsh": _o_minhash(),
+        "documents_cross_dedup": O_CROSS_DEDUP,
+        "documents_cross_lsh": _o_cross_lsh(),
         "documents_dup_clusters": _o_dup_clusters(),
         "documents_ngram_jaccard": O_NGRAM_JACCARD,
         "documents_simhash_pairs": _o_simhash_pairs(),

@@ -44,6 +44,81 @@ def dedup_exact(
     )
 
 
+def dedup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact CROSS-corpus dedup: keep only corpus rows whose
+    normalized-text fingerprint does NOT appear in `reference` — the
+    dedupe-the-new-crawl-against-the-training-set step every corpus
+    refresh runs (the self-corpus variant is :func:`dedup_exact`).
+
+    One hash anti-join on the md5 fingerprint. At 100 TB the reference
+    side reduces to a DISTINCT set of 16-byte keys before the join —
+    Spark broadcasts it when small, otherwise both sides shuffle once
+    on the fingerprint; either way no text moves through the join.
+    """
+    c = corpus.withColumn("__fp", fingerprint(F.col(text_col)))
+    r = reference.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    return c.join(r, "__fp", "left_anti").drop("__fp")
+
+
+def lsh_cross_candidates(
+    sig_corpus: DataFrame,
+    sig_reference: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """NEAR-dup candidates BETWEEN two corpora: (corpus_id, ref_id)
+    pairs whose MinHash signatures share any band bucket — the
+    sub-quadratic cross-corpus twin of :func:`lsh_candidate_pairs`,
+    for dropping crawl documents near-duplicating the training set.
+
+    Both sides band identically (same deterministic coefficients, so
+    the signatures are comparable); the candidate join is ONE
+    equi-join on (band, bucket-hash). `max_bucket_size` caps hot
+    REFERENCE buckets — a boilerplate bucket of m reference docs
+    multiplies every colliding corpus doc by m; capped buckets are
+    dropped and a true near-dup still surfaces through its other
+    bands (same rationale as the self-join cap).
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        exprs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            exprs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("bh"),
+                )
+            )
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*exprs)).alias("__b")
+        ).select(out_id, "__b.band", "__b.bh")
+
+    cb = banded(sig_corpus, "corpus_id")
+    rb = banded(sig_reference, "ref_id")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh")
+        rb = (
+            rb.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    return (
+        cb.join(rb, ["band", "bh"])
+        .select("corpus_id", "ref_id")
+        .distinct()
+    )
+
+
 def explode_shingles_arrow(
     df: DataFrame,
     id_col: str,

@@ -481,3 +481,48 @@ class TestPackSequences:
         ).collect()[0][0]
         assert total_packed == total_direct
         assert packed.agg(F.sum("n_docs")).collect()[0][0] == 50
+
+
+def test_dedup_against_drops_reference_matches(spark):
+    """Cross-corpus exact dedup: crawl docs whose normalized text
+    appears in the reference are dropped; whitespace/case variants
+    still match (fingerprint normalization)."""
+    from kamu_cli_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "unique crawl doc"), (3, "another one")],
+        "doc_id int, text string",
+    )
+    reference = spark.createDataFrame(
+        [(100, "hello world"), (101, "another  ONE ")],
+        "doc_id int, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_against(corpus, reference).collect()
+    )
+    assert kept == [2]
+
+
+def test_lsh_cross_candidates_finds_near_dups_across_corpora(spark):
+    from kamu_cli_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base + " extra"), (2, "completely different text about spark sql")],
+        "doc_id int, text string",
+    )
+    reference = spark.createDataFrame(
+        [(100, base), (101, "nothing like the others at all here")],
+        "doc_id int, text string",
+    )
+    sig_c = minhash_signature(corpus, "doc_id", num_hashes=16, shingle_n=3)
+    sig_r = minhash_signature(reference, "doc_id", num_hashes=16, shingle_n=3)
+    pairs = {
+        (r["corpus_id"], r["ref_id"])
+        for r in lsh_cross_candidates(sig_c, sig_r, "doc_id").collect()
+    }
+    assert (1, 100) in pairs          # near-dup across corpora
+    assert all(p[0] != 2 for p in pairs)  # unrelated doc pairs with nothing
