@@ -35,6 +35,7 @@ from kamu_cli_spark.operators.merge import (
     project_changelog,
 )
 from kamu_cli_spark.operators.similarity import (
+    embedding_cross_neardup,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_ann,
@@ -1340,6 +1341,64 @@ ref_bands AS (
 SELECT DISTINCT c.doc_id AS corpus_id, r.doc_id AS ref_id
 FROM bands c JOIN ref_bands r ON c.band = r.band AND c.bh = r.bh
 WHERE c.doc_id % 10 != 0
+"""
+
+
+def q_embeddings_cross_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus embedding near-dup
+    (similarity.py:embedding_cross_neardup): crawl vectors
+    (vec_id % 10 != 0) whose cosine to any training-corpus vector
+    (vec_id % 10 == 0) clears the threshold, candidates from shared
+    LSH sign buckets — one equi-join, never a cross join. The
+    synthetic corpus is near-orthogonal random vectors, so the demo
+    threshold is low (0.4); production paraphrase-dedup uses the
+    operator default 0.95."""
+    e = load_table(spark, sf, "embeddings")
+    crawl = e.filter(F.col("vec_id") % 10 != 0)
+    ref = e.filter(F.col("vec_id") % 10 == 0)
+    return embedding_cross_neardup(crawl, ref, "vec_id", threshold=0.4)
+
+
+O_CROSS_NEARDUP = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+params AS (
+  SELECT greatest(4, CAST(ceil(log2(count(*))) AS INT)) AS np
+  FROM v WHERE vec_id % 10 = 0
+),
+planes AS (
+  SELECT i // np AS t, i % np AS p, np, list(val ORDER BY d) AS plane
+  FROM (
+    SELECT pg.i AS i, dg.d AS d, params.np AS np,
+           (CAST(concat('0x', substr(md5('plane' || CAST(pg.i AS VARCHAR) || '|'
+                                     || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 255) pg(i), generate_series(0, 63) dg(d), params
+    WHERE pg.i < 8 * params.np
+  )
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT v.vec_id, pl.t,
+         sum(CASE WHEN list_inner_product(v.ve, pl.plane) >= 0
+                  THEN (1 << pl.p) ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT cb.vec_id AS crawl_id, rb.vec_id AS ref_id
+  FROM buckets cb JOIN buckets rb ON cb.t = rb.t AND cb.bucket = rb.bucket
+  WHERE cb.vec_id % 10 != 0 AND rb.vec_id % 10 = 0
+)
+SELECT cand.crawl_id, cand.ref_id,
+       round(list_inner_product(q.ve, c.ve)
+             / (sqrt(list_inner_product(q.ve, q.ve))
+                * sqrt(list_inner_product(c.ve, c.ve))), 6) AS cosine
+FROM cand
+JOIN v q ON q.vec_id = cand.crawl_id
+JOIN v c ON c.vec_id = cand.ref_id
+WHERE round(list_inner_product(q.ve, c.ve)
+            / (sqrt(list_inner_product(q.ve, q.ve))
+               * sqrt(list_inner_product(c.ve, c.ve))), 6) >= 0.4
 """
 
 
@@ -2864,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_minhash_lsh": q_documents_minhash_lsh,
         "documents_cross_dedup": q_documents_cross_dedup,
         "documents_cross_lsh": q_documents_cross_lsh,
+        "embeddings_cross_neardup": q_embeddings_cross_neardup,
         "documents_dup_clusters": q_documents_dup_clusters,
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash_pairs": q_documents_simhash_pairs,
@@ -2953,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_minhash_lsh": _o_minhash(),
         "documents_cross_dedup": O_CROSS_DEDUP,
         "documents_cross_lsh": _o_cross_lsh(),
+        "embeddings_cross_neardup": O_CROSS_NEARDUP,
         "documents_dup_clusters": _o_dup_clusters(),
         "documents_ngram_jaccard": O_NGRAM_JACCARD,
         "documents_simhash_pairs": _o_simhash_pairs(),

@@ -831,6 +831,64 @@ def _lsh_score(
     )
 
 
+def embedding_cross_neardup(
+    crawl: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_planes: int | None = None,
+    num_tables: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CROSS-corpus embedding near-dup: (crawl_id, ref_id, cosine) for
+    every crawl row whose cosine to a reference row is ≥ `threshold` —
+    the semantic twin of :func:`~kamu_cli_spark.operators.dedup.
+    dedup_against` for embedding-space duplicates (paraphrases the
+    text fingerprint misses).
+
+    Scale shape: both sides bucket under the SAME md5-formula
+    hyperplanes (signatures comparable by construction; plane count
+    adapts to the reference size), candidates come from ONE equi-join
+    on (table, bucket) — never a cross join — and only candidates pay
+    the exact cosine. The brute-force
+    :func:`embedding_near_dup_pairs` stays as the small-corpus
+    baseline/oracle shape.
+    """
+    if num_planes is None:
+        num_planes = adaptive_num_planes(cached_count(reference))
+    planes = [_hyperplane(dim, i) for i in range(num_tables * num_planes)]
+    c = _with_buckets(
+        _spread(crawl), id_col, "qid", "qv", "qn", vec_col, planes,
+        num_tables, num_planes,
+    )
+    r = _with_buckets(
+        _spread(reference), id_col, "cid", "cv", "cn", vec_col, planes,
+        num_tables, num_planes,
+    )
+    qb = c.select("qid", F.explode("__b").alias("e")).select(
+        "qid", "e.t", "e.bucket"
+    )
+    cb = r.select("cid", F.explode("__b").alias("e")).select(
+        "cid", "e.t", "e.bucket"
+    )
+    cand = qb.join(cb, ["t", "bucket"]).select("qid", "cid").distinct()
+    return (
+        cand.join(c.select("qid", "qv", "qn"), "qid")
+        .join(r.select("cid", "cv", "cn"), "cid")
+        .select(
+            F.col("qid").alias("crawl_id"),
+            F.col("cid").alias("ref_id"),
+            F.round(
+                pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_ann_self(
     corpus: DataFrame,
     id_col: str,

@@ -526,3 +526,29 @@ def test_lsh_cross_candidates_finds_near_dups_across_corpora(spark):
     }
     assert (1, 100) in pairs          # near-dup across corpora
     assert all(p[0] != 2 for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_embedding_cross_neardup_finds_planted_pair(spark):
+    """A crawl vector nearly identical to a reference vector must
+    surface through the shared LSH buckets; orthogonal vectors must
+    not."""
+    from kamu_cli_spark.operators.similarity import embedding_cross_neardup
+
+    dim = 64
+    base = [1.0 if i % 3 == 0 else 0.5 for i in range(dim)]
+    near = list(base)
+    near[0] += 0.01  # cosine ~ 0.99998
+    ortho = [(-1.0) ** i * (1.0 + i / dim) for i in range(dim)]
+    crawl = spark.createDataFrame(
+        [(1, near), (2, ortho)], "vec_id int, embedding array<double>"
+    )
+    ref = spark.createDataFrame(
+        [(100, base)], "vec_id int, embedding array<double>"
+    )
+    got = {
+        (r["crawl_id"], r["ref_id"])
+        for r in embedding_cross_neardup(
+            crawl, ref, "vec_id", threshold=0.95, num_planes=4
+        ).collect()
+    }
+    assert got == {(1, 100)}
