@@ -58,6 +58,9 @@ EXTRA = [
     "documents_domain_mix",
     "documents_token_curriculum",
     "embeddings_centroid_stats",
+    "documents_cross_dedup",
+    "documents_cross_lsh",
+    "embeddings_cross_neardup",
     "documents_global_shuffle",
     "documents_image_decode",
 ]
