@@ -51,7 +51,11 @@ class TestJoinStrategy:
     @pytest.mark.parametrize(
         "name",
         ["tpch_q3", "tpch_q5", "orders_lineitem_interval_join",
-         "orders_events_asof_join", "embeddings_ann_lsh", "embeddings_ivf_ann"],
+         "orders_events_asof_join", "embeddings_ann_lsh", "embeddings_ivf_ann",
+         # cross-corpus family: candidates must come from equi-joins on
+         # fingerprints/buckets, never a cross join
+         "documents_cross_dedup", "documents_cross_lsh",
+         "embeddings_cross_neardup"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
