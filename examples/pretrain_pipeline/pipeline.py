@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from kamu_cli_spark.operators.curation import pii_scrub, quality_filter
 from kamu_cli_spark.operators.dedup import (
     connected_components,
+    dedup_against,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signature,
@@ -75,10 +76,20 @@ def run_pipeline(
     lsh_bands: int = 4,
     seq_len: int = 512,
     fractions: dict[str, float] | None = None,
+    existing_corpus: DataFrame | None = None,
 ) -> PipelineResult:
     """Run the full curation pipeline over `docs`; all outputs are
     unmaterialized DataFrames so a caller can sink each stage into a
-    dataset (DataWriter) or export shards directly."""
+    dataset (DataWriter) or export shards directly.
+
+    `existing_corpus`: the already-curated training set a REFRESH run
+    dedupes against (step 0) — exact cross-corpus anti-join on the
+    normalized fingerprint before any self-corpus work, so re-crawled
+    documents never re-enter."""
+    # 0. cross-corpus dedup against the existing training set
+    if existing_corpus is not None:
+        docs = dedup_against(docs, existing_corpus, text_col=text_col)
+
     # 1. quality gate
     quality = quality_filter(docs, text_col=text_col, id_col=id_col)
     good_ids = quality.filter(F.col("keep")).select(id_col)

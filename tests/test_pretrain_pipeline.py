@@ -98,3 +98,27 @@ def test_pipeline_is_deterministic(spark):
     assert canon(a.packed, a.packed.columns) == canon(b.packed, b.packed.columns)
     assert canon(a.shuffle, a.shuffle.columns) == canon(b.shuffle, b.shuffle.columns)
     assert canon(a.vocab, a.vocab.columns) == canon(b.vocab, b.vocab.columns)
+
+
+def test_refresh_run_dedupes_against_existing_corpus(spark):
+    """A refresh run (existing_corpus passed) must drop re-crawled
+    documents before any self-corpus stage — the kept set of a refresh
+    over (old ∪ new) equals the kept set of new-only input."""
+    docs = _docs(spark)
+    first = run_pipeline(spark, docs, seq_len=256)
+    # the 'new crawl': everything again (all re-crawls) plus one new doc
+    new_doc = (
+        docs.limit(1)
+        .withColumn("doc_id", F.lit(9_999).cast("long"))
+        .withColumn(
+            "text", F.lit("a genuinely new document about spark joins " * 30)
+        )
+    )
+    crawl = docs.unionByName(new_doc)
+    refresh = run_pipeline(
+        spark, crawl, seq_len=256, existing_corpus=docs
+    )
+    kept_ids = {r["doc_id"] for r in refresh.kept.collect()}
+    assert 9_999 in kept_ids
+    first_ids = {r["doc_id"] for r in first.kept.collect()}
+    assert kept_ids.isdisjoint(first_ids)  # every re-crawl was dropped
