@@ -1218,7 +1218,10 @@ def q_documents_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _o_minhash() -> str:
+def _minhash_bands_cte() -> str:
+    """The shingle → hash → MinHash → band CTE chain (words/sh/hashed/
+    mh/bands) shared by every MinHash oracle — the cross-engine
+    contract with `minhash_signature`/`_band_exprs`; ONE copy."""
     from kamu_cli_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
 
     coeffs = ",".join(
@@ -1249,7 +1252,11 @@ mh AS (
 bands AS (
   SELECT doc_id, seed // 4 AS band,
          md5(string_agg(mhv::VARCHAR, '|' ORDER BY seed)) AS bh
-  FROM mh GROUP BY doc_id, seed // 4
+  FROM mh GROUP BY doc_id, seed // 4"""
+
+
+def _o_minhash() -> str:
+    return _minhash_bands_cte() + """
   QUALIFY count(*) OVER (PARTITION BY band, bh) <= 64
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1302,37 +1309,7 @@ def q_documents_cross_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _o_cross_lsh() -> str:
-    from kamu_cli_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
-
-    coeffs = ",".join(
-        f"({s},{a},{b})" for s, (a, b) in enumerate(minhash_coeffs(16))
-    )
-    return f"""
-WITH words AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, gram FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
-    FROM words
-  )
-),
-hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM sh
-),
-mh AS (
-  SELECT doc_id, seed, min((a * h + b) % {MINHASH_PRIME}) AS mhv
-  FROM hashed CROSS JOIN (VALUES {coeffs}) seeds(seed, a, b)
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(mhv::VARCHAR, '|' ORDER BY seed)) AS bh
-  FROM mh GROUP BY doc_id, seed // 4
+    return _minhash_bands_cte() + """
 ),
 ref_bands AS (
   SELECT * FROM bands WHERE doc_id % 10 = 0

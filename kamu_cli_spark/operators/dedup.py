@@ -85,22 +85,10 @@ def lsh_cross_candidates(
     dropped and a true near-dup still surfaces through its other
     bands (same rationale as the self-join cap).
     """
-    rows_per_band = num_hashes // bands
-
     def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        exprs = []
-        for b in range(bands):
-            cols = [
-                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-            ]
-            exprs.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *cols)).alias("bh"),
-                )
-            )
         return sig.select(
-            F.col(id_col).alias(out_id), F.explode(F.array(*exprs)).alias("__b")
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*_band_exprs(num_hashes, bands))).alias("__b"),
         ).select(out_id, "__b.band", "__b.bh")
 
     cb = banded(sig_corpus, "corpus_id")
@@ -306,6 +294,26 @@ def minhash_signature(
     )
 
 
+def _band_exprs(num_hashes: int, bands: int) -> list:
+    """(band, bucket-hash) structs for a MinHash signature row — THE
+    banding formula (md5 of the band's mh columns joined by '|'),
+    shared by the self-join and cross-corpus LSH paths and mirrored
+    verbatim by their SQL oracles; change it in one place only."""
+    rows_per_band = num_hashes // bands
+    exprs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bh"),
+            )
+        )
+    return exprs
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -333,13 +341,7 @@ def lsh_candidate_pairs(
     `size(ids)` filter. Per-bucket lists are bounded by the cap, so
     collect_list cannot blow memory at scale; the i<j expansion is a
     higher-order expression over ≤cap-element arrays."""
-    rows_per_band = num_hashes // bands
-    band_exprs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_exprs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
-        )
+    band_exprs = _band_exprs(num_hashes, bands)
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("__b")
     ).select(id_col, "__b.band", "__b.bh")

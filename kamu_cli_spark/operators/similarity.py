@@ -792,11 +792,20 @@ def _with_buckets(
     return dotted.select(id_out, v, n, F.expr(bucket_expr).alias("__b")).persist()
 
 
+def _explode_buckets(df: DataFrame, id_name: str) -> DataFrame:
+    """(id, table, bucket) rows from a `_with_buckets` frame — the
+    candidate-side shape of every LSH join (self top-k and cross
+    near-dup); one copy so the bucket layout can't drift."""
+    return df.select(id_name, F.explode("__b").alias("e")).select(
+        id_name, "e.t", "e.bucket"
+    )
+
+
 def _lsh_score(
     q: DataFrame, c: DataFrame, k: int, round_digits: int, broadcast_q: bool = False
 ) -> DataFrame:
-    qb = q.select("qid", F.explode("__b").alias("e")).select("qid", "e.t", "e.bucket")
-    cb = c.select("cid", F.explode("__b").alias("e")).select("cid", "e.t", "e.bucket")
+    qb = _explode_buckets(q, "qid")
+    cb = _explode_buckets(c, "cid")
     if broadcast_q:
         # queries are a known-small slice of the corpus: broadcasting the
         # exploded query buckets (|Q|·tables rows of three ints) removes
@@ -867,12 +876,8 @@ def embedding_cross_neardup(
         _spread(reference), id_col, "cid", "cv", "cn", vec_col, planes,
         num_tables, num_planes,
     )
-    qb = c.select("qid", F.explode("__b").alias("e")).select(
-        "qid", "e.t", "e.bucket"
-    )
-    cb = r.select("cid", F.explode("__b").alias("e")).select(
-        "cid", "e.t", "e.bucket"
-    )
+    qb = _explode_buckets(c, "qid")
+    cb = _explode_buckets(r, "cid")
     cand = qb.join(cb, ["t", "bucket"]).select("qid", "cid").distinct()
     return (
         cand.join(c.select("qid", "qv", "qn"), "qid")

@@ -77,9 +77,21 @@ def reset_dataset(
         for b in dropped
         if b.event.get("new_data")
     ]
-    removed = (
-        [] if defer_slice_gc else ds.clean_orphan_slices(paths=dropped_paths)
-    )
+    if defer_slice_gc:
+        # the aged gc sweep measures min_age from file mtime; re-stamp
+        # the deferred slices NOW so the grace period runs from the
+        # moment they became orphans, not from when they were written —
+        # otherwise a sweep seconds after the reset could reap a
+        # long-lived slice an in-flight reader still needs
+        import os as _os
+
+        for rel in dropped_paths:
+            p = _os.path.join(ds.path, rel)
+            if _os.path.exists(p):
+                _os.utime(p)
+        removed: list[str] = []
+    else:
+        removed = ds.clean_orphan_slices(paths=dropped_paths)
     return {
         "old_head": cur.block_hash,
         "new_head": new_head,

@@ -451,6 +451,18 @@ class StatefulTransformExecutor(TransformExecutor):
                 state = src.read_between(spark, None, iv["new_offset"])
                 if state is None:
                     raise TransformError(f"input {alias} has no data")
+                if alias in self.temporal_tables:
+                    # same rule as TransformExecutor.execute: a declared
+                    # temporal table exposes VERSIONS, not the raw
+                    # changelog (corrections supersede, retractions
+                    # tombstone)
+                    from kamu_cli_spark.operators.merge import (
+                        project_temporal_versions,
+                    )
+
+                    state = project_temporal_versions(
+                        state, self.temporal_tables[alias], vocab=src.vocab
+                    )
             state.createOrReplaceTempView(alias)
 
         result: DataFrame | None = None

@@ -235,3 +235,62 @@ def test_batch_temporal_table_ignores_retracted_and_corrected_versions(
     assert got[1] == 100.0 * 1.35  # corrected rate, not 1.30 and not a tie
     assert got[2] is None          # EUR retracted at H(6): tombstone matches
     assert got[3] == 20.0 * 1.45   # before the retraction the rate was live
+
+
+def test_stateful_temporal_table_ignores_dead_versions(spark, tmp_path):
+    """The materialized-view executor shares set_transform's
+    temporal_tables declaration and must apply the same version
+    projection as the base executor (round-7 review finding: it
+    registered the raw changelog)."""
+    from kamu_cli_spark.operators.merge import project_changelog
+    from kamu_cli_spark.transform import StatefulTransformExecutor, set_transform
+
+    ws = str(tmp_path)
+    rates = Dataset.create(ws, "rates", system_time=T0.isoformat())
+    w = DataWriter(rates, MergeStrategySnapshot(["currency"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [("USD", 1.30), ("EUR", 1.45)], "currency string, rate double"
+        ),
+        system_time=H(0),
+        source_event_time=H(0),
+    )
+    w.write(  # corrects USD, retracts EUR
+        spark,
+        spark.createDataFrame([("USD", 1.35)], "currency string, rate double"),
+        system_time=H(6),
+        source_event_time=H(6),
+    )
+    txs = Dataset.create(ws, "txs", system_time=T0.isoformat())
+    DataWriter(txs, MergeStrategyAppend()).write(
+        spark,
+        spark.createDataFrame(
+            [(1, "USD", H(7), 100.0), (2, "EUR", H(7), 50.0)],
+            "tx_id int, currency string, event_time timestamp, amount double",
+        ),
+        system_time=H(7),
+    )
+    out = Dataset.create(ws, "view", kind="Derivative", system_time=T0.isoformat())
+    set_transform(
+        out,
+        {"exchange_rates": rates.path, "transactions": txs.path},
+        """
+        SELECT tr.event_time, tr.tx_id, tr.amount * exc.rate AS amount_conv
+        FROM transactions tr
+        LEFT JOIN LATERAL (
+          SELECT rate FROM exchange_rates r
+          WHERE r.currency = tr.currency AND r.event_time <= tr.event_time
+          ORDER BY r.event_time DESC LIMIT 1
+        ) exc ON true
+        """,
+        system_time=T0.isoformat(),
+        temporal_tables={"exchange_rates": ["currency"]},
+    )
+    StatefulTransformExecutor(out, output_primary_key=["tx_id"]).execute(
+        spark, system_time=H(8)
+    )
+    state = project_changelog(out.read(spark), ["tx_id"], out.vocab)
+    got = {r["tx_id"]: r["amount_conv"] for r in state.collect()}
+    assert got[1] == 100.0 * 1.35  # corrected, not 1.30 and not a tie
+    assert got[2] is None          # retracted currency -> tombstone NULL
