@@ -329,11 +329,15 @@ def ivf_ann_seeded(
     variant collects the √n seed vectors (~160 MB at 10^11 docs). The
     seeded variant's niche is strongly CLUSTERED corpora, where
     data-sampled cells give better recall than formula directions.
-    With ``scale_safe=True`` (default) a call whose centroid count
-    would exceed ``MAX_SEED_CENTROIDS`` (corpus ≳ 16M vectors)
-    auto-dispatches to the hierarchical variant so the unbounded
-    collect can't be reached by accident; pass ``scale_safe=False``
-    to force seeded cells on a large clustered corpus deliberately.
+    With ``scale_safe=True`` (default) a call whose DERIVED centroid
+    count (``n_centroids=None``) would exceed ``MAX_SEED_CENTROIDS``
+    (corpus ≳ 16M vectors) auto-dispatches to the hierarchical variant
+    so the unbounded collect can't be reached by accident. An
+    EXPLICIT ``n_centroids`` above the cap is never silently
+    substituted with a different algorithm: it raises ``ValueError``
+    under ``scale_safe=True`` (call :func:`ivf_ann_hierarchical`
+    yourself, or pass ``scale_safe=False`` to force seeded cells on a
+    large clustered corpus deliberately).
 
     ``n_centroids=None`` (default) sizes the index as
     ``max(16, ceil(sqrt(|corpus|)))`` — the standard IVF scaling. A
@@ -352,11 +356,22 @@ def ivf_ann_seeded(
     """
     import math
 
-    if n_centroids is None:
+    derived = n_centroids is None
+    if derived:
         n_corpus = cached_count(corpus)
         r = math.isqrt(max(n_corpus, 1))
         n_centroids = max(16, r if r * r == n_corpus else r + 1)
     if scale_safe and n_centroids > MAX_SEED_CENTROIDS:
+        if not derived:
+            # round-7 ADVICE: an explicit request must not be silently
+            # answered by a different algorithm — fail loudly instead
+            raise ValueError(
+                f"n_centroids={n_centroids} exceeds MAX_SEED_CENTROIDS="
+                f"{MAX_SEED_CENTROIDS}: the seeded variant would collect "
+                "that many vectors on the driver. Use ivf_ann_hierarchical "
+                "(collect-free), or pass scale_safe=False to force seeded "
+                "cells deliberately."
+            )
         return ivf_ann_hierarchical(
             queries,
             corpus,

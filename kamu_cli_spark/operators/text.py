@@ -173,7 +173,7 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     sw_score = f"least(({swraw}) * 5, 1.0D)"
 
     return staged.selectExpr(
-        *["`" + c.replace("`", "``") + "`" for c in df.columns],
+        *[sql_ident(c) for c in df.columns],
         "size(`__toks`) AS `n_tokens`",
         f"length({t}) AS `n_chars_computed`",
         "round(`__praw`, 4) AS `punct_ratio`",

@@ -40,40 +40,83 @@ def _stream_source_id(checkpoint_dir: str) -> str:
     restarts from the same checkpoint (so crash replays dedup), and a
     DELETED checkpoint mints a fresh id — a deliberate reset
     reprocesses from scratch instead of colliding with the previous
-    run's markers and silently dropping data (a path-derived id had
-    exactly that failure). Read lazily per batch: the file appears
-    when the query starts. Falls back to a path hash if unreadable."""
-    import hashlib
+    run's markers and silently dropping data.
+
+    Inside a running sink the file MUST exist (Spark writes it at
+    query start), so an unreadable file raises — failing the batch so
+    Spark retries — instead of silently falling back to a path-derived
+    id (round-7 ADVICE: the fallback re-used the previous
+    incarnation's markers after a deliberate checkpoint wipe, wrongly
+    skipping replayed batches = silent data loss; a transient read
+    failure mid-stream flipped the id and defeated replay dedup)."""
     import json
     import os
 
+    meta = os.path.join(checkpoint_dir, "metadata")
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        with open(meta) as f:
             return json.load(f)["id"]
-    except Exception:
-        return hashlib.sha256(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:16]
+    except (OSError, ValueError, KeyError) as e:
+        raise RuntimeError(
+            f"cannot read the streaming query id from {meta}: {e!r}. "
+            "Refusing to substitute a path-derived id — it breaks "
+            "exactly-once replay dedup. The batch will be retried."
+        ) from e
 
 
-def _batch_already_committed(target: Dataset, source_id: str, batch_id: int) -> bool:
-    """foreachBatch is at-least-once: a crash between the chain commit and
-    the streaming checkpoint write replays the batch. Each committed block
-    records its (source, batch_id); a replayed batch finds it in the chain
-    and becomes a no-op — making the sink effectively exactly-once.
+class _ExactlyOnceState:
+    """Per-sink memo for foreachBatch exactly-once markers.
 
-    Batch ids are monotone per source, so scanning from the TAIL and
-    stopping at this source's newest marker answers membership in
-    O(blocks since that marker), not O(chain length) per batch."""
-    try:
-        target.chain._reload_if_stale()
-    except Exception:
-        pass
-    for b in reversed(target.chain.blocks()):
-        sb = b.event.get("streaming_batch")
-        if sb and sb.get("source") == source_id:
-            return sb.get("id") >= batch_id
-    return False
+    foreachBatch is at-least-once: a crash between the chain commit and
+    the streaming checkpoint write replays the batch. Each committed
+    block records its (source, batch_id); a replayed batch finds the
+    marker and becomes a no-op — making the sink effectively
+    exactly-once.
+
+    Round-7 ADVICE hardening, both cached on the sink closure:
+
+    - the query id is read ONCE (first non-empty batch) — it cannot
+      change while the query runs, so caching removes the per-batch
+      file read and any chance of a transient failure flipping the id;
+    - the chain scan for "already committed?" runs ONCE (the restart /
+      crash-replay case). Afterwards the newest committed batch id is
+      maintained locally: only this query id writes markers for this
+      source, so the local high-water mark is authoritative and the
+      per-batch cost is O(1) instead of O(chain length) on datasets
+      with long chains but no marker for a brand-new source.
+    """
+
+    def __init__(self, checkpoint_dir: str, target: Dataset) -> None:
+        self._checkpoint_dir = checkpoint_dir
+        self._target = target
+        self._source_id: str | None = None
+        self._max_committed: int | None = None
+
+    def source_id(self) -> str:
+        if self._source_id is None:
+            self._source_id = _stream_source_id(self._checkpoint_dir)
+        return self._source_id
+
+    def already_committed(self, batch_id: int) -> bool:
+        if self._max_committed is None:
+            # one full tail scan per sink lifetime: find this source's
+            # newest marker (batch ids are monotone per source)
+            try:
+                self._target.chain._reload_if_stale()
+            except Exception:
+                pass
+            newest = -1
+            for b in reversed(self._target.chain.blocks()):
+                sb = b.event.get("streaming_batch")
+                if sb and sb.get("source") == self.source_id():
+                    newest = sb.get("id")
+                    break
+            self._max_committed = newest
+        return batch_id <= self._max_committed
+
+    def record(self, batch_id: int) -> None:
+        prior = self._max_committed if self._max_committed is not None else -1
+        self._max_committed = max(prior, batch_id)
 
 
 def read_dataset_stream(
@@ -172,13 +215,12 @@ def stream_ingest(
     streaming commit is indistinguishable from a batch one.
     """
 
+    state = _ExactlyOnceState(checkpoint_dir, target)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # read per batch: the checkpoint's metadata file (query id)
-        # exists only once the query has started
-        source_id = _stream_source_id(checkpoint_dir)
-        if _batch_already_committed(target, source_id, batch_id):
+        if state.already_committed(batch_id):
             return  # crash-replayed batch: already durable in the chain
         if transform is not None:
             batch_df = transform(batch_df)
@@ -187,8 +229,11 @@ def stream_ingest(
             batch_df.sparkSession,
             batch_df,
             system_time=datetime.now(timezone.utc),
-            extra_event={"streaming_batch": {"source": source_id, "id": batch_id}},
+            extra_event={
+                "streaming_batch": {"source": state.source_id(), "id": batch_id}
+            },
         )
+        state.record(batch_id)
 
     writer = (
         source.writeStream.foreachBatch(sink)
@@ -245,11 +290,12 @@ def streaming_asof_enrich(
 
     rt = right_time or lookup.vocab.event_time_column
 
+    state = _ExactlyOnceState(checkpoint_dir, target)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        source_id = _stream_source_id(checkpoint_dir)
-        if _batch_already_committed(target, source_id, batch_id):
+        if state.already_committed(batch_id):
             return  # crash-replayed batch: already durable in the chain
         spark = batch_df.sparkSession
         hist = Dataset(lookup.path).read(spark)  # fresh per batch
@@ -280,8 +326,11 @@ def streaming_asof_enrich(
             spark,
             enriched,
             system_time=datetime.now(timezone.utc),
-            extra_event={"streaming_batch": {"source": source_id, "id": batch_id}},
+            extra_event={
+                "streaming_batch": {"source": state.source_id(), "id": batch_id}
+            },
         )
+        state.record(batch_id)
 
     writer = (
         source.writeStream.foreachBatch(sink)
