@@ -27,6 +27,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kamu_cli_spark.vocab import OperationType as Op
@@ -125,6 +126,146 @@ def streaming_upsert_to_changelog(
         handle,
         outputStructType=out_schema,
         stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_topn_to_changelog(
+    stream: DataFrame,
+    order_column: str,
+    n: int,
+    payload_columns: list[str],
+    partition_columns: list[str] | None = None,
+    ascending: bool = False,
+    op_column: str = "op",
+    place_column: str = "place",
+) -> DataFrame:
+    """Continuously-maintained top-N leaderboard as a changelog stream —
+    the streaming twin of :class:`StatefulTransformExecutor` over the
+    reference's leaderboard pattern (examples/leaderboard/
+    leaderboard.yaml: RisingWave `row_number() over (order by score
+    desc) <= N`, which emits retractions as the ranking shifts).
+
+    Output is keyed on (`partition_columns` ++ `place`) and follows the
+    snapshot-diff op alphabet the batch executor commits: a place newly
+    occupied emits +A; a place whose occupant changes emits -C (old
+    values) then +C (new values); a place vacated emits -R with the
+    departing values — so a downstream foreachBatch writer using
+    ChangelogStream produces a dataset IDENTICAL to the batch path
+    (asserted in tests/test_streaming_topn.py).
+
+    State per group is the current top-N rows, JSON-encoded in a single
+    string cell — O(N), independent of stream length, the defining
+    property that makes a global top-N streamable at all. With
+    `partition_columns=None` the leaderboard is GLOBAL: all rows hash
+    to one group/one task, fine because the reduction itself is global
+    and each micro-batch first shrinks to its local top-N candidates.
+    Ties on `order_column` break by the remaining payload columns in
+    order — deterministic across engines and replays.
+    """
+    import json
+
+    if order_column not in payload_columns:
+        raise ValueError(
+            f"order_column {order_column!r} must be in payload_columns"
+        )
+    group_cols = list(partition_columns or [])
+    in_types = {f.name: f for f in stream.schema.fields}
+    missing = [c for c in group_cols + payload_columns if c not in in_types]
+    if missing:
+        raise ValueError(f"columns not in stream: {missing}")
+    ts_cols = [
+        c
+        for c in payload_columns
+        if in_types[c].dataType.simpleString().startswith("timestamp")
+    ]
+    sort_cols = [order_column] + [c for c in payload_columns if c != order_column]
+    sort_asc = [ascending] + [True] * (len(sort_cols) - 1)
+
+    out_parts = [f"{op_column} int"]
+    out_parts += [
+        f"{c} {in_types[c].dataType.simpleString()}" for c in group_cols
+    ]
+    out_parts.append(f"{place_column} int")
+    out_parts += [
+        f"{c} {in_types[c].dataType.simpleString()}" for c in payload_columns
+    ]
+    out_schema = ", ".join(out_parts)
+    out_cols = [op_column, *group_cols, place_column, *payload_columns]
+
+    def _encode(rows: list[dict[str, Any]]) -> str:
+        enc = []
+        for r in rows:
+            d = dict(r)
+            for c in ts_cols:
+                if d[c] is not None and not pd.isna(d[c]):
+                    d[c] = pd.Timestamp(d[c]).isoformat()
+            enc.append(d)
+        return json.dumps(enc)
+
+    def _decode(blob: str) -> list[dict[str, Any]]:
+        rows = json.loads(blob)
+        for r in rows:
+            for c in ts_cols:
+                if r[c] is not None:
+                    r[c] = pd.Timestamp(r[c])
+        return rows
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev_top = _decode(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # candidates = previous top-N ++ this batch's rows; anything
+        # outside the previous top-N can never re-enter, so this is the
+        # complete candidate set (no full-history state)
+        cand = pd.concat(
+            [pd.DataFrame(prev_top, columns=payload_columns), batch[payload_columns]],
+            ignore_index=True,
+        )
+        cand = cand.sort_values(sort_cols, ascending=sort_asc, kind="stable")
+        new_top = cand.head(n).to_dict("records")
+
+        out: list[dict[str, Any]] = []
+        for place in range(1, max(len(prev_top), len(new_top)) + 1):
+            old = prev_top[place - 1] if place <= len(prev_top) else None
+            new = new_top[place - 1] if place <= len(new_top) else None
+            if old is None and new is not None:
+                out.append({op_column: Op.APPEND, place_column: place, **new})
+            elif old is not None and new is None:
+                out.append({op_column: Op.RETRACT, place_column: place, **old})
+            elif not _tuples_equal(
+                tuple(old[c] for c in payload_columns),
+                tuple(new[c] for c in payload_columns),
+            ):
+                out.append({op_column: Op.CORRECT_FROM, place_column: place, **old})
+                out.append({op_column: Op.CORRECT_TO, place_column: place, **new})
+
+        state.update((_encode(new_top),))
+
+        if not out:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        df = pd.DataFrame(out)
+        for i, c in enumerate(group_cols):
+            df[c] = key[i]
+        for c in ts_cols:
+            df[c] = pd.to_datetime(df[c])
+        yield df[out_cols]
+
+    # a GLOBAL leaderboard still needs a grouping key for the state
+    # store — materialize a constant column (grouping by a bare lit()
+    # expression doesn't resolve inside FlatMapGroupsInPandasWithState)
+    grouped = (
+        stream.groupBy(*group_cols)
+        if group_cols
+        else stream.withColumn("__g", F.lit(0)).groupBy("__g")
+    )
+    return grouped.applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType="state string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
