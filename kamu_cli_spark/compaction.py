@@ -191,9 +191,29 @@ def compact(
                     bi += 1
             if ev.get("source_state"):
                 batch_states[min(bi, len(batch_states) - 1)] = ev["source_state"]
-        for ((rel, nd), src), b_state in zip(
-            zip(new_files, data_events), batch_states
+        # Exactly-once STREAMING markers must survive the rewrite too: a
+        # crash-replayed micro-batch scans the chain for its (source,
+        # batch_id) marker; if compaction dropped it, the replay would
+        # re-commit rows that already live inside a compacted slice —
+        # silent duplicates. Unlike source_state (carried per batch for
+        # as-of fidelity), markers only matter at the live head, so the
+        # newest marker per source rides on the LAST rebuilt batch as a
+        # `streaming_batches` list (the sink scanner checks both forms).
+        newest_markers: dict[str, dict[str, Any]] = {}
+        for b in old_blocks:
+            sbs = [b.event.get("streaming_batch")] + list(
+                b.event.get("streaming_batches") or []
+            )
+            for sb in sbs:
+                if not sb or sb.get("source") is None:
+                    continue
+                cur = newest_markers.get(sb["source"])
+                if cur is None or sb.get("id", -1) >= cur.get("id", -1):
+                    newest_markers[sb["source"]] = sb
+        for i_batch, (((rel, nd), src), b_state) in enumerate(
+            zip(zip(new_files, data_events), batch_states)
         ):
+            is_last = i_batch == len(new_files) - 1
             wm = None
             for b in old_blocks:
                 if (
@@ -211,6 +231,13 @@ def compact(
                     "new_watermark": wm,
                     "compacted": True,
                     **({"source_state": b_state} if b_state else {}),
+                    **(
+                        {"streaming_batches": sorted(
+                            newest_markers.values(), key=lambda m: m["source"]
+                        )}
+                        if is_last and newest_markers
+                        else {}
+                    ),
                 },
                 system_time=last_st,
             )

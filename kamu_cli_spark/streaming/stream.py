@@ -106,10 +106,21 @@ class _ExactlyOnceState:
             except Exception:
                 pass
             newest = -1
+            sid = self.source_id()
             for b in reversed(self._target.chain.blocks()):
-                sb = b.event.get("streaming_batch")
-                if sb and sb.get("source") == self.source_id():
-                    newest = sb.get("id")
+                # live blocks carry a single `streaming_batch`; compacted
+                # blocks carry the per-source newest markers as a
+                # `streaming_batches` list (compaction.py) — check both
+                markers = [b.event.get("streaming_batch")] + list(
+                    b.event.get("streaming_batches") or []
+                )
+                hits = [
+                    sb.get("id")
+                    for sb in markers
+                    if sb and sb.get("source") == sid
+                ]
+                if hits:
+                    newest = max(hits)
                     break
             self._max_committed = newest
         return batch_id <= self._max_committed
