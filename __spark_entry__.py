@@ -2267,6 +2267,150 @@ SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embeddings_ivf_ann3(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-3 IVF ANN (similarity.py:ivf_ann_hierarchical3): k1·k2·k3
+    ≈ n^(3/4) formula-generated cells, cell size ≈ n^(1/4) — the
+    documented scale knob of the depth-2 hierarchy (its n^1.5
+    candidate-work law measured 11x per decade at sf100; this one is
+    n^(5/4) ≈ 17.8x... per decade of CANDIDATE work, i.e. per-query
+    candidates shrink from 4·sqrt(n) to 4·n^(1/4)). Fully
+    deterministic, FULL output strictly oracle-checked. The probe
+    budget (coarse_probe x mid_probe x n_probe) is the recall knob;
+    BENCH_NOTES round 8 records the recall/runtime pairs per decade."""
+    from kamu_cli_spark.operators.similarity import ivf_ann_hierarchical3
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return ivf_ann_hierarchical3(
+        q, e, "vec_id", "vec_id", coarse_probe=6, mid_probe=12, n_probe=64, k=5
+    )
+
+
+# Mirrors hier3_cell_sizes + _formula_dirs: s = max(16, ceil(sqrt n)),
+# q = max(4, ceil(sqrt s)), k1 = k2 = q, k3 = ceil(s/q); direction
+# element formula as O_IVF_ANN with tags 'iv3c', 'iv3f<c>.',
+# 'iv3g<c>.<j>.'. Caps of 32 per level cover n up to ~1M rows at the
+# oracle SFs (the operator itself has no cap).
+O_IVF_ANN3 = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+p AS (
+  SELECT k1, k2, CAST(ceil(s::DOUBLE / k1) AS INT) AS k3 FROM (
+    SELECT s, greatest(4, CAST(ceil(sqrt(s)) AS INT)) AS k1,
+           greatest(4, CAST(ceil(sqrt(s)) AS INT)) AS k2 FROM (
+      SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) AS s FROM v))
+),
+l1 AS (
+  SELECT i AS c1, list(val ORDER BY d) AS dir FROM (
+    SELECT ig.i, dg.d,
+           (CAST(concat('0x', substr(md5('iv3c' || CAST(ig.i AS VARCHAR) || '|'
+                        || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 31) ig(i), generate_series(0, 63) dg(d), p
+    WHERE ig.i < p.k1
+  ) GROUP BY 1
+),
+l2 AS (
+  SELECT c1, j, list(val ORDER BY d) AS dir FROM (
+    SELECT cg.i AS c1, jg.j, dg.d,
+           (CAST(concat('0x', substr(md5('iv3f' || CAST(cg.i AS VARCHAR) || '.'
+                        || CAST(jg.j AS VARCHAR) || '|'
+                        || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 31) cg(i), generate_series(0, 31) jg(j),
+         generate_series(0, 63) dg(d), p
+    WHERE cg.i < p.k1 AND jg.j < p.k2
+  ) GROUP BY 1, 2
+),
+l3 AS (
+  SELECT c1, j, m, list(val ORDER BY d) AS dir FROM (
+    SELECT cg.i AS c1, jg.j, mg.m, dg.d,
+           (CAST(concat('0x', substr(md5('iv3g' || CAST(cg.i AS VARCHAR) || '.'
+                        || CAST(jg.j AS VARCHAR) || '.'
+                        || CAST(mg.m AS VARCHAR) || '|'
+                        || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
+            / 4294967295.0) * 2.0 - 1.0 AS val
+    FROM generate_series(0, 31) cg(i), generate_series(0, 31) jg(j),
+         generate_series(0, 31) mg(m), generate_series(0, 63) dg(d), p
+    WHERE cg.i < p.k1 AND jg.j < p.k2 AND mg.m < p.k3
+  ) GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, ve, c1 FROM (
+    SELECT v.vec_id, v.ve, c.c1,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.ve, c.dir)
+             / (sqrt(list_inner_product(v.ve, v.ve))
+                * sqrt(list_inner_product(c.dir, c.dir))) DESC,
+             c.c1 ASC) AS r
+    FROM v CROSS JOIN l1 c) WHERE r = 1
+),
+a2 AS (
+  SELECT vec_id, ve, c1, j FROM (
+    SELECT a1.vec_id, a1.ve, a1.c1, f.j,
+           row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+             list_inner_product(a1.ve, f.dir)
+             / (sqrt(list_inner_product(a1.ve, a1.ve))
+                * sqrt(list_inner_product(f.dir, f.dir))) DESC,
+             f.j ASC) AS r
+    FROM a1 JOIN l2 f ON f.c1 = a1.c1) WHERE r = 1
+),
+assigned AS (
+  SELECT vec_id, ve, (c1 * k2 + j) * k3 + m AS cell FROM (
+    SELECT a2.vec_id, a2.ve, a2.c1, a2.j, g.m, p.k2, p.k3,
+           row_number() OVER (PARTITION BY a2.vec_id ORDER BY
+             list_inner_product(a2.ve, g.dir)
+             / (sqrt(list_inner_product(a2.ve, a2.ve))
+                * sqrt(list_inner_product(g.dir, g.dir))) DESC,
+             g.m ASC) AS r
+    FROM a2 JOIN l3 g ON g.c1 = a2.c1 AND g.j = a2.j, p) WHERE r = 1
+),
+qc AS (
+  SELECT qid, qv, c1 FROM (
+    SELECT v.vec_id AS qid, v.ve AS qv, c.c1,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.ve, c.dir)
+             / (sqrt(list_inner_product(v.ve, v.ve))
+                * sqrt(list_inner_product(c.dir, c.dir))) DESC,
+             c.c1 ASC) AS r
+    FROM v CROSS JOIN l1 c WHERE v.vec_id % 25 = 0) WHERE r <= 6
+),
+qm AS (
+  SELECT qid, qv, c1, j FROM (
+    SELECT q.qid, q.qv, q.c1, f.j,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_inner_product(q.qv, f.dir)
+             / (sqrt(list_inner_product(q.qv, q.qv))
+                * sqrt(list_inner_product(f.dir, f.dir))) DESC,
+             q.c1 ASC, f.j ASC) AS pr
+    FROM qc q JOIN l2 f ON f.c1 = q.c1) WHERE pr <= 12
+),
+probes AS (
+  SELECT qid, qv, (c1 * k2 + j) * k3 + m AS cell FROM (
+    SELECT q.qid, q.qv, q.c1, q.j, g.m, p.k2, p.k3,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_inner_product(q.qv, g.dir)
+             / (sqrt(list_inner_product(q.qv, q.qv))
+                * sqrt(list_inner_product(g.dir, g.dir))) DESC,
+             q.c1 ASC, q.j ASC, g.m ASC) AS fr
+    FROM qm q JOIN l3 g ON g.c1 = q.c1 AND g.j = q.j, p) WHERE fr <= 64
+),
+scored AS (
+  SELECT pr.qid, a.vec_id AS cid,
+         round(list_inner_product(pr.qv, a.ve)
+               / (sqrt(list_inner_product(pr.qv, pr.qv))
+                  * sqrt(list_inner_product(a.ve, a.ve))), 6) AS cosine
+  FROM probes pr JOIN assigned a USING (cell)
+  WHERE pr.qid <> a.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embeddings_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN via multi-table sign-LSH. The hyperplanes are
     md5-derived (similarity.py:_hyperplane) — fully deterministic, so
@@ -2944,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cosine_topk": q_embeddings_cosine_topk,
         "documents_two_stage_dedup": q_documents_two_stage_dedup,
         "embeddings_ivf_seeded": q_embeddings_ivf_seeded,
+        "embeddings_ivf_ann3": q_embeddings_ivf_ann3,
         "documents_vocabulary": q_documents_vocabulary,
         "documents_vocab_coverage": q_documents_vocab_coverage,
         "documents_tfidf_topk": q_documents_tfidf_topk,
@@ -3006,6 +3151,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ann_lsh": O_ANN_LSH,
         "embeddings_ivf_ann": O_IVF_ANN,
         "embeddings_ivf_seeded": O_IVF_SEEDED,
+        "embeddings_ivf_ann3": O_IVF_ANN3,
         "documents_vocabulary": O_VOCABULARY,
         "documents_vocab_coverage": O_VOCAB_COVERAGE,
         "documents_tfidf_topk": O_TFIDF_TOPK,

@@ -654,6 +654,314 @@ def ivf_ann_hierarchical(
     )
 
 
+def hier3_cell_sizes(n_corpus: int) -> tuple[int, int, int]:
+    """(k1, k2, k3) for the depth-3 hierarchy: k_total = k1·k2·k3 ≈
+    n^(3/4) cells — cell size ≈ n^(1/4), so per-query candidate work is
+    O(n_probe · n^(1/4)) instead of depth-2's O(n_probe · √n): the
+    decade law drops from ~31.6× (n^1.5) to ~17.8× (n^(5/4)) at a
+    fixed query fraction (round-7 judge task #4).
+
+    Built ONLY from the ceil-sqrt + ceil-div constructs the depth-2
+    oracle already proves cross-engine (no pow/cbrt whose libm rounding
+    could differ): s = max(16, ceil_sqrt(n)) ≈ √n, q = max(4,
+    ceil_sqrt(s)) ≈ n^(1/4); k1 = k2 = q, k3 = ceil(s / q)."""
+    import math
+
+    r = math.isqrt(max(n_corpus, 1))
+    s = max(16, r if r * r == n_corpus else r + 1)
+    r2 = math.isqrt(s)
+    q = max(4, r2 if r2 * r2 == s else r2 + 1)
+    return q, q, -(-s // q)
+
+
+def _hier3_assign_udf(k1: int, k2: int, k3: int):
+    """Pandas UDF: depth-3 cell id ((c·k2 + j)·k3 + m) per vector —
+    argmax cosine cascade over three formula-direction levels (tags
+    'iv3c', 'iv3f<c>.', 'iv3g<c>.<j>.'). Ties break ascending at every
+    level (stable argsort), matching ORDER BY cos DESC, index ASC."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dim = V.shape[1]
+        P1, n1 = _formula_dirs("iv3c", k1, dim)
+        c1 = np.argsort(-_dim_ordered_sims(V, P1, n1), axis=1, kind="stable")[:, 0]
+        cell = np.empty(len(V), dtype=np.int32)
+        for c in np.unique(c1):
+            mc = c1 == c
+            P2, n2 = _formula_dirs(f"iv3f{c}.", k2, dim)
+            j2 = np.argsort(
+                -_dim_ordered_sims(V[mc], P2, n2), axis=1, kind="stable"
+            )[:, 0]
+            idx = np.nonzero(mc)[0]
+            for j in np.unique(j2):
+                mj = j2 == j
+                P3, n3 = _formula_dirs(f"iv3g{c}.{j}.", k3, dim)
+                m3 = np.argsort(
+                    -_dim_ordered_sims(V[idx[mj]], P3, n3), axis=1, kind="stable"
+                )[:, 0]
+                cell[idx[mj]] = (int(c) * k2 + int(j)) * k3 + m3
+        return pd.Series(cell)
+
+    return _assign
+
+
+def _hier3_probe_udf(
+    k1: int, k2: int, k3: int, coarse_probe: int, mid_probe: int, n_probe: int
+):
+    """Pandas UDF: the `n_probe` depth-3 cells a query probes — its
+    `coarse_probe` best level-1 cells, the `mid_probe` best level-2
+    pairs among those, then the best level-3 cells among those pairs,
+    each level ranked by raw cosine (ties: ascending indices)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        n, dim = V.shape
+        P1, n1 = _formula_dirs("iv3c", k1, dim)
+        top1 = np.argsort(-_dim_ordered_sims(V, P1, n1), axis=1, kind="stable")[
+            :, :coarse_probe
+        ]
+        # Vectorized across queries (a per-row python loop measured
+        # ~50% of sf10 runtime): queries GROUP by shared cell at each
+        # level, one matmul per distinct cell. Candidate column order
+        # is (c ASC, j ASC[, m ASC]) per query — top1 sorted ascending,
+        # j/m ascending within a block — so the stable argsort breaks
+        # ties exactly like the oracle's ORDER BY c, j, m.
+        cp = top1.shape[1]
+        top1s = np.sort(top1, axis=1)
+        pair_sims = np.full((n, cp * k2), -np.inf)
+        pair_c = np.zeros((n, cp * k2), dtype=np.int64)
+        pair_j = np.zeros((n, cp * k2), dtype=np.int64)
+        for pos in range(cp):
+            col = top1s[:, pos]
+            for c in np.unique(col):
+                mask = col == c
+                P2, n2 = _formula_dirs(f"iv3f{c}.", k2, dim)
+                pair_sims[mask, pos * k2 : (pos + 1) * k2] = _dim_ordered_sims(
+                    V[mask], P2, n2
+                )
+                pair_c[mask, pos * k2 : (pos + 1) * k2] = c
+                pair_j[mask, pos * k2 : (pos + 1) * k2] = np.arange(k2)
+        mp = min(mid_probe, cp * k2)
+        sel = np.sort(
+            np.argsort(-pair_sims, axis=1, kind="stable")[:, :mp], axis=1
+        )  # ascending column index = (c, j) lexicographic candidate order
+        rows = np.arange(n)[:, None]
+        sel_c, sel_j = pair_c[rows, sel], pair_j[rows, sel]
+
+        cand_sims = np.full((n, mp * k3), -np.inf)
+        cand_cell = np.zeros((n, mp * k3), dtype=np.int64)
+        for pos in range(mp):
+            key = sel_c[:, pos] * k2 + sel_j[:, pos]
+            for kk in np.unique(key):
+                mask = key == kk
+                c_, j_ = divmod(int(kk), k2)
+                P3, n3 = _formula_dirs(f"iv3g{c_}.{j_}.", k3, dim)
+                cand_sims[mask, pos * k3 : (pos + 1) * k3] = _dim_ordered_sims(
+                    V[mask], P3, n3
+                )
+                cand_cell[mask, pos * k3 : (pos + 1) * k3] = (
+                    int(kk) * k3 + np.arange(k3)
+                )
+        order = np.argsort(-cand_sims, axis=1, kind="stable")[:, :n_probe]
+        cells = cand_cell[rows[: len(order)], order].astype(np.int32)
+        return pd.Series(list(cells))
+
+    return _probe
+
+
+def _ivf_cell_score_super(
+    probes: DataFrame,
+    assigned: DataFrame,
+    q_norms: DataFrame,
+    c_norms: DataFrame,
+    k: int,
+    round_digits: int,
+    k3: int,
+) -> DataFrame:
+    """:func:`_ivf_cell_score` for the depth-3 hierarchy: cogroup on the
+    SUPERCELL (cell div k3 = the level-1/2 pair, ~√n groups) and match
+    the finest cells inside the Arrow group with a numpy loop.
+
+    Cogrouping on the finest cell directly would create n^(3/4) groups
+    of ~n^(1/4) rows — measured 11.2 s at sf1 vs depth-2's 2.0 s purely
+    from per-group Arrow/pandas overhead. Supercell grouping restores
+    depth-2's group count while keeping depth-3's candidate volume: per
+    group a python loop runs over ≤k3 present cells, each a small
+    dimension-order matmul (same bit-exact accumulation), and pruning
+    keeps each query's top-k (with the 2-step rounding margin of
+    :func:`_ivf_cell_score`) across the whole supercell before emitting
+    skinny rows."""
+    q_id_t = dict(
+        zip(probes.columns, (f.dataType.simpleString() for f in probes.schema.fields))
+    )["qid"]
+    c_id_t = dict(
+        zip(
+            assigned.columns,
+            (f.dataType.simpleString() for f in assigned.schema.fields),
+        )
+    )["cid"]
+    out_schema = f"qid {q_id_t}, cid {c_id_t}, dot double"
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["qid", "cid", "dot"])
+        r_by_cell = right.groupby("cell").indices
+        per_q: dict = {}
+        for cell, lidx in left.groupby("cell").indices.items():
+            ridx = r_by_cell.get(cell)
+            if ridx is None:
+                continue
+            Q = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in left["qv"].iloc[lidx]]
+            )
+            C = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in right["cv"].iloc[ridx]]
+            )
+            acc = np.zeros((Q.shape[0], C.shape[0]), dtype=np.float64)
+            qsq = np.zeros(Q.shape[0], dtype=np.float64)
+            csq = np.zeros(C.shape[0], dtype=np.float64)
+            for d in range(Q.shape[1]):
+                acc += Q[:, d : d + 1] * C[:, d][None, :]
+                qsq += Q[:, d] * Q[:, d]
+                csq += C[:, d] * C[:, d]
+            cos = acc / (np.sqrt(qsq)[:, None] * np.sqrt(csq)[None, :])
+            qids = left["qid"].iloc[lidx].to_numpy()
+            cids = right["cid"].iloc[ridx].to_numpy()
+            for i in range(len(qids)):
+                lst = per_q.setdefault(qids[i], ([], [], []))
+                lst[0].append(cids)
+                lst[1].append(acc[i])
+                lst[2].append(cos[i])
+        if not per_q:
+            return pd.DataFrame(columns=["qid", "cid", "dot"])
+        out_q, out_c, out_d = [], [], []
+        margin = 2.0 / 10.0**round_digits
+        for qid, (cid_parts, dot_parts, cos_parts) in per_q.items():
+            cids = np.concatenate(cid_parts)
+            dots = np.concatenate(dot_parts)
+            cos = np.concatenate(cos_parts)
+            rnd = np.sign(cos) * np.floor(
+                np.abs(cos) * 10.0**round_digits + 0.5
+            ) / (10.0**round_digits)
+            rnd = np.where(cids == qid, -np.inf, rnd)
+            n_valid = int((rnd > -np.inf).sum())
+            if n_valid > k:
+                kth = np.partition(rnd, -k)[-k]
+                keep = rnd >= kth - margin
+            else:
+                keep = rnd > -np.inf
+            idx = np.nonzero(keep)[0]
+            out_q.append(np.full(len(idx), qid))
+            out_c.append(cids[idx])
+            out_d.append(dots[idx])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q) if out_q else [],
+                "cid": np.concatenate(out_c) if out_c else [],
+                "dot": np.concatenate(out_d) if out_d else [],
+            }
+        )
+
+    grp = f"CAST(cell DIV {k3} AS INT)"
+    scores = (
+        probes.selectExpr(f"{grp} AS grp", "cell", "qid", "qv")
+        .groupBy("grp")
+        .cogroup(
+            assigned.selectExpr(f"{grp} AS grp", "cell", "cid", "cv").groupBy("grp")
+        )
+        .applyInPandas(score, out_schema)
+    )
+    scored = (
+        scores.filter(F.col("qid") != F.col("cid"))
+        .join(q_norms, "qid")
+        .join(c_norms, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.col("dot") / (F.col("qn") * F.col("cn")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def ivf_ann_hierarchical3(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    cells: tuple[int, int, int] | None = None,
+    coarse_probe: int = 2,
+    mid_probe: int = 2,
+    n_probe: int = 4,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Three-level IVF ANN with formula-generated cells — the deeper
+    hierarchy :func:`ivf_ann_hierarchical` documents as its scale knob
+    (round-7 judge task #4: the depth-2 n^1.5 candidate-work law
+    measured 11× per decade at sf100; n^(3/4) cells cut it to n^(5/4)).
+
+    Same scale-free properties as depth 2: every level's directions are
+    md5-formula-generated inside each task (nothing data-dependent is
+    collected, broadcast, or closure-shipped at any corpus size), cell
+    assignment is a narrow shuffle-free Arrow pass, candidates shuffle
+    once on the cell id, and the FULL output is strictly
+    SQL-oracle-checkable. Per-row assignment work is O((k1+k2+k3)·dim)
+    ≈ O(3·n^(1/4)·dim).
+
+    Trade-off: a probe visits n_probe cells of ~n^(1/4) vectors (vs
+    √n at depth 2), so at a fixed n_probe recall is lower; the probe
+    budget (coarse_probe × mid_probe × n_probe) is the recall knob and
+    each level is independently widenable. The recall/runtime pairs at
+    sf0.1–sf100 are recorded in BENCH_NOTES round 8.
+    """
+    if cells is None:
+        k1, k2, k3 = hier3_cell_sizes(cached_count(corpus))
+    else:
+        k1, k2, k3 = cells
+
+    assign = _hier3_assign_udf(k1, k2, k3)
+    c = _spread(corpus).select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    assigned = c.withColumn("cell", assign(F.col("cv")))
+
+    probe = _hier3_probe_udf(k1, k2, k3, coarse_probe, mid_probe, n_probe)
+    q = _spread(queries).select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    probes = q.withColumn("__cells", probe(F.col("qv"))).select(
+        "qid", "qv", "qn", F.explode("__cells").alias("cell")
+    )
+
+    return _ivf_cell_score_super(
+        probes, assigned, q.select("qid", "qn"), c.select("cid", "cn"),
+        k, round_digits, k3,
+    )
+
+
 def plane_dots(vec: Column, planes: list[list[float]]) -> Column:
     """All dot products of `vec` against a fixed plane matrix, as one
     Arrow-batched Pandas UDF (numpy, vectorized over rows and planes).

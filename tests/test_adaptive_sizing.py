@@ -184,3 +184,50 @@ class TestHierarchicalIVF:
             map(k, s.ivf_ann_seeded(q, e, "vec_id", "vec_id", n_probe=4, k=5).collect())
         )
         assert small == forced
+
+
+class TestHierarchical3:
+    def test_cell_sizes_formula(self):
+        from kamu_cli_spark.operators.similarity import hier3_cell_sizes
+
+        # n=2000: s=45, q=7, k3=ceil(45/7)=7
+        assert hier3_cell_sizes(2000) == (7, 7, 7)
+        # n=2_000_000: s=1415, q=38, k3=ceil(1415/38)=38
+        assert hier3_cell_sizes(2_000_000) == (38, 38, 38)
+        # k_total ≈ n^(3/4): grows ~17.8x per decade of n^(5/4) work
+        k1, k2, k3 = hier3_cell_sizes(10_000)
+        assert 500 <= k1 * k2 * k3 <= 1500  # 10k^(3/4) = 1000
+
+    def test_no_driver_collect_in_depth3_path(self):
+        import inspect
+
+        from kamu_cli_spark.operators import similarity as s
+
+        for fn in (
+            s.ivf_ann_hierarchical3,
+            s._hier3_assign_udf,
+            s._hier3_probe_udf,
+            s._ivf_cell_score_super,
+        ):
+            assert ".collect(" not in inspect.getsource(fn)
+
+    def test_depth3_output_shape_and_determinism(self, spark):
+        from kamu_cli_spark.operators.similarity import ivf_ann_hierarchical3
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter("vec_id % 25 = 0")
+        out = ivf_ann_hierarchical3(
+            q, e, "vec_id", "vec_id", coarse_probe=6, mid_probe=12, n_probe=64
+        )
+        rows = out.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append(r["rank"])
+            assert r["qid"] != r["cid"]
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
+        rows2 = ivf_ann_hierarchical3(
+            q, e, "vec_id", "vec_id", coarse_probe=6, mid_probe=12, n_probe=64
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

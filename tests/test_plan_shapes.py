@@ -52,6 +52,7 @@ class TestJoinStrategy:
         "name",
         ["tpch_q3", "tpch_q5", "orders_lineitem_interval_join",
          "orders_events_asof_join", "embeddings_ann_lsh", "embeddings_ivf_ann",
+         "embeddings_ivf_ann3",
          # cross-corpus family: candidates must come from equi-joins on
          # fingerprints/buckets, never a cross join
          "documents_cross_dedup", "documents_cross_lsh",
