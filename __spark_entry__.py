@@ -2305,7 +2305,7 @@ l1 AS (
            (CAST(concat('0x', substr(md5('iv3c' || CAST(ig.i AS VARCHAR) || '|'
                         || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
             / 4294967295.0) * 2.0 - 1.0 AS val
-    FROM generate_series(0, 31) ig(i), generate_series(0, 63) dg(d), p
+    FROM generate_series(0, 63) ig(i), generate_series(0, 63) dg(d), p
     WHERE ig.i < p.k1
   ) GROUP BY 1
 ),
@@ -2316,7 +2316,7 @@ l2 AS (
                         || CAST(jg.j AS VARCHAR) || '|'
                         || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
             / 4294967295.0) * 2.0 - 1.0 AS val
-    FROM generate_series(0, 31) cg(i), generate_series(0, 31) jg(j),
+    FROM generate_series(0, 63) cg(i), generate_series(0, 63) jg(j),
          generate_series(0, 63) dg(d), p
     WHERE cg.i < p.k1 AND jg.j < p.k2
   ) GROUP BY 1, 2
@@ -2329,8 +2329,8 @@ l3 AS (
                         || CAST(mg.m AS VARCHAR) || '|'
                         || CAST(dg.d AS VARCHAR)), 1, 8)) AS BIGINT)::DOUBLE
             / 4294967295.0) * 2.0 - 1.0 AS val
-    FROM generate_series(0, 31) cg(i), generate_series(0, 31) jg(j),
-         generate_series(0, 31) mg(m), generate_series(0, 63) dg(d), p
+    FROM generate_series(0, 63) cg(i), generate_series(0, 63) jg(j),
+         generate_series(0, 63) mg(m), generate_series(0, 63) dg(d), p
     WHERE cg.i < p.k1 AND jg.j < p.k2 AND mg.m < p.k3
   ) GROUP BY 1, 2, 3
 ),

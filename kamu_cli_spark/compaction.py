@@ -78,7 +78,6 @@ def compact(
 
     off = dataset.vocab.offset_column
     old_blocks = dataset.chain.blocks()
-    data_events: list[dict[str, Any]] = []
     slices_before = 0
 
     new_files: list[tuple[str, dict[str, Any]]] = []
@@ -124,7 +123,6 @@ def compact(
             )
             desc["logical_hash_scheme"] = LOGICAL_HASH_SCHEME
         new_files.append((rel, desc))
-        data_events.append(batch[-1])  # carries the latest watermark
 
     # Rewrite the chain: non-data blocks in order, then one AddData per
     # batch. The rebuild is ATOMIC and CAS-GUARDED (round-7 judge
@@ -210,8 +208,8 @@ def compact(
                 cur = newest_markers.get(sb["source"])
                 if cur is None or sb.get("id", -1) >= cur.get("id", -1):
                     newest_markers[sb["source"]] = sb
-        for i_batch, (((rel, nd), src), b_state) in enumerate(
-            zip(zip(new_files, data_events), batch_states)
+        for i_batch, ((rel, nd), b_state) in enumerate(
+            zip(new_files, batch_states)
         ):
             is_last = i_batch == len(new_files) - 1
             wm = None
@@ -224,6 +222,20 @@ def compact(
                     and b.event.get("new_watermark")
                 ):
                     wm = b.event["new_watermark"]
+            if is_last:
+                # Explicit set_watermark() stamps are DATA-LESS AddData
+                # blocks (watermark.py:28) and are dropped by the
+                # rebuild; without this, compaction silently regressed
+                # the dataset watermark and a later append could commit
+                # a watermark below the pre-compaction one. Watermarks
+                # are monotone, so the newest across ALL old blocks is
+                # the head watermark and rides on the last batch.
+                for b in old_blocks:
+                    if (
+                        b.event.get("kind") in ("AddData", "ExecuteTransform")
+                        and b.event.get("new_watermark")
+                    ):
+                        wm = b.event["new_watermark"]
             new_chain._append_locked(
                 {
                     "kind": "AddData",
@@ -312,7 +324,19 @@ def reset_keep_metadata_only(dataset: Dataset) -> None:
     finally:
         os.remove(lock)
     dataset.chain = MetadataChain(chain_path)
-    data_dir = os.path.join(dataset.path, "data")
-    if os.path.isdir(data_dir):
-        for fn in os.listdir(data_dir):
-            os.remove(os.path.join(data_dir, fn))
+    # Reap exactly the slices the dropped blocks referenced — NOT a
+    # blanket data/ sweep: a writer that starts after the swap plans
+    # offsets from the fresh chain, lands its parquet, and commits,
+    # all before an unlocked sweep would run; a blanket sweep deletes
+    # that referenced file (chain verified, data gone). Same fix as
+    # compact()'s; clean_orphan_slices re-checks liveness under the
+    # chain lock.
+    dropped_paths = sorted(
+        {
+            b.event["new_data"]["path"]
+            for b in old_blocks
+            if b.event.get("kind") in ("AddData", "ExecuteTransform")
+            and b.event.get("new_data")
+        }
+    )
+    dataset.clean_orphan_slices(paths=dropped_paths)

@@ -138,6 +138,7 @@ def streaming_topn_to_changelog(
     payload_columns: list[str],
     partition_columns: list[str] | None = None,
     ascending: bool = False,
+    tie_breakers: list[str] | None = None,
     op_column: str = "op",
     place_column: str = "place",
 ) -> DataFrame:
@@ -155,14 +156,21 @@ def streaming_topn_to_changelog(
     ChangelogStream produces a dataset IDENTICAL to the batch path
     (asserted in tests/test_streaming_topn.py).
 
+    `tie_breakers` orders rows with equal `order_column` values
+    (ascending) and must match the batch query's ORDER BY tail exactly
+    — e.g. the leaderboard example ties by (match_id, player_id) — or
+    the two paths diverge on the first tied score. Default: the
+    remaining payload columns in declaration order.
+
     State per group is the current top-N rows, JSON-encoded in a single
     string cell — O(N), independent of stream length, the defining
     property that makes a global top-N streamable at all. With
-    `partition_columns=None` the leaderboard is GLOBAL: all rows hash
-    to one group/one task, fine because the reduction itself is global
-    and each micro-batch first shrinks to its local top-N candidates.
-    Ties on `order_column` break by the remaining payload columns in
-    order — deterministic across engines and replays.
+    `partition_columns=None` the leaderboard is GLOBAL: all surviving
+    rows hash to one group/one task — safe because a stateless
+    per-Arrow-batch top-N pre-shrink runs BEFORE the shuffle (rows
+    outside a batch's local top-N can never enter the global top-N on
+    an append-only stream), so the single state task sees at most
+    n × input-partitions rows per micro-batch, not the raw batch.
     """
     import json
 
@@ -175,22 +183,40 @@ def streaming_topn_to_changelog(
     missing = [c for c in group_cols + payload_columns if c not in in_types]
     if missing:
         raise ValueError(f"columns not in stream: {missing}")
+    if tie_breakers is not None:
+        bad = [c for c in tie_breakers if c not in payload_columns]
+        if bad:
+            raise ValueError(f"tie_breakers not in payload_columns: {bad}")
+    # temporal payloads round-trip the JSON state as ISO strings; both
+    # timestamp and date types need the conversion (NaT/None encode as
+    # JSON null — a null score/time must not kill the query)
     ts_cols = [
         c
         for c in payload_columns
         if in_types[c].dataType.simpleString().startswith("timestamp")
     ]
-    sort_cols = [order_column] + [c for c in payload_columns if c != order_column]
-    sort_asc = [ascending] + [True] * (len(sort_cols) - 1)
+    date_cols = [
+        c
+        for c in payload_columns
+        if in_types[c].dataType.simpleString() == "date"
+    ]
+    breakers = (
+        list(tie_breakers)
+        if tie_breakers is not None
+        else [c for c in payload_columns if c != order_column]
+    )
+    sort_cols = [order_column] + breakers
+    sort_asc = [ascending] + [True] * len(breakers)
 
-    out_parts = [f"{op_column} int"]
-    out_parts += [
-        f"{c} {in_types[c].dataType.simpleString()}" for c in group_cols
-    ]
-    out_parts.append(f"{place_column} int")
-    out_parts += [
-        f"{c} {in_types[c].dataType.simpleString()}" for c in payload_columns
-    ]
+    # quoted identifiers in the DDL strings: unquoted simpleString DDL
+    # breaks on column names with spaces (a recorded repo gotcha)
+    def _ddl(c: str) -> str:
+        return f"`{c.replace('`', '``')}` {in_types[c].dataType.simpleString()}"
+
+    out_parts = [f"`{op_column}` int"]
+    out_parts += [_ddl(c) for c in group_cols]
+    out_parts.append(f"`{place_column}` int")
+    out_parts += [_ddl(c) for c in payload_columns]
     out_schema = ", ".join(out_parts)
     out_cols = [op_column, *group_cols, place_column, *payload_columns]
 
@@ -198,16 +224,16 @@ def streaming_topn_to_changelog(
         enc = []
         for r in rows:
             d = dict(r)
-            for c in ts_cols:
-                if d[c] is not None and not pd.isna(d[c]):
-                    d[c] = pd.Timestamp(d[c]).isoformat()
+            for c in ts_cols + date_cols:
+                v = d[c]
+                d[c] = None if v is None or pd.isna(v) else pd.Timestamp(v).isoformat()
             enc.append(d)
         return json.dumps(enc)
 
     def _decode(blob: str) -> list[dict[str, Any]]:
         rows = json.loads(blob)
         for r in rows:
-            for c in ts_cols:
+            for c in ts_cols + date_cols:
                 if r[c] is not None:
                     r[c] = pd.Timestamp(r[c])
         return rows
@@ -252,7 +278,34 @@ def streaming_topn_to_changelog(
             df[c] = key[i]
         for c in ts_cols:
             df[c] = pd.to_datetime(df[c])
+        for c in date_cols:
+            df[c] = [
+                None if pd.isna(x) else pd.Timestamp(x).date() for x in df[c]
+            ]
         yield df[out_cols]
+
+    # Stateless per-Arrow-batch pre-shrink BEFORE the shuffle: on an
+    # append-only stream, a row outside its batch's local (per-key)
+    # top-N can never enter the maintained top-N, so the state task
+    # receives at most n rows per key per input partition — the global
+    # (single-group) leaderboard stays safe under a million-row
+    # catch-up micro-batch instead of concentrating it on one task.
+    shrink_cols = list(dict.fromkeys(group_cols + payload_columns))
+
+    def _local_topn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            s = pdf.sort_values(sort_cols, ascending=sort_asc, kind="stable")
+            yield (
+                s.groupby(group_cols, sort=False).head(n)
+                if group_cols
+                else s.head(n)
+            )
+
+    shrink_schema = ", ".join(_ddl(c) for c in shrink_cols)
+    stream = stream.select(*shrink_cols).mapInPandas(_local_topn, shrink_schema)
 
     # a GLOBAL leaderboard still needs a grouping key for the state
     # store — materialize a constant column (grouping by a bare lit()

@@ -103,7 +103,8 @@ def test_streaming_topn_equals_batch_stateful(spark, tmp_path):
         "match_time", "match_id", "player_id", "score"
     )
     changelog = streaming_topn_to_changelog(
-        stream, order_column="score", n=2, payload_columns=PAYLOAD
+        stream, order_column="score", n=2, payload_columns=PAYLOAD,
+        tie_breakers=["match_id", "player_id"],
     )
     q = (
         changelog.writeStream.format("memory")
@@ -149,7 +150,8 @@ def test_streaming_topn_sink_roundtrip(spark, tmp_path):
         "match_time", "match_id", "player_id", "score"
     )
     changelog = streaming_topn_to_changelog(
-        stream, order_column="score", n=2, payload_columns=PAYLOAD
+        stream, order_column="score", n=2, payload_columns=PAYLOAD,
+        tie_breakers=["match_id", "player_id"],
     ).withColumn("event_time", F.col("match_time"))
     sink = Dataset.create(ws, "board-stream", system_time=d(1).isoformat())
     q = stream_ingest(
@@ -216,3 +218,98 @@ def test_streaming_topn_partitioned(spark, tmp_path):
         (1, int(Op.APPEND), 1, "alice"),
         (2, int(Op.APPEND), 1, "dan"),
     }
+
+
+def test_streaming_topn_tie_break_matches_batch(spark, tmp_path):
+    """Round-8 review #5: equal scores must rank by the SAME tie order
+    as the batch query's ORDER BY tail (match_id, player_id) — the
+    default (payload order, player_id first) diverged on ties."""
+    d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+    ws = str(tmp_path)
+    scores = Dataset.create(ws, "scores-t", system_time=d(1).isoformat())
+    w = DataWriter(scores, MergeStrategyLedger(["match_id", "player_id"]))
+    # tie on score: match_id order must win over player_id order
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(d(1), 1, "zed", 100), (d(1), 2, "amy", 100)], SCHEMA
+        ),
+        system_time=d(2),
+    )
+    stream = read_dataset_stream(spark, scores).select(
+        "match_time", "match_id", "player_id", "score"
+    )
+    out = streaming_topn_to_changelog(
+        stream,
+        order_column="score",
+        n=2,
+        payload_columns=PAYLOAD,
+        tie_breakers=["match_id", "player_id"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_tie")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (int(r["place"]), r["player_id"])
+        for r in spark.sql("select * from topn_tie").collect()
+    }
+    assert got == {(1, "zed"), (2, "amy")}  # match_id 1 beats match_id 2
+
+
+def test_streaming_topn_null_timestamp_survives(spark, tmp_path):
+    """Round-8 review #1: a null timestamp payload (NaT) entering the
+    top-N must encode as JSON null, not kill the query."""
+    d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+    ws = str(tmp_path)
+    scores = Dataset.create(ws, "scores-n", system_time=d(1).isoformat())
+    w = DataWriter(scores, MergeStrategyLedger(["match_id", "player_id"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [(None, 1, "alice", 100), (d(1), 1, "bob", 80)],
+            "match_time timestamp, match_id long, player_id string, score long",
+        ),
+        system_time=d(2),
+    )
+    # second slice forces a state decode of the null-timestamp row
+    w.write(
+        spark,
+        spark.createDataFrame([(d(3), 2, "carol", 90)], SCHEMA),
+        system_time=d(4),
+    )
+    stream = read_dataset_stream(spark, scores, max_files_per_trigger=1).select(
+        "match_time", "match_id", "player_id", "score"
+    )
+    out = streaming_topn_to_changelog(
+        stream,
+        order_column="score",
+        n=2,
+        payload_columns=PAYLOAD,
+        tie_breakers=["match_id", "player_id"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_null")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from topn_null").collect()
+    alice = [r for r in rows if r["player_id"] == "alice"]
+    assert alice and all(r["match_time"] is None for r in alice)
+    # final state: alice 100, carol 90 (bob displaced)
+    by_place = {}
+    for r in rows:
+        if int(r["op"]) in (0, 3):
+            by_place[int(r["place"])] = r["player_id"]
+        elif int(r["op"]) == 1 and by_place.get(int(r["place"])) == r["player_id"]:
+            del by_place[int(r["place"])]
+    assert by_place == {1: "alice", 2: "carol"}
