@@ -118,3 +118,30 @@ def test_topn_local_preshrink_in_plan(spark, tmp_path):
     assert plan.index("MapInPandas _local_topn") > plan.index(
         "FlatMapGroupsInPandasWithState"
     )
+
+
+def test_hier3_cell_sizes_cross_engine_parity():
+    """The oracle derives (k1,k2,k3) with DuckDB float sqrt/ceil; the
+    operator uses exact isqrt. Sweep n across decades and perfect
+    squares (the float-boundary risk) and assert both agree — this is
+    the cheap proof that the depth-3 oracle stays aligned at corpus
+    sizes we can't afford to run through DuckDB end-to-end."""
+    import duckdb
+
+    from kamu_cli_spark.operators.similarity import hier3_cell_sizes
+
+    con = duckdb.connect()
+    ns = [1, 2, 15, 16, 17, 255, 256, 257, 2000, 19999, 20000, 200000]
+    ns += [10**d for d in range(2, 9)]
+    ns += [k * k for k in (100, 1000, 1414, 1415, 4096)]
+    ns += [k * k + 1 for k in (100, 1000, 1414)]
+    for n in ns:
+        row = con.execute(
+            f"""
+            SELECT k1, k2, CAST(ceil(s::DOUBLE / k1) AS INT) AS k3 FROM (
+              SELECT s, greatest(4, CAST(ceil(sqrt(s)) AS INT)) AS k1,
+                     greatest(4, CAST(ceil(sqrt(s)) AS INT)) AS k2 FROM (
+                SELECT greatest(16, CAST(ceil(sqrt({n}::DOUBLE)) AS INT)) AS s))
+            """
+        ).fetchone()
+        assert tuple(row) == hier3_cell_sizes(n), (n, row, hier3_cell_sizes(n))
