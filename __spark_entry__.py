@@ -2912,6 +2912,51 @@ def q_documents_token_curriculum(spark: SparkSession, sf: str) -> DataFrame:
     return length_curriculum(load_table(spark, sf, "documents"))
 
 
+def q_documents_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (operators/text.py:chunk_documents) — the
+    RAG/training prep step: 32-token windows, 8-token overlap, md5
+    chunk fingerprints for downstream exact dedup. Pure JVM built-ins
+    (split/sequence/explode/slice), no shuffle, no UDF."""
+    from kamu_cli_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8
+    )
+
+
+# Mirrors chunk_documents: step = 32-8 = 24; n_chunks = 0 if n=0, 1 if
+# n<=8, else 1+floor((n-9)/24); window i = tokens[(24i+1) .. (24i+32)]
+# (1-based inclusive list_slice). generate_series cap 255 covers docs
+# up to ~6k tokens at the oracle SFs.
+O_DOCUMENTS_CHUNK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 8 THEN 1
+              ELSE 1 + CAST(floor((n - 9) / 24.0) AS INT) END AS n_chunks
+  FROM n
+),
+e AS (
+  SELECT c.doc_id, g.i AS chunk_id, c.n_chunks,
+         list_slice(c.toks, g.i * 24 + 1, g.i * 24 + 32) AS win,
+         least(32, c.n - g.i * 24) AS n_chunk_tokens
+  FROM c, generate_series(0, 255) g(i)
+  WHERE g.i < c.n_chunks
+)
+SELECT doc_id, chunk_id, n_chunks,
+       array_to_string(win, ' ') AS chunk_text,
+       n_chunk_tokens,
+       md5(array_to_string(win, ' ')) AS chunk_fingerprint
+FROM e
+"""
+
+
 O_TOKEN_CURRICULUM = r"""
 WITH t AS (
   SELECT doc_id,
@@ -3065,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii_scrub": q_documents_pii_scrub,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
+        "documents_chunk": q_documents_chunk,
         "documents_image_decode": q_documents_image_decode,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
@@ -3164,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_pii_scrub": O_PII_SCRUB,
         "documents_domain_mix": _o_domain_mix(),
         "documents_token_curriculum": O_TOKEN_CURRICULUM,
+        "documents_chunk": O_DOCUMENTS_CHUNK,
         "documents_image_decode": O_IMAGE_DECODE,
         "embeddings_centroid_stats": O_CENTROID_STATS,
         "documents_global_shuffle": O_GLOBAL_SHUFFLE,

@@ -63,6 +63,8 @@ EXTRA = [
     "embeddings_cross_neardup",
     "documents_global_shuffle",
     "documents_image_decode",
+    "embeddings_ivf_ann3",
+    "documents_chunk",
 ]
 
 

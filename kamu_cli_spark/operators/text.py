@@ -186,6 +186,69 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Token-window chunking — the standard training/RAG prep step
+    that splits each document into overlapping windows of
+    `chunk_tokens` whitespace tokens with `overlap_tokens` carried
+    between consecutive chunks.
+
+    Chunk starts advance by ``step = chunk_tokens - overlap_tokens``;
+    a chunk is emitted while its start is 0 or still uncovers new
+    tokens (``start + overlap < n``), so every token lands in ≥1 chunk
+    and no trailing chunk is a pure subset of its predecessor. Output:
+    (doc_id, chunk_id, n_chunks, chunk_text, n_chunk_tokens,
+    chunk_fingerprint) — the fingerprint is md5 of the joined window,
+    ready for the exact-dedup family.
+
+    Scale shape: one narrow pass — split, `sequence` + `explode`,
+    `slice` + `array_join`, all JVM built-ins under whole-stage
+    codegen; no shuffle, no UDF. Chunks-per-doc is data-proportional,
+    so the explode multiplies rows by ~n/step with no skew beyond the
+    documents' own length skew."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(doc_id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).withColumn(
+        "__n_chunks",
+        F.when(F.col("__n") <= F.lit(0), F.lit(0))
+        .when(F.col("__n") <= overlap_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.floor(
+                (F.col("__n") - F.lit(overlap_tokens) - 1) / F.lit(step)
+            ).cast("int")
+        ),
+    )
+    exploded = staged.filter(F.col("__n_chunks") > 0).select(
+        doc_id_col,
+        "__toks",
+        "__n",
+        "__n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * step
+    window = F.slice(F.col("__toks"), start + 1, chunk_tokens)
+    return exploded.select(
+        doc_id_col,
+        "chunk_id",
+        F.col("__n_chunks").alias("n_chunks"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).alias("n_chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_fingerprint"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

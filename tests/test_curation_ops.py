@@ -186,3 +186,55 @@ class TestGlobalShuffle:
         c = sorted(rows(global_shuffle_manifest(df, "doc_id", salt="other")))
         assert a == b
         assert a != c
+
+
+class TestChunkDocuments:
+    def test_windows_cover_all_tokens_no_subset_tail(self, spark):
+        from kamu_cli_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(70))),  # 3 chunks
+             (2, "a b c"),                                # 1 chunk (n<=overlap? no: n=3<=8 -> 1)
+             (3, ""),                                     # 0 chunks
+             (4, "   "),                                  # 0 chunks (whitespace only)
+             (5, " ".join(f"x{i}" for i in range(32)))],  # exactly one window
+            ["doc_id", "text"],
+        )
+        out = chunk_documents(df, chunk_tokens=32, overlap_tokens=8)
+        rows = {r["doc_id"]: [] for r in out.collect()}
+        for r in out.collect():
+            rows[r["doc_id"]].append(r)
+        # doc 1: n=70, step=24 -> chunks at 0,24,48 (48+8 < 70); covered
+        c1 = sorted(rows[1], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+        assert all(r["n_chunks"] == 3 for r in c1)
+        assert c1[0]["chunk_text"].split()[0] == "t0"
+        assert c1[2]["chunk_text"].split()[-1] == "t69"  # tail token covered
+        assert c1[2]["n_chunk_tokens"] == 70 - 48
+        assert 3 not in rows and 4 not in rows
+        assert len(rows[2]) == 1 and rows[2][0]["n_chunk_tokens"] == 3
+        assert len(rows[5]) == 1 and rows[5][0]["n_chunk_tokens"] == 32
+        # fingerprints are md5 of the joined window
+        import hashlib
+
+        r0 = c1[0]
+        assert r0["chunk_fingerprint"] == hashlib.md5(
+            r0["chunk_text"].encode()
+        ).hexdigest()
+
+    def test_overlap_validation(self, spark):
+        import pytest
+
+        from kamu_cli_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+
+    def test_no_shuffle_no_python(self, spark):
+        from kamu_cli_spark.operators.text import chunk_documents
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
