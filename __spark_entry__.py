@@ -2289,8 +2289,9 @@ def q_embeddings_ivf_ann3(spark: SparkSession, sf: str) -> DataFrame:
 # Mirrors hier3_cell_sizes + _formula_dirs: s = max(16, ceil(sqrt n)),
 # q = max(4, ceil(sqrt s)), k1 = k2 = q, k3 = ceil(s/q); direction
 # element formula as O_IVF_ANN with tags 'iv3c', 'iv3f<c>.',
-# 'iv3g<c>.<j>.'. Caps of 32 per level cover n up to ~1M rows at the
-# oracle SFs (the operator itself has no cap).
+# 'iv3g<c>.<j>.'. Caps of 64 per level (generate_series 0..63) cover
+# n up to ~16.7M rows — above every /tmp decade set (the operator
+# itself has no cap).
 O_IVF_ANN3 = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 p AS (

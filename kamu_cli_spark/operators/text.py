@@ -211,6 +211,10 @@ def chunk_documents(
     codegen; no shuffle, no UDF. Chunks-per-doc is data-proportional,
     so the explode multiplies rows by ~n/step with no skew beyond the
     documents' own length skew."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if overlap_tokens < 0:
+        raise ValueError("overlap_tokens must be non-negative")
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be smaller than chunk_tokens")
     step = chunk_tokens - overlap_tokens

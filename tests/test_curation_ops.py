@@ -201,8 +201,9 @@ class TestChunkDocuments:
             ["doc_id", "text"],
         )
         out = chunk_documents(df, chunk_tokens=32, overlap_tokens=8)
-        rows = {r["doc_id"]: [] for r in out.collect()}
-        for r in out.collect():
+        collected = out.collect()
+        rows = {r["doc_id"]: [] for r in collected}
+        for r in collected:
             rows[r["doc_id"]].append(r)
         # doc 1: n=70, step=24 -> chunks at 0,24,48 (48+8 < 70); covered
         c1 = sorted(rows[1], key=lambda r: r["chunk_id"])
@@ -230,6 +231,10 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=8, overlap_tokens=-1)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0, overlap_tokens=0)
 
     def test_no_shuffle_no_python(self, spark):
         from kamu_cli_spark.operators.text import chunk_documents
