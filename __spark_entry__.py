@@ -19,6 +19,7 @@ from kamu_cli_spark.operators.asof import asof_join
 from kamu_cli_spark.operators.dedup import (
     connected_components,
     dedup_against,
+    dedup_against_bloom,
     dedup_exact,
     lsh_candidate_pairs,
     lsh_cross_candidates,
@@ -1290,6 +1291,22 @@ WHERE c.doc_id % 10 != 0
     SELECT 1 FROM fp r WHERE r.doc_id % 10 = 0 AND r.f = c.f
   )
 """
+
+
+def q_documents_cross_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-accelerated cross-corpus dedup
+    (dedup.py:dedup_against_bloom): same split and same survivors as
+    documents_cross_dedup — the oracle equality IS the proof that the
+    broadcast-bitmap prefilter has no false negatives and that bloom
+    false positives are re-verified by the exact anti-join. At scale
+    only the bloom-positive slice of the crawl shuffles; the bitmap
+    (n_bits/62 int64 words) broadcasts."""
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    reference = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup_against_bloom(corpus, reference).select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 def q_documents_cross_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -3139,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_vocabulary": q_documents_vocabulary,
         "documents_vocab_coverage": q_documents_vocab_coverage,
         "documents_tfidf_topk": q_documents_tfidf_topk,
+        "documents_cross_bloom": q_documents_cross_bloom,
     }
 
 
@@ -3224,4 +3242,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_simhash": _o_simhash(),
         "documents_token_counts": O_TOKEN_COUNTS,
         "embeddings_near_dup": O_EMBED_NEAR_DUP,
+        # same oracle as documents_cross_dedup on purpose: the bloom
+        # variant must return the IDENTICAL survivor set (no false
+        # negatives; false positives re-verified by the anti-join)
+        "documents_cross_bloom": O_CROSS_DEDUP,
     }

@@ -64,6 +64,130 @@ def dedup_against(
     return c.join(r, "__fp", "left_anti").drop("__fp")
 
 
+# --- distributed Bloom filter (broadcast bitmap) ------------------------
+#
+# Scale path for the cross-corpus anti-join: at 100 TB the reference
+# fingerprint set is billions of 16-byte keys, and dedup_against's
+# anti-join shuffles the full crawl on the fingerprint. A Bloom filter
+# over the reference collapses that set into an m-bit bitmap that
+# BROADCASTS; testing the crawl is then map-side only, and the exact
+# anti-join runs only on the (small) bloom-positive slice. Bits pack
+# 62 per int64 word — bit index ≤ 61 keeps `1L << bit` positive in
+# every engine (DuckDB raises on `1::BIGINT << 63`, and an arithmetic
+# sign bit would poison cross-engine parity), at a 3% space cost.
+
+_BLOOM_WORD_BITS = 62
+
+
+def _check_bloom_params(n_bits: int, n_hashes: int) -> None:
+    if n_bits < 1:
+        raise ValueError("n_bits must be positive")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be positive")
+
+
+def _bloom_pos(fp: Column, i: int, n_bits: int) -> Column:
+    """Bit position i for a fingerprint: first 60 bits of
+    md5(fp || ':' || i) mod n_bits — engine-portable (the DuckDB twin
+    is ``('0x' || substr(md5(f || ':i'), 1, 15))::BIGINT % n_bits``),
+    computed JVM-side."""
+    h = F.substring(F.md5(F.concat(fp, F.lit(f":{i}"))), 1, 15)
+    return F.conv(h, 16, 10).cast("bigint") % n_bits
+
+
+def bloom_bit_words(
+    reference: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Bloom bitmap over reference fingerprints as (word_idx, word)
+    int64 rows — at most ``ceil(n_bits / 62)`` rows regardless of
+    reference size, built with ONE map-side-combined bit_or shuffle.
+    Size n_bits ≈ 10–16 bits per reference doc for a ~1% false-positive
+    rate; 2^33 bits (1 GiB of words) covers ~700M reference docs and
+    still broadcasts."""
+    _check_bloom_params(n_bits, n_hashes)
+    fp = fingerprint(F.col(text_col))
+    pos = reference.select(
+        F.explode(
+            F.array(*[_bloom_pos(fp, i, n_bits) for i in range(n_hashes)])
+        ).alias("pos")
+    )
+    return pos.groupBy(
+        (F.col("pos") / _BLOOM_WORD_BITS).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, int(pos % {_BLOOM_WORD_BITS}))")
+        ).alias("word")
+    )
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Corpus rows + ``__fp`` (fingerprint) + ``bloom_hit`` boolean:
+    true iff every one of the k bloom bits for the fingerprint is set
+    in `words` (from :func:`bloom_bit_words` with the SAME n_bits /
+    n_hashes). ``bloom_hit = false`` is definitive absence (a Bloom
+    filter has no false negatives); true means "verify exactly".
+
+    Plan shape: k broadcast hash joins on the word index — the corpus
+    never shuffles, never explodes, and only int64 columns move. The
+    words side is ≤ n_bits/62 rows by construction, so the broadcast
+    hint is always safe."""
+    _check_bloom_params(n_bits, n_hashes)
+    out = corpus.withColumn("__fp", fingerprint(F.col(text_col)))
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        out = out.withColumn(f"__bp{i}", _bloom_pos(F.col("__fp"), i, n_bits))
+        w = words.select(
+            F.col("word_idx").alias(f"__bwi{i}"), F.col("word").alias(f"__bw{i}")
+        )
+        out = out.join(
+            F.broadcast(w),
+            (F.col(f"__bp{i}") / _BLOOM_WORD_BITS).cast("bigint")
+            == F.col(f"__bwi{i}"),
+            "left",
+        )
+        hit = hit & F.coalesce(
+            F.col(f"__bw{i}").bitwiseAND(
+                F.expr(f"shiftleft(1L, int(__bp{i} % {_BLOOM_WORD_BITS}))")
+            )
+            != 0,
+            F.lit(False),
+        )
+    drop = [c for i in range(n_hashes) for c in (f"__bp{i}", f"__bwi{i}", f"__bw{i}")]
+    return out.withColumn("bloom_hit", hit).drop(*drop)
+
+
+def dedup_against_bloom(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Bloom-accelerated :func:`dedup_against` — IDENTICAL survivors
+    (no false negatives, and bloom false-positives are re-checked by
+    the exact anti-join), but only the bloom-positive slice of the
+    crawl ever shuffles. Definite-new rows leave via a map-side-only
+    branch; the parquet source is scanned once per branch (pruned +
+    pushed-down both times), the price of keeping the clean slice out
+    of the exchange entirely."""
+    words = bloom_bit_words(reference, text_col, n_bits, n_hashes)
+    flagged = bloom_membership(corpus, words, text_col, n_bits, n_hashes)
+    definite_new = flagged.filter(~F.col("bloom_hit")).drop("__fp", "bloom_hit")
+    maybe = flagged.filter(F.col("bloom_hit"))
+    r = reference.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    verified_new = maybe.join(r, "__fp", "left_anti").drop("__fp", "bloom_hit")
+    return definite_new.unionByName(verified_new)
+
+
 def lsh_cross_candidates(
     sig_corpus: DataFrame,
     sig_reference: DataFrame,

@@ -1,0 +1,120 @@
+"""Distributed Bloom-filter cross-corpus dedup (dedup.py).
+
+The reference's corpus-refresh workflow dedupes a new crawl against
+the existing training set; at 100 TB the anti-join's shuffle of the
+full crawl is the bottleneck, and the standard fix is a broadcast
+Bloom filter over the reference keys. These tests pin the three
+properties the design rests on: no false negatives (ever), exact
+survivor equality with the plain anti-join (even under forced false
+positives), and a shuffle-free membership plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.dedup import (
+    _BLOOM_WORD_BITS,
+    bloom_bit_words,
+    bloom_membership,
+    dedup_against,
+    dedup_against_bloom,
+)
+
+
+def _corpora(spark):
+    """A crawl with genuine overlaps against a reference corpus:
+    3 exact dups (one differing only in case/whitespace — the
+    fingerprint normalizes both), 3 fresh docs."""
+    reference = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["alpha beta gamma", "delta epsilon", "zeta eta theta",
+             "iota kappa", "lambda mu nu"]
+        )],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma"),       # exact dup
+            (101, "  Delta   EPSILON "),     # dup after normalization
+            (102, "zeta eta theta"),         # exact dup
+            (103, "fresh one"),
+            (104, "fresh two"),
+            (105, "fresh three"),
+        ],
+        ["doc_id", "text"],
+    )
+    return corpus, reference
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+class TestBloomDedup:
+    def test_survivors_equal_plain_anti_join(self, spark):
+        corpus, reference = _corpora(spark)
+        plain = _ids(dedup_against(corpus, reference))
+        bloom = _ids(dedup_against_bloom(corpus, reference))
+        assert plain == bloom == [103, 104, 105]
+
+    def test_no_false_negatives_even_with_tiny_filter(self, spark):
+        # n_bits=64 forces heavy bit collisions (many false positives);
+        # survivors must STILL equal the plain anti-join because every
+        # bloom-positive row is re-verified exactly.
+        corpus, reference = _corpora(spark)
+        plain = _ids(dedup_against(corpus, reference))
+        bloom = _ids(dedup_against_bloom(corpus, reference, n_bits=64))
+        assert plain == bloom
+
+    def test_members_always_hit(self, spark):
+        # Bloom property: a member of the indexed set NEVER misses.
+        _, reference = _corpora(spark)
+        for n_bits in (64, 1 << 10, 1 << 20):
+            words = bloom_bit_words(reference, n_bits=n_bits)
+            m = bloom_membership(reference, words, n_bits=n_bits)
+            assert m.filter(~F.col("bloom_hit")).count() == 0
+
+    def test_mismatched_params_would_miss(self, spark):
+        # Guard against the classic deployment bug: filter built with
+        # one (n_bits, n_hashes), probed with another. With a different
+        # n_bits the positions diverge and members start missing —
+        # which is why dedup_against_bloom threads ONE set of params.
+        _, reference = _corpora(spark)
+        words = bloom_bit_words(reference, n_bits=1 << 20)
+        m = bloom_membership(reference, words, n_bits=1 << 10)
+        assert m.filter(~F.col("bloom_hit")).count() > 0
+
+    def test_word_table_bounded_by_n_bits(self, spark):
+        _, reference = _corpora(spark)
+        n_bits = 256
+        words = bloom_bit_words(reference, n_bits=n_bits).collect()
+        assert len(words) <= math.ceil(n_bits / _BLOOM_WORD_BITS)
+        assert all(0 <= r.word_idx < math.ceil(n_bits / _BLOOM_WORD_BITS)
+                   for r in words)
+
+    def test_membership_plan_is_shuffle_free(self, spark):
+        # The whole point at 100 TB: testing the crawl must not move it.
+        # Feed PRE-MATERIALIZED words (no build lineage) so any Exchange
+        # in the plan could only come from the probe side.
+        corpus, reference = _corpora(spark)
+        words = spark.createDataFrame(
+            bloom_bit_words(reference).collect(), "word_idx bigint, word bigint"
+        )
+        plan = (
+            bloom_membership(corpus, words)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_param_validation(self, spark):
+        corpus, reference = _corpora(spark)
+        with pytest.raises(ValueError):
+            bloom_bit_words(reference, n_bits=0)
+        with pytest.raises(ValueError):
+            bloom_membership(corpus, bloom_bit_words(reference), n_hashes=0)
