@@ -3034,6 +3034,60 @@ FROM norms n JOIN cent c USING (label)
 """
 
 
+def q_embeddings_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/clustering.py:kmeans_assign): k=8 seeds from the
+    smallest vec_ids, 2 exact-integer-arithmetic updates (e6
+    micro-units, no float drift), final assignment (vec_id, cluster,
+    dist_e12). The IVF-training / SemDeDup-clustering primitive; the
+    DuckDB oracle replays the identical iterations as chained CTEs."""
+    from kamu_cli_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf, "embeddings"), k=8, n_updates=2
+    )
+
+
+def _o_kmeans(k: int = 8, n_updates: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_assign: same e6 quantization, exact
+    integer distances, floor(s/c + .5) centroid updates, (dist, cid)
+    tie-break; a0..aN / c1..cN chained CTEs."""
+    rng = f"range(1, {dim + 1})"
+    def assign(src: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, qe, cid,
+         list_sum(list_transform({rng},
+                  i -> (qe[i] - cv[i]) * (qe[i] - cv[i]))) AS dist
+  FROM {src} CROSS JOIN {cents}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1"""
+    def update(src: str) -> str:
+        return f"""
+  SELECT cid, list(v ORDER BY pos) AS cv FROM (
+    SELECT cid, i - 1 AS pos,
+           CAST(floor(sum(qe[i]) * 1.0 / count(*) + 0.5) AS BIGINT) AS v
+    FROM {src}, UNNEST({rng}) AS t(i)
+    GROUP BY cid, i
+  ) GROUP BY cid"""
+    parts = [f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS cv
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k})
+),
+a0 AS ({assign("q", "seeds")}
+)"""]
+    for it in range(1, n_updates + 1):
+        parts.append(f", c{it} AS ({update(f'a{it - 1}')}\n)")
+        parts.append(f", a{it} AS ({assign('q', f'c{it}')}\n)")
+    parts.append(
+        f"\nSELECT vec_id, cid AS cluster, dist AS dist_e12 FROM a{n_updates}"
+    )
+    return "".join(parts)
+
+
 def q_documents_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic corpus shuffle + sharding manifest (terasort
     shape, engine-reproducible; operators/sampling.py)."""
@@ -3157,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_vocab_coverage": q_documents_vocab_coverage,
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
+        "embeddings_kmeans": q_embeddings_kmeans,
     }
 
 
@@ -3246,4 +3301,5 @@ def oracle_sql() -> dict[str, str]:
         # variant must return the IDENTICAL survivor set (no false
         # negatives; false positives re-verified by the anti-join)
         "documents_cross_bloom": O_CROSS_DEDUP,
+        "embeddings_kmeans": _o_kmeans(),
     }

@@ -1,0 +1,81 @@
+"""kmeans_assign (operators/clustering.py): Lloyd's over quantized
+int64 embeddings — planted-cluster recovery, monotone improvement,
+determinism, empty-cluster rule, and the map-only assignment plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.clustering import kmeans_assign, _round_half_up
+
+
+def _planted(spark, per=20, d=8):
+    """Three well-separated blobs around (0..), (10..), (-10..) with a
+    deterministic small per-point offset."""
+    rows = []
+    for b, base in enumerate([0.0, 10.0, -10.0]):
+        for i in range(per):
+            vid = b * per + i
+            vec = [base + ((vid * 7 + j * 3) % 5) * 0.01 for j in range(d)]
+            rows.append((vid, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+class TestKMeans:
+    def test_recovers_planted_clusters(self, spark):
+        df = _planted(spark)
+        out = kmeans_assign(df, k=3, n_updates=2).collect()
+        by_blob = {}
+        for r in out:
+            by_blob.setdefault(r.vec_id // 20, set()).add(r.cluster)
+        # each blob maps to exactly one cluster, and blobs don't merge
+        assert all(len(s) == 1 for s in by_blob.values())
+        assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+    def test_updates_never_worsen_total_distance(self, spark):
+        df = _planted(spark)
+        totals = [
+            kmeans_assign(df, k=3, n_updates=n)
+            .agg(F.sum("dist_e12").alias("t"))
+            .collect()[0]["t"]
+            for n in (0, 1, 2)
+        ]
+        # Lloyd monotonicity (exact arithmetic, so no float wobble;
+        # centroid rounding is ±0.5e-6 per dim — far below blob spacing)
+        assert totals[0] >= totals[1] >= totals[2]
+
+    def test_deterministic(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(map(tuple, kmeans_assign(df, k=4).collect()))
+        b = sorted(map(tuple, kmeans_assign(df, k=4).collect()))
+        assert a == b
+
+    def test_k_exceeding_rows_keeps_all_points_assigned(self, spark):
+        df = _planted(spark, per=2)  # 6 points, k=8 seeds capped at 6
+        out = kmeans_assign(df, k=8, n_updates=1)
+        assert out.count() == 6
+        assert out.filter(F.col("cluster").isNull()).count() == 0
+
+    def test_param_validation(self, spark):
+        df = _planted(spark, per=2)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, n_updates=-1)
+
+    def test_round_half_up_matches_oracle_formula(self):
+        import math
+
+        for s in range(-50, 51):
+            for c in (1, 2, 3, 7):
+                assert _round_half_up(s, c) == math.floor(s / c + 0.5)
+
+    def test_assignment_is_map_only(self, spark):
+        # After fitting, the final assignment must add no Exchange on
+        # the data side: distances are literal expressions, argmin is
+        # per-row — the 100 TB path scans and scores in one stage.
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = kmeans_assign(df, k=4, n_updates=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
