@@ -3048,10 +3048,14 @@ def q_embeddings_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _o_kmeans(k: int = 8, n_updates: int = 2, dim: int = 64) -> str:
+def _o_kmeans(
+    k: int = 8, n_updates: int = 2, dim: int = 64, tail: str | None = None
+) -> str:
     """DuckDB twin of kmeans_assign: same e6 quantization, exact
     integer distances, floor(s/c + .5) centroid updates, (dist, cid)
-    tie-break; a0..aN / c1..cN chained CTEs."""
+    tie-break; a0..aN / c1..cN chained CTEs. `tail` replaces the final
+    SELECT for oracles composing on the assignment ({last} = the last
+    assignment CTE's name)."""
     rng = f"range(1, {dim + 1})"
     def assign(src: str, cents: str) -> str:
         return f"""
@@ -3084,8 +3088,42 @@ a0 AS ({assign("q", "seeds")}
         parts.append(f", a{it} AS ({assign('q', f'c{it}')}\n)")
     parts.append(
         f"\nSELECT vec_id, cid AS cluster, dist AS dist_e12 FROM a{n_updates}"
+        if tail is None
+        else tail.format(last=f"a{n_updates}")
     )
     return "".join(parts)
+
+
+def q_embeddings_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (clustering.py:semantic_dedup, after Abbas et al.
+    2023): k-means the corpus, drop rows near-duplicating a lower-id
+    member of the same cluster (cosine >= 0.35, rounded-6 parity).
+    Pairwise cosine is within-cluster only — O(sum n_c^2), never
+    O(n^2)."""
+    from kamu_cli_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf, "embeddings"), k=8, n_updates=2, threshold=0.35
+    )
+
+
+def _o_semantic_dedup(threshold: float = 0.35) -> str:
+    cos = (
+        "round(list_inner_product(a.ve, b.ve)"
+        " / (sqrt(list_inner_product(a.ve, a.ve))"
+        " * sqrt(list_inner_product(b.ve, b.ve))), 6)"
+    )
+    return _o_kmeans(tail=f""", vv AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings
+), asg AS (
+  SELECT k.vec_id, k.cid, vv.ve FROM {{last}} k JOIN vv USING (vec_id)
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT g.vec_id, g.cid AS cluster, (d.vec_id IS NULL) AS kept
+FROM asg g LEFT JOIN drops d ON g.vec_id = d.vec_id""")
 
 
 def q_documents_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
@@ -3212,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "embeddings_semantic_dedup": q_embeddings_semantic_dedup,
     }
 
 
@@ -3302,4 +3341,5 @@ def oracle_sql() -> dict[str, str]:
         # negatives; false positives re-verified by the anti-join)
         "documents_cross_bloom": O_CROSS_DEDUP,
         "embeddings_kmeans": _o_kmeans(),
+        "embeddings_semantic_dedup": _o_semantic_dedup(),
     }

@@ -119,3 +119,70 @@ def _round_half_up(s: int, c: int) -> int:
     floor(s*1.0/c + 0.5) while staying exact beyond 2^53)."""
     # floor(s/c + 1/2) = floor((2s + c) / (2c)) for c > 0
     return (2 * s + c) // (2 * c)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_updates: int = 2,
+    threshold: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding corpus, then drop every row whose cosine similarity
+    to a LOWER-id member of the SAME cluster clears `threshold`.
+    Returns (id, cluster, kept).
+
+    Scale design: pairwise cosine runs within clusters only —
+    O(Σ n_c²), never O(n²) — so `k` is the knob that bounds cluster
+    size (size k ≈ n / target_cluster_size; the paper uses n/100-ish).
+    The within-cluster self-join shuffles on the cluster id, so small
+    k at huge n concentrates partitions — grow k with the corpus.
+    Cosine is rounded to `round_digits` before the threshold compare,
+    the same engine-parity idiom as embedding_near_dup_pairs."""
+    from kamu_cli_spark.operators.similarity import norm, pair_dot
+
+    assign = kmeans_assign(df, vec_col, id_col, k, n_updates).select(
+        id_col, "cluster"
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__ve"),
+        norm(F.col(vec_col)).alias("__nrm"),
+    ).join(assign, id_col)
+    a = v.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cluster").alias("__cla"),
+        F.col("__ve").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cluster").alias("__clb"),
+        F.col("__ve").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    drops = (
+        a.join(b, (F.col("__cla") == F.col("__clb")) & (F.col("__ida") < F.col("__idb")))
+        .filter(
+            F.round(
+                pair_dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    dropped = drops.withColumn("__dropped", F.lit(True))
+    return (
+        v.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

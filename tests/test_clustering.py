@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kamu_cli_spark.operators.clustering import kmeans_assign, _round_half_up
+from kamu_cli_spark.operators.clustering import (
+    _round_half_up,
+    kmeans_assign,
+    semantic_dedup,
+)
 
 
 def _planted(spark, per=20, d=8):
@@ -70,6 +74,27 @@ class TestKMeans:
         for s in range(-50, 51):
             for c in (1, 2, 3, 7):
                 assert _round_half_up(s, c) == math.floor(s / c + 0.5)
+
+    def test_semantic_dedup_keeps_min_id_of_duplicates(self, spark):
+        # One-hot basis vectors: pairwise cosine exactly 0 between
+        # distinct rows, exactly 1 for the appended copies. Duplicates
+        # always share a cluster; only the lowest id survives.
+        base = spark.createDataFrame(
+            [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(6)],
+            "vec_id bigint, embedding array<double>",
+        )
+        dups = base.filter(F.col("vec_id").isin(0, 3)).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        out = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                base.unionByName(dups), k=2, threshold=0.5
+            ).collect()
+        }
+        assert out[0] and out[3]
+        assert not out[1000] and not out[1003]
+        assert all(out[i] for i in range(6))  # orthogonal rows all survive
 
     def test_assignment_is_map_only(self, spark):
         # After fitting, the final assignment must add no Exchange on
