@@ -65,6 +65,9 @@ EXTRA = [
     "documents_image_decode",
     "embeddings_ivf_ann3",
     "documents_chunk",
+    "documents_cross_bloom",
+    "embeddings_kmeans",
+    "embeddings_semantic_dedup",
 ]
 
 

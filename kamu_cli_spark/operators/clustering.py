@@ -57,16 +57,66 @@ def _sq_dist_e12(qe_col: str, centroid: list[int]) -> "F.Column":
     )
 
 
+#: Above this many k*dim literals the JVM expression tree stops being
+#: a win: task binaries grow to MBs and codegen chokes (measured: k=64,
+#: dim=64 -> 4.9 MiB binaries and a 5x slowdown at sf1). Larger
+#: centroid sets score in an Arrow pass with the same exact int64 math.
+MAX_LITERAL_CELLS = 1024
+
+
 def _assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Add (cluster, dist_e12): argmin of exact distances over the
-    live centroids, ties to the lowest cid (cents is cid-ascending, and
-    array_position returns the FIRST match)."""
+    live centroids, ties to the lowest cid. Small centroid sets score
+    JVM-side as literal expressions; large ones via an Arrow batch
+    matmul (exact int64 either way, identical results)."""
+    if len(cents) * len(cents[0][1]) > MAX_LITERAL_CELLS:
+        return _assign_arrow(qdf, cents)
     dists = F.array(*[_sq_dist_e12("__qe", c) for _, c in cents])
     cids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     idx = F.array_position(dists, F.array_min(dists))
     return qdf.withColumn("dist_e12", F.array_min(dists)).withColumn(
         "cluster", F.element_at(cids, idx.cast("int"))
     )
+
+
+def _assign_arrow(
+    qdf: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Arrow scorer for large centroid sets: ||x||² - 2x·C + ||c||² in
+    int64 (exact — diffs² ≤ 6.4e13, ×dim ≤ 4e15, far inside int64);
+    np.argmin takes the FIRST min = lowest cid, the same tie-break as
+    the literal path. Centroids ride the closure (k·dim int64 — the
+    same bounded payload the driver already carried)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    # float64 is EXACT here, and buys BLAS: products ≤ (4e6)² = 1.6e13
+    # and dim-sums ≤ 4e15, both under 2^53 — every intermediate is an
+    # exactly-representable integer, so the matmul result equals the
+    # int64 fold bit-for-bit after the astype back.
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in qdf.schema.fields
+    )
+    out_schema = f"{fields}, dist_e12 bigint, cluster int"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["__qe"].to_numpy()).astype(np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            best = np.argmin(d, axis=1)
+            pdf = pdf.copy()
+            pdf["dist_e12"] = d[np.arange(len(pdf)), best].astype(np.int64)
+            pdf["cluster"] = cids[best].astype(np.int32)
+            yield pdf
+
+    return qdf.mapInPandas(score, out_schema)
 
 
 def kmeans_assign(
@@ -89,6 +139,12 @@ def kmeans_assign(
     try:
         seed_rows = qdf.orderBy(id_col).limit(k).collect()  # bounded: k rows
         cents = [(i, list(r["__qe"])) for i, r in enumerate(seed_rows)]
+        if not cents:  # empty input: empty assignment, same schema
+            return qdf.select(
+                id_col,
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("bigint").alias("dist_e12"),
+            )
         for _ in range(n_updates):
             assigned = _assign(qdf, cents)
             # ONE map-side-combined shuffle; reduce side is <= k*dim rows
@@ -137,35 +193,82 @@ def semantic_dedup(
 
     Scale design: pairwise cosine runs within clusters only —
     O(Σ n_c²), never O(n²) — so `k` is the knob that bounds cluster
-    size (size k ≈ n / target_cluster_size; the paper uses n/100-ish).
-    The within-cluster self-join shuffles on the cluster id, so small
-    k at huge n concentrates partitions — grow k with the corpus.
-    Cosine is rounded to `round_digits` before the threshold compare,
-    the same engine-parity idiom as embedding_near_dup_pairs."""
+    size (k ≈ n / target_cluster_size; the paper uses n/100-ish).
+    Candidate pairs come from a vectorized Arrow pass per cluster
+    (blocked BLAS Gram, pruned with a 2-rounding-step margin like the
+    IVF scorer — the margin also covers matmul-vs-fold ulp drift); the
+    authoritative cosine is recomputed JVM-side with F.round so the
+    oracle parity semantics are untouched. Ids must be integral and
+    unique. Parallelism within the candidate pass is one task per
+    cluster — k is both the cluster-size bound and the parallelism
+    knob, so grow it with the corpus."""
     from kamu_cli_spark.operators.similarity import norm, pair_dot
+
+    import numpy as np
+    import pandas as pd
 
     assign = kmeans_assign(df, vec_col, id_col, k, n_updates).select(
         id_col, "cluster"
     )
     v = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("__ve"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__ve"),
         norm(F.col(vec_col)).alias("__nrm"),
     ).join(assign, id_col)
-    a = v.select(
-        F.col(id_col).alias("__ida"),
-        F.col("cluster").alias("__cla"),
+
+    margin = 2.0 / 10.0**round_digits
+    block = 1024
+
+    def find_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        X = np.vstack(pdf["__ve"].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["__nrm"].to_numpy()[order].astype(np.float64)
+        n = len(ids_s)
+        out_a, out_b = [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            # BLAS matmul, NOT the ascending-dim fold: candidates are
+            # pruned with a 2-rounding-step margin and rescored
+            # JVM-side, so last-ulp sum-order drift (~1e-13) is
+            # harmless here — and dgemm is ~30x the python dim loop.
+            acc = X[s:e] @ X.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (nrm[s:e, None] * nrm[None, :])
+            rnd = np.sign(cos) * np.floor(
+                np.abs(cos) * 10.0**round_digits + 0.5
+            ) / (10.0**round_digits)
+            ii, jj = np.nonzero(rnd >= threshold - margin)
+            gi = ii + s
+            m = gi < jj  # position order == id order (ids_s ascending)
+            out_a.append(ids_s[gi[m]])
+            out_b.append(ids_s[jj[m]])
+        return pd.DataFrame(
+            {
+                "ida": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                "idb": np.concatenate(out_b) if out_b else np.array([], "int64"),
+            }
+        )
+
+    cands = (
+        v.select(id_col, "cluster", "__ve", "__nrm")
+        .groupBy("cluster")
+        .applyInPandas(find_candidates, "ida bigint, idb bigint")
+    )
+    va = v.select(
+        F.col(id_col).alias("ida"),
         F.col("__ve").alias("__va"),
         F.col("__nrm").alias("__na"),
     )
-    b = v.select(
-        F.col(id_col).alias("__idb"),
-        F.col("cluster").alias("__clb"),
+    vb = v.select(
+        F.col(id_col).alias("idb"),
         F.col("__ve").alias("__vb"),
         F.col("__nrm").alias("__nb"),
     )
     drops = (
-        a.join(b, (F.col("__cla") == F.col("__clb")) & (F.col("__ida") < F.col("__idb")))
+        cands.join(va, "ida")
+        .join(vb, "idb")
         .filter(
             F.round(
                 pair_dot(F.col("__va"), F.col("__vb"))
@@ -174,15 +277,12 @@ def semantic_dedup(
             )
             >= threshold
         )
-        .select(F.col("__idb").alias(id_col))
+        .select(F.col("idb").alias(id_col))
         .distinct()
+        .withColumn("__dropped", F.lit(True))
     )
-    dropped = drops.withColumn("__dropped", F.lit(True))
-    return (
-        v.join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
-        )
+    return v.join(drops, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )

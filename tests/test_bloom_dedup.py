@@ -64,11 +64,15 @@ class TestBloomDedup:
     def test_no_false_negatives_even_with_tiny_filter(self, spark):
         # n_bits=64 forces heavy bit collisions (many false positives);
         # survivors must STILL equal the plain anti-join because every
-        # bloom-positive row is re-verified exactly.
+        # bloom-positive row is re-verified exactly. Both physical
+        # strategies must agree.
         corpus, reference = _corpora(spark)
         plain = _ids(dedup_against(corpus, reference))
-        bloom = _ids(dedup_against_bloom(corpus, reference, n_bits=64))
-        assert plain == bloom
+        for ss in (True, False):
+            bloom = _ids(
+                dedup_against_bloom(corpus, reference, n_bits=64, single_scan=ss)
+            )
+            assert plain == bloom
 
     def test_members_always_hit(self, spark):
         # Bloom property: a member of the indexed set NEVER misses.
