@@ -99,24 +99,105 @@ def _assign_arrow(
     C = np.array([v for _, v in cents], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
 
+    # Emit WITHOUT the vector column: round-tripping __qe back through
+    # Arrow costs ~8·dim bytes/row (1 GB at sf100 — measured 200 s of
+    # the pass); the assignment itself is 12 bytes/row.
     fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in qdf.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in qdf.schema.fields
+        if f.name != "__qe"
     )
     out_schema = f"{fields}, dist_e12 bigint, cluster int"
+    keep = [f.name for f in qdf.schema.fields if f.name != "__qe"]
+
+    chunk = _score_chunk_rows(len(cids))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf["__qe"].to_numpy()).astype(np.float64)
-            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-            best = np.argmin(d, axis=1)
-            pdf = pdf.copy()
-            pdf["dist_e12"] = d[np.arange(len(pdf)), best].astype(np.int64)
-            pdf["cluster"] = cids[best].astype(np.int32)
-            yield pdf
+            best = np.empty(len(pdf), dtype=np.int64)
+            dist = np.empty(len(pdf), dtype=np.float64)
+            for s in range(0, len(pdf), chunk):  # cap the rows×k matrix
+                e = min(s + chunk, len(pdf))
+                d = (
+                    (X[s:e] * X[s:e]).sum(axis=1)[:, None]
+                    - 2.0 * (X[s:e] @ C.T)
+                    + c_sq[None, :]
+                )
+                best[s:e] = np.argmin(d, axis=1)
+                dist[s:e] = d[np.arange(e - s), best[s:e]]
+            out = pdf[keep].copy()
+            out["dist_e12"] = dist.astype(np.int64)
+            out["cluster"] = cids[best].astype(np.int32)
+            yield out
 
     return qdf.mapInPandas(score, out_schema)
+
+
+def _score_chunk_rows(k: int) -> int:
+    """Rows per scoring chunk so the rows×k float64 distance matrix
+    stays ~32 MB regardless of centroid count."""
+    return max(64, (1 << 22) // max(1, k))
+
+
+def _update_arrow(
+    qdf: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """One Lloyd update as a fused Arrow pass: assign each batch with
+    the exact float64 scorer (see :func:`_assign_arrow` for the 2^53
+    argument), accumulate per-(cluster, dim) sums and counts across
+    the partition, and emit ≤ k·dim partial rows — the map-side
+    combine is explicit, so the exchange carries k·dim rows per
+    partition instead of n·dim exploded rows. Partition sums stay
+    exact: ≤ rows_per_partition · 4e6 ≪ 2^53 even at
+    maxPartitionBytes-sized 100 TB partitions."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    chunk = _score_chunk_rows(k)  # captured by value: workers must not
+    # need the module importable (cloudpickle serializes closures that
+    # call module-level functions BY REFERENCE)
+
+    def upd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["__qe"].to_numpy()).astype(np.float64)
+            for s in range(0, len(pdf), chunk):  # cap the rows×k matrix
+                e = min(s + chunk, len(pdf))
+                d = (
+                    (X[s:e] * X[s:e]).sum(axis=1)[:, None]
+                    - 2.0 * (X[s:e] @ C.T)
+                    + c_sq[None, :]
+                )
+                best = np.argmin(d, axis=1)
+                np.add.at(sums, best, X[s:e])
+                cnts += np.bincount(best, minlength=k)
+        live = np.nonzero(cnts)[0]
+        yield pd.DataFrame(
+            {
+                "cluster": np.repeat(cids[live], dim).astype(np.int32),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                "s": sums[live].reshape(-1).astype(np.int64),
+                "c": np.repeat(cnts[live], dim),
+            }
+        )
+
+    return (
+        qdf.mapInPandas(upd, "cluster int, pos int, s bigint, c bigint")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    )
 
 
 def kmeans_assign(
@@ -133,9 +214,18 @@ def kmeans_assign(
         raise ValueError("k must be positive")
     if n_updates < 0:
         raise ValueError("n_updates must be non-negative")
-    qdf = df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Widen BEFORE persisting: every pass is compute-bound (O(k·dim)
+    # per row), and a 512 MB parquet scans into ~6 partitions — the
+    # k=6400 updates ran 6-wide on 32 cores until this. Unlike
+    # util.spread (byte-sized for scan-bound ops), the rule here is
+    # partition count vs parallelism: at real scale the scan already
+    # yields thousands of partitions and this is a no-op, so the
+    # repartition only ever touches inputs too narrow to saturate.
+    qdf = df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and qdf.rdd.getNumPartitions() < target:
+        qdf = qdf.repartition(target)
+    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         seed_rows = qdf.orderBy(id_col).limit(k).collect()  # bounded: k rows
         cents = [(i, list(r["__qe"])) for i, r in enumerate(seed_rows)]
@@ -146,14 +236,10 @@ def kmeans_assign(
                 F.lit(None).cast("bigint").alias("dist_e12"),
             )
         for _ in range(n_updates):
-            assigned = _assign(qdf, cents)
-            # ONE map-side-combined shuffle; reduce side is <= k*dim rows
-            parts = (
-                assigned.select("cluster", F.posexplode("__qe").alias("pos", "v"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-                .collect()  # bounded: k*dim rows
-            )
+            # fused Arrow assign+partial-sum pass: each partition emits
+            # <= k*dim partial rows (the posexplode formulation shuffled
+            # n*dim rows — 12.8M at sf10, 14.8 s; this pass: <1 s)
+            parts = _update_arrow(qdf, cents).collect()  # bounded: k*dim
             by_cid: dict[int, dict[int, int]] = {}
             for r in parts:
                 by_cid.setdefault(r["cluster"], {})[r["pos"]] = _round_half_up(
@@ -207,9 +293,14 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    # materialize the assignment ONCE: it appears 4x in the downstream
+    # plan (candidates, both rescore sides, final join), and at large k
+    # each lazy recompute re-scores the whole corpus (~50 s per pass at
+    # sf100 k=6400). localCheckpoint stores only (id, cluster) — 12
+    # bytes/row — and truncates the scoring lineage.
     assign = kmeans_assign(df, vec_col, id_col, k, n_updates).select(
         id_col, "cluster"
-    )
+    ).localCheckpoint()
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__ve"),

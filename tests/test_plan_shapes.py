@@ -56,11 +56,17 @@ class TestJoinStrategy:
          # cross-corpus family: candidates must come from equi-joins on
          # fingerprints/buckets, never a cross join
          "documents_cross_dedup", "documents_cross_lsh",
-         "embeddings_cross_neardup"],
+         "embeddings_cross_neardup",
+         # round-8 family: bloom membership is broadcast joins only;
+         # kmeans assignment is map-only; semantic dedup pairs come
+         # from per-cluster Arrow groups, never a corpus cross join
+         "documents_cross_bloom", "embeddings_kmeans",
+         "embeddings_semantic_dedup"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
         assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
 
     def test_dimensions_broadcast_in_q5(self, spark):
         assert "BroadcastHashJoin" in plan(spark, "tpch_q5")
