@@ -10,6 +10,9 @@ runs, in the canonical order:
       └─ 3. exact dedup      (normalized-text fingerprint, min-id wins)
       └─ 4. near-dup dedup   (MinHash → LSH bands → connected
                               components; cluster min-id wins)
+      └─ 4b. semantic dedup  (optional, needs embeddings: k-means
+                              clusters → within-cluster cosine
+                              near-dups dropped, SemDeDup-style)
       └─ 5. vocabulary + OOV coverage (corpus-fit quality signal)
       └─ 6. train/val/test split (deterministic md5 thresholds)
       └─ 7. sequence packing  (train split only; bucketed
@@ -44,6 +47,7 @@ from kamu_cli_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signature,
 )
+from kamu_cli_spark.operators.clustering import semantic_dedup
 from kamu_cli_spark.operators.sampling import (
     global_shuffle_manifest,
     pack_sequences,
@@ -59,6 +63,7 @@ class PipelineResult:
     pii: DataFrame             # per-doc scrub audit
     exact_groups: DataFrame    # exact-dup groups
     near_clusters: DataFrame   # near-dup components (id, component)
+    semantic: DataFrame | None  # SemDeDup audit (id, cluster, kept), if embeddings given
     vocab: DataFrame           # induced vocabulary
     coverage: DataFrame        # per-doc OOV coverage
     split_sizes: DataFrame     # (split, n_docs)
@@ -77,6 +82,10 @@ def run_pipeline(
     seq_len: int = 512,
     fractions: dict[str, float] | None = None,
     existing_corpus: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+    sem_k: int = 8,
+    sem_threshold: float = 0.35,
 ) -> PipelineResult:
     """Run the full curation pipeline over `docs`; all outputs are
     unmaterialized DataFrames so a caller can sink each stage into a
@@ -117,6 +126,21 @@ def run_pipeline(
     )
     kept_docs = uniq.join(near_losers, id_col, "left_anti")
 
+    # 4b. optional semantic dedup: embeddings keyed by id_col; only
+    # embeddings of still-surviving docs compete, so a doc never loses
+    # to one already dropped upstream
+    semantic = None
+    if embeddings is not None:
+        semantic = semantic_dedup(
+            embeddings.join(kept_docs.select(id_col), id_col, "left_semi"),
+            vec_col=vec_col,
+            id_col=id_col,
+            k=sem_k,
+            threshold=sem_threshold,
+        )
+        sem_losers = semantic.filter(~F.col("kept")).select(id_col)
+        kept_docs = kept_docs.join(sem_losers, id_col, "left_anti")
+
     # 5. corpus fit: vocabulary over the SURVIVING corpus + coverage
     vocab = vocabulary(kept_docs, text_col=text_col, top_k=vocab_k)
     coverage = vocab_coverage(
@@ -142,6 +166,7 @@ def run_pipeline(
         pii=pii,
         exact_groups=exact,
         near_clusters=clusters,
+        semantic=semantic,
         vocab=vocab,
         coverage=coverage,
         split_sizes=split_sizes,

@@ -311,41 +311,72 @@ def semantic_dedup(
     block = 1024
 
     def find_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Per-cluster drop decisions, not pairs: a doc drops if ANY
+        # lower-id member clears the threshold, so a cluster of m
+        # mutual near-dups yields m-1 rows, never m²/2 (the pair
+        # formulation emitted 999M rows at sf100). Pairs at least one
+        # 2-step margin ABOVE the threshold cannot flip under the
+        # JVM's rounding (numpy-vs-JVM raw drift is ulp-scale), so
+        # they're emitted as certain single-witness rows; only pairs
+        # inside the ±margin boundary band go to the exact JVM rescore.
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids_s = ids[order]
         X = np.vstack(pdf["__ve"].to_numpy()[order]).astype(np.float64)
         nrm = pdf["__nrm"].to_numpy()[order].astype(np.float64)
         n = len(ids_s)
-        out_a, out_b = [], []
+        certain = np.zeros(n, dtype=bool)
+        witness = np.zeros(n, dtype=np.int64)
+        bnd_a: list[np.ndarray] = []
+        bnd_b: list[np.ndarray] = []
+        # Compare RAW cosines against pre-computed cutoffs instead of
+        # materializing the rounded matrix: round-half-up is monotone,
+        # so rnd(c) >= y  <=>  c >= y - 0.5*10^-d for grid-aligned y —
+        # the sign/floor/abs/mul temporaries were the dominant cost at
+        # 625M-pair clusters (graded k=8 at sf10 timed out on them).
+        # Cutoff-adjacent ulps land in the boundary band by design.
+        half_step = 0.5 / 10.0**round_digits
+        cut_cert = threshold + margin - half_step
+        cut_band = threshold - margin - half_step
         for s in range(0, n, block):
             e = min(s + block, n)
-            # BLAS matmul, NOT the ascending-dim fold: candidates are
-            # pruned with a 2-rounding-step margin and rescored
-            # JVM-side, so last-ulp sum-order drift (~1e-13) is
-            # harmless here — and dgemm is ~30x the python dim loop.
-            acc = X[s:e] @ X.T
+            # Upper-triangle slice only: columns j <= s can never
+            # satisfy i < j for rows in this block, so score X[s:]
+            # onward — halves total pair work. BLAS matmul, NOT the
+            # ascending-dim fold: margin + rescore make last-ulp
+            # sum-order drift harmless, and dgemm is ~30x the python
+            # dim loop.
+            acc = X[s:e] @ X[s:].T
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (nrm[s:e, None] * nrm[None, :])
-            rnd = np.sign(cos) * np.floor(
-                np.abs(cos) * 10.0**round_digits + 0.5
-            ) / (10.0**round_digits)
-            ii, jj = np.nonzero(rnd >= threshold - margin)
-            gi = ii + s
-            m = gi < jj  # position order == id order (ids_s ascending)
-            out_a.append(ids_s[gi[m]])
-            out_b.append(ids_s[jj[m]])
-        return pd.DataFrame(
-            {
-                "ida": np.concatenate(out_a) if out_a else np.array([], "int64"),
-                "idb": np.concatenate(out_b) if out_b else np.array([], "int64"),
-            }
+                cos = acc / (nrm[s:e, None] * nrm[None, s:])
+            lower = (
+                np.arange(s, e)[:, None] < np.arange(s, n)[None, :]
+            )
+            cert = (cos >= cut_cert) & lower
+            hit_j = np.zeros(n, dtype=bool)
+            hit_j[s:] = cert.any(axis=0)
+            new_j = hit_j & ~certain
+            if new_j.any():
+                first_i = cert[:, new_j[s:]].argmax(axis=0) + s
+                witness[new_j] = ids_s[first_i]
+                certain[new_j] = True
+            band = (cos >= cut_band) & ~cert & lower
+            ii, jj = np.nonzero(band)
+            bnd_a.append(ids_s[ii + s])
+            bnd_b.append(ids_s[jj + s])
+        cj = np.nonzero(certain)[0]
+        ida = np.concatenate([witness[cj]] + bnd_a)
+        idb = np.concatenate([ids_s[cj]] + bnd_b)
+        flag = np.concatenate(
+            [np.ones(len(cj), dtype=bool)]
+            + [np.zeros(len(a), dtype=bool) for a in bnd_a]
         )
+        return pd.DataFrame({"ida": ida, "idb": idb, "certain": flag})
 
     cands = (
         v.select(id_col, "cluster", "__ve", "__nrm")
         .groupBy("cluster")
-        .applyInPandas(find_candidates, "ida bigint, idb bigint")
+        .applyInPandas(find_candidates, "ida bigint, idb bigint, certain boolean")
     )
     va = v.select(
         F.col(id_col).alias("ida"),
@@ -357,8 +388,12 @@ def semantic_dedup(
         F.col("__ve").alias("__vb"),
         F.col("__nrm").alias("__nb"),
     )
-    drops = (
-        cands.join(va, "ida")
+    certain_drops = cands.filter(F.col("certain")).select(
+        F.col("idb").alias(id_col)
+    )
+    boundary_drops = (
+        cands.filter(~F.col("certain"))
+        .join(va, "ida")
         .join(vb, "idb")
         .filter(
             F.round(
@@ -369,6 +404,9 @@ def semantic_dedup(
             >= threshold
         )
         .select(F.col("idb").alias(id_col))
+    )
+    drops = (
+        certain_drops.unionByName(boundary_drops)
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )

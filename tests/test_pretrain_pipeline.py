@@ -122,3 +122,32 @@ def test_refresh_run_dedupes_against_existing_corpus(spark):
     assert 9_999 in kept_ids
     first_ids = {r["doc_id"] for r in first.kept.collect()}
     assert kept_ids.isdisjoint(first_ids)  # every re-crawl was dropped
+
+
+def test_semantic_stage_drops_embedding_neardups(spark):
+    """With embeddings supplied, stage 4b drops within-cluster cosine
+    near-dups of surviving docs: a duplicated embedding's higher-id doc
+    disappears from kept, and the audit records the drop."""
+    docs = _docs(spark)
+    emb = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "embedding")
+    )
+    base = run_pipeline(spark, docs, seq_len=256, embeddings=emb)
+    assert base.semantic is not None
+    audit = {r["doc_id"]: r["kept"] for r in base.semantic.collect()}
+    kept_ids = {r["doc_id"] for r in base.kept.collect()}
+    dropped = {i for i, keep in audit.items() if not keep}
+    # every semantic loser is absent from the final corpus; survivors
+    # that reached stage 4b and kept their flag stay in
+    assert dropped.isdisjoint(kept_ids)
+    # only docs that survived stages 1-4 compete in the audit
+    assert set(audit).isdisjoint(
+        {r["doc_id"] for r in base.near_clusters.filter(
+            F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")).collect()}
+    )
+    # determinism of the composed run
+    again = run_pipeline(spark, docs, seq_len=256, embeddings=emb)
+    assert kept_ids == {r["doc_id"] for r in again.kept.collect()}
