@@ -86,6 +86,21 @@ def _check_bloom_params(n_bits: int, n_hashes: int) -> None:
         raise ValueError("n_hashes must be positive")
 
 
+def _derive_n_bits(reference: DataFrame) -> int:
+    """~16 bits per reference doc (FP < 1% at k=7), rounded up to a
+    power of two, floored at 2^20. Sizing only moves the bloom's
+    SELECTIVITY — survivors are identical at any size (undersized at
+    sf100 the FP rate hit 0.8 and the runtime simply matched the plain
+    anti-join) — so deriving from a cached count is correctness-free.
+    2^33 bits = 1 GiB of words covers ~700M reference docs and still
+    broadcasts; cap there and let the exact anti-join absorb the rest."""
+    from kamu_cli_spark.operators.util import cached_count
+
+    n = max(1, cached_count(reference))
+    bits = max(1 << 20, 1 << (16 * n - 1).bit_length())
+    return min(bits, 1 << 33)
+
+
 def _bloom_pos(fp: Column, i: int, n_bits: int) -> Column:
     """Bit position i for a fingerprint: first 60 bits of
     md5(fp || ':' || i) mod n_bits — engine-portable (the DuckDB twin
@@ -169,7 +184,7 @@ def dedup_against_bloom(
     corpus: DataFrame,
     reference: DataFrame,
     text_col: str = "text",
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 7,
     single_scan: bool = True,
 ) -> DataFrame:
@@ -192,7 +207,12 @@ def dedup_against_bloom(
     anti-join 34 s; bloom single-scan 86 s; the membership pass itself
     costs ~1 fingerprint scan + ~20 s of join row-copying, so
     single-node the bloom never wins — the design is priced for the
-    network, not the disk."""
+    network, not the disk.
+
+    ``n_bits=None`` derives ~16 bits per reference doc (FP < 1%) from
+    a memoized count; pass an explicit size to pin the bitmap."""
+    if n_bits is None:
+        n_bits = _derive_n_bits(reference)
     words = bloom_bit_words(reference, text_col, n_bits, n_hashes)
     flagged = bloom_membership(corpus, words, text_col, n_bits, n_hashes)
     if single_scan:

@@ -122,3 +122,15 @@ class TestBloomDedup:
             bloom_bit_words(reference, n_bits=0)
         with pytest.raises(ValueError):
             bloom_membership(corpus, bloom_bit_words(reference), n_hashes=0)
+
+    def test_derived_n_bits_sizing(self, spark):
+        from kamu_cli_spark.operators.dedup import _derive_n_bits
+
+        _, reference = _corpora(spark)
+        bits = _derive_n_bits(reference)  # 5 docs -> floor of 2^20
+        assert bits == 1 << 20
+        # derived sizing yields the same survivors as any explicit size
+        corpus, _ = _corpora(spark)
+        assert _ids(dedup_against_bloom(corpus, reference)) == _ids(
+            dedup_against_bloom(corpus, reference, n_bits=64)
+        )
