@@ -87,9 +87,12 @@ def run_pipeline(
     sem_k: int = 8,
     sem_threshold: float = 0.35,
 ) -> PipelineResult:
-    """Run the full curation pipeline over `docs`; all outputs are
+    """Run the full curation pipeline over `docs`; outputs are
     unmaterialized DataFrames so a caller can sink each stage into a
-    dataset (DataWriter) or export shards directly.
+    dataset (DataWriter) or export shards directly — EXCEPT when
+    `embeddings` is passed: stage 4b's k-means fit runs eagerly (seed
+    collect + update jobs) and the assignment is localCheckpoint-ed
+    before this function returns.
 
     `existing_corpus`: the already-curated training set a REFRESH run
     dedupes against (step 0) — exact cross-corpus anti-join on the

@@ -15,8 +15,11 @@ Engine-portable determinism (the DuckDB oracle reproduces every bit):
   order to drift between engines;
 - seeds are the k smallest ids' vectors; ties in assignment break to
   the lowest centroid id (strictly ordered (dist, cid));
-- centroid update is floor(sum/count + 0.5) per dimension — sums stay
-  below 2^53, so even the double division is exact;
+- centroid update is floor(sum/count + 0.5) per dimension — the Spark
+  side computes it in exact integer math at ANY size; the SQL twin's
+  double division is exact while per-cluster dim-sums stay under 2^53
+  (~2.2e9 rows per cluster at |x| ≤ 4), the binding constraint on
+  oracle parity beyond that scale, not on the operator;
 - a cluster that goes empty simply stops competing (no re-seeding),
   the same rule the SQL twin gets for free.
 
@@ -293,19 +296,20 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    # materialize the assignment ONCE: it appears 4x in the downstream
-    # plan (candidates, both rescore sides, final join), and at large k
-    # each lazy recompute re-scores the whole corpus (~50 s per pass at
+    # materialize the assignment ONCE: it appears twice in the
+    # downstream plan (candidate pass, final join), and at large k each
+    # lazy recompute re-scores the whole corpus (~50 s per pass at
     # sf100 k=6400). localCheckpoint stores only (id, cluster) — 12
     # bytes/row — and truncates the scoring lineage.
     assign = kmeans_assign(df, vec_col, id_col, k, n_updates).select(
         id_col, "cluster"
     ).localCheckpoint()
-    v = df.select(
+    base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__ve"),
         norm(F.col(vec_col)).alias("__nrm"),
-    ).join(assign, id_col)
+    )
+    v = base.join(assign, id_col)
 
     margin = 2.0 / 10.0**round_digits
     block = 1024
@@ -326,7 +330,6 @@ def semantic_dedup(
         nrm = pdf["__nrm"].to_numpy()[order].astype(np.float64)
         n = len(ids_s)
         certain = np.zeros(n, dtype=bool)
-        witness = np.zeros(n, dtype=np.int64)
         bnd_a: list[np.ndarray] = []
         bnd_b: list[np.ndarray] = []
         # Compare RAW cosines against pre-computed cutoffs instead of
@@ -353,19 +356,15 @@ def semantic_dedup(
                 np.arange(s, e)[:, None] < np.arange(s, n)[None, :]
             )
             cert = (cos >= cut_cert) & lower
-            hit_j = np.zeros(n, dtype=bool)
-            hit_j[s:] = cert.any(axis=0)
-            new_j = hit_j & ~certain
-            if new_j.any():
-                first_i = cert[:, new_j[s:]].argmax(axis=0) + s
-                witness[new_j] = ids_s[first_i]
-                certain[new_j] = True
+            certain[s:] |= cert.any(axis=0)
             band = (cos >= cut_band) & ~cert & lower
             ii, jj = np.nonzero(band)
             bnd_a.append(ids_s[ii + s])
             bnd_b.append(ids_s[jj + s])
+        # ida is meaningful only for boundary rows (the rescore join
+        # key); certain rows carry their own id there, never read
         cj = np.nonzero(certain)[0]
-        ida = np.concatenate([witness[cj]] + bnd_a)
+        ida = np.concatenate([ids_s[cj]] + bnd_a)
         idb = np.concatenate([ids_s[cj]] + bnd_b)
         flag = np.concatenate(
             [np.ones(len(cj), dtype=bool)]
@@ -378,12 +377,15 @@ def semantic_dedup(
         .groupBy("cluster")
         .applyInPandas(find_candidates, "ida bigint, idb bigint, certain boolean")
     )
-    va = v.select(
+    # rescore sides come from the PRE-join projection: candidate pairs
+    # only reference assigned ids, so joining the assignment back in
+    # would add two avoidable full-corpus joins
+    va = base.select(
         F.col(id_col).alias("ida"),
         F.col("__ve").alias("__va"),
         F.col("__nrm").alias("__na"),
     )
-    vb = v.select(
+    vb = base.select(
         F.col(id_col).alias("idb"),
         F.col("__ve").alias("__vb"),
         F.col("__nrm").alias("__nb"),

@@ -93,10 +93,11 @@ def _derive_n_bits(reference: DataFrame) -> int:
     sf100 the FP rate hit 0.8 and the runtime simply matched the plain
     anti-join) — so deriving from a cached count is correctness-free.
     2^33 bits = 1 GiB of words covers ~700M reference docs and still
-    broadcasts; cap there and let the exact anti-join absorb the rest."""
-    from kamu_cli_spark.operators.util import cached_count
-
-    n = max(1, cached_count(reference))
+    broadcasts; cap there and let the exact anti-join absorb the rest.
+    A plain count, not util.cached_count: callers build the reference
+    frame per call, so the id()-keyed memo would never hit while
+    pinning every frame for the process lifetime."""
+    n = max(1, reference.count())
     bits = max(1 << 20, 1 << (16 * n - 1).bit_length())
     return min(bits, 1 << 33)
 
