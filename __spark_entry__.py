@@ -3094,6 +3094,30 @@ a0 AS ({assign("q", "seeds")}
     return "".join(parts)
 
 
+def q_documents_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language balanced downsample (sampling.py:stratified_sample):
+    keep at most 25 docs per lang by salted md5-rank — deterministic,
+    stratum-independent, WindowGroupLimit keeps hot strata map-side."""
+    from kamu_cli_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    return stratified_sample(d, "doc_id", ["lang"], 25).select(
+        "doc_id", "lang", "n_chars", "srank"
+    )
+
+
+O_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, n_chars, srank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || ''), doc_id
+         ) AS srank
+  FROM documents
+) WHERE srank <= 25
+"""
+
+
 def q_embeddings_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (clustering.py:semantic_dedup, after Abbas et al.
     2023): k-means the corpus, drop rows near-duplicating a lower-id
@@ -3251,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_cross_bloom": q_documents_cross_bloom,
         "embeddings_kmeans": q_embeddings_kmeans,
         "embeddings_semantic_dedup": q_embeddings_semantic_dedup,
+        "documents_stratified_sample": q_documents_stratified_sample,
     }
 
 
@@ -3342,4 +3367,5 @@ def oracle_sql() -> dict[str, str]:
         "documents_cross_bloom": O_CROSS_DEDUP,
         "embeddings_kmeans": _o_kmeans(),
         "embeddings_semantic_dedup": _o_semantic_dedup(),
+        "documents_stratified_sample": O_STRATIFIED_SAMPLE,
     }

@@ -68,6 +68,7 @@ EXTRA = [
     "documents_cross_bloom",
     "embeddings_kmeans",
     "embeddings_semantic_dedup",
+    "documents_stratified_sample",
 ]
 
 

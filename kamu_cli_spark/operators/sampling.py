@@ -87,6 +87,39 @@ def stratified_split_summary(
     return assigned.groupBy("split", strata_col).agg(*aggs)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum cap — the domain/language balancing
+    step: keep at most `n_per_stratum` rows per stratum, chosen by
+    md5-rank of the stable key (salted for independent draws), with
+    the id as the total-order tiebreak. Adding rows to OTHER strata
+    never changes a stratum's selection, and the same rows are picked
+    by any md5-capable engine.
+
+    Returns the surviving rows plus ``srank`` (1-based rank within the
+    stratum). One window shuffle on the strata key; Spark's
+    WindowGroupLimit pushes the rank<=n filter map-side, so hot strata
+    don't materialize beyond the cap per task."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be positive")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(h, F.col(id_col))
+    )
+    return (
+        df.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= n_per_stratum)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -243,3 +243,51 @@ class TestChunkDocuments:
         plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_cap_and_rank(self, spark):
+        from kamu_cli_spark.operators.sampling import stratified_sample
+
+        out = stratified_sample(self._docs(spark), "doc_id", ["lang"], 5)
+        per = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per and all(n <= 5 for n in per.values())
+        assert out.filter((F.col("srank") < 1) | (F.col("srank") > 5)).count() == 0
+
+    def test_stratum_independence(self, spark):
+        # adding rows to OTHER strata must not change a stratum's picks
+        from kamu_cli_spark.operators.sampling import stratified_sample
+
+        docs = self._docs(spark)
+        one_lang = docs.filter(F.col("lang") == "en")
+        alone = {r["doc_id"] for r in stratified_sample(one_lang, "doc_id", ["lang"], 5)
+                 .filter(F.col("lang") == "en").select("doc_id").collect()}
+        together = {r["doc_id"] for r in stratified_sample(docs, "doc_id", ["lang"], 5)
+                    .filter(F.col("lang") == "en").select("doc_id").collect()}
+        assert alone == together
+
+    def test_salt_gives_independent_draw(self, spark):
+        from kamu_cli_spark.operators.sampling import stratified_sample
+
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in stratified_sample(docs, "doc_id", ["lang"], 5).collect()}
+        b = {r["doc_id"] for r in stratified_sample(docs, "doc_id", ["lang"], 5, salt="x").collect()}
+        assert a != b  # overwhelmingly likely with md5
+
+    def test_group_limit_pushed(self, spark):
+        from kamu_cli_spark.operators.sampling import stratified_sample
+
+        plan = stratified_sample(self._docs(spark), "doc_id", ["lang"], 5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_validation(self, spark):
+        import pytest
+        from kamu_cli_spark.operators.sampling import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(self._docs(spark), "doc_id", ["lang"], 0)
