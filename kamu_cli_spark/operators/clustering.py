@@ -203,16 +203,17 @@ def _update_arrow(
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     n_updates: int = 2,
-) -> DataFrame:
-    """Run `n_updates` Lloyd updates from the k-smallest-id seeds and
-    return the final assignment: (id, cluster, dist_e12) — all exact
-    int64, reproducible bit-for-bit across engines."""
+) -> list[tuple[int, list[int]]]:
+    """Fit centroids only: `n_updates` Lloyd updates from the
+    k-smallest-id seeds, returned as (cid, e6-int vector) pairs —
+    the model artifact :func:`kmeans_apply` scores against (including
+    on STREAMS, where a fit is impossible but scoring is a pure map)."""
     if k < 1:
         raise ValueError("k must be positive")
     if n_updates < 0:
@@ -232,13 +233,9 @@ def kmeans_assign(
     try:
         seed_rows = qdf.orderBy(id_col).limit(k).collect()  # bounded: k rows
         cents = [(i, list(r["__qe"])) for i, r in enumerate(seed_rows)]
-        if not cents:  # empty input: empty assignment, same schema
-            return qdf.select(
-                id_col,
-                F.lit(None).cast("int").alias("cluster"),
-                F.lit(None).cast("bigint").alias("dist_e12"),
-            )
         for _ in range(n_updates):
+            if not cents:
+                break
             # fused Arrow assign+partial-sum pass: each partition emits
             # <= k*dim partial rows (the posexplode formulation shuffled
             # n*dim rows — 12.8M at sf10, 14.8 s; this pass: <1 s)
@@ -252,11 +249,44 @@ def kmeans_assign(
                 (cid, [dims[p] for p in sorted(dims)])
                 for cid, dims in sorted(by_cid.items())
             ]
-        return _assign(qdf, cents).select(
-            id_col, "cluster", "dist_e12"
-        )
+        return cents
     finally:
         qdf.unpersist()
+
+
+def kmeans_apply(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score rows against FIXED centroids from :func:`kmeans_fit`:
+    (id, cluster, dist_e12). Pure map (literal expressions or a
+    stateless Arrow pass), so it runs identically on batch and
+    STREAMING DataFrames — fit on the curated corpus, score the live
+    crawl as it arrives."""
+    qdf = df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe"))
+    if not centroids:  # empty model: null assignment, same schema
+        return qdf.select(
+            id_col,
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("bigint").alias("dist_e12"),
+        )
+    return _assign(qdf, centroids).select(id_col, "cluster", "dist_e12")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_updates: int = 2,
+) -> DataFrame:
+    """Fit + final assignment in one call: (id, cluster, dist_e12) —
+    all exact int64, reproducible bit-for-bit across engines (the
+    DuckDB oracle replays the iterations as chained CTEs)."""
+    cents = kmeans_fit(df, vec_col, id_col, k, n_updates)
+    return kmeans_apply(df, cents, vec_col, id_col)
 
 
 def _round_half_up(s: int, c: int) -> int:
