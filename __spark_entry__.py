@@ -3094,6 +3094,73 @@ a0 AS ({assign("q", "seeds")}
     return "".join(parts)
 
 
+def q_documents_gram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc shingle novelty vs the training corpus
+    (dedup.py:gram_novelty): crawl docs (doc_id % 10 != 0) scored by
+    the fraction of their distinct 3-gram shingles absent from the
+    reference's (doc_id % 10 == 0) Bloom bitmap — deterministic
+    engine-portable approximate novelty, grams never shuffle before
+    the per-doc aggregate."""
+    from kamu_cli_spark.operators.dedup import gram_novelty
+
+    d = load_table(spark, sf, "documents")
+    return gram_novelty(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+    )
+
+
+def _o_gram_novelty(n_bits: int = 1 << 22, n_hashes: int = 7) -> str:
+    """DuckDB twin of gram_novelty: same shingle CTE as the MinHash
+    family, same md5(gram || ':' || i) bit positions, 62-bit words."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words
+  )
+),
+ref_pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(gram || ':' || i), 1, 15))::BIGINT % {n_bits} AS pos
+  FROM (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0),
+       UNNEST(range(0, {n_hashes})) AS t(i)
+),
+wtab AS (
+  SELECT pos // 62 AS wi, bit_or(1::BIGINT << (pos % 62)) AS wd
+  FROM ref_pos GROUP BY 1
+),
+cpos AS (
+  SELECT doc_id, gram,
+         ('0x' || substr(md5(gram || ':' || i), 1, 15))::BIGINT % {n_bits} AS pos
+  FROM sh, UNNEST(range(0, {n_hashes})) AS t(i)
+  WHERE doc_id % 10 != 0
+),
+ghit AS (
+  SELECT doc_id, gram,
+         (count(*) FILTER (WHERE wd IS NOT NULL
+                           AND (wd & (1::BIGINT << (pos % 62))) != 0)
+          = {n_hashes}) AS hit
+  FROM cpos LEFT JOIN wtab ON pos // 62 = wi
+  GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS n_novel,
+       CAST(floor(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*) + 0.5) AS BIGINT) AS novelty_e6
+FROM ghit GROUP BY doc_id
+"""
+
+
 def q_documents_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language balanced downsample (sampling.py:stratified_sample):
     keep at most 25 docs per lang by salted md5-rank — deterministic,
@@ -3276,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": q_embeddings_kmeans,
         "embeddings_semantic_dedup": q_embeddings_semantic_dedup,
         "documents_stratified_sample": q_documents_stratified_sample,
+        "documents_gram_novelty": q_documents_gram_novelty,
     }
 
 
@@ -3368,4 +3436,5 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kmeans": _o_kmeans(),
         "embeddings_semantic_dedup": _o_semantic_dedup(),
         "documents_stratified_sample": O_STRATIFIED_SAMPLE,
+        "documents_gram_novelty": _o_gram_novelty(),
     }

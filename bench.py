@@ -69,6 +69,7 @@ EXTRA = [
     "embeddings_kmeans",
     "embeddings_semantic_dedup",
     "documents_stratified_sample",
+    "documents_gram_novelty",
 ]
 
 

@@ -116,15 +116,18 @@ def bloom_bit_words(
     text_col: str = "text",
     n_bits: int = 1 << 20,
     n_hashes: int = 7,
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Bloom bitmap over reference fingerprints as (word_idx, word)
-    int64 rows — at most ``ceil(n_bits / 62)`` rows regardless of
-    reference size, built with ONE map-side-combined bit_or shuffle.
-    Size n_bits ≈ 10–16 bits per reference doc for a ~1% false-positive
-    rate; 2^33 bits (1 GiB of words) covers ~700M reference docs and
+    """Bloom bitmap over reference keys as (word_idx, word) int64
+    rows — at most ``ceil(n_bits / 62)`` rows regardless of reference
+    size, built with ONE map-side-combined bit_or shuffle. The key is
+    the normalized-text fingerprint by default; pass ``key_col`` to
+    index an arbitrary string column (e.g. shingles for gram-novelty).
+    Size n_bits ≈ 10–16 bits per reference key for a ~1% false-positive
+    rate; 2^33 bits (1 GiB of words) covers ~700M reference keys and
     still broadcasts."""
     _check_bloom_params(n_bits, n_hashes)
-    fp = fingerprint(F.col(text_col))
+    fp = F.col(key_col) if key_col else fingerprint(F.col(text_col))
     pos = reference.select(
         F.explode(
             F.array(*[_bloom_pos(fp, i, n_bits) for i in range(n_hashes)])
@@ -145,8 +148,10 @@ def bloom_membership(
     text_col: str = "text",
     n_bits: int = 1 << 20,
     n_hashes: int = 7,
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Corpus rows + ``__fp`` (fingerprint) + ``bloom_hit`` boolean:
+    """Corpus rows + ``__fp`` (the key; fingerprint by default,
+    ``key_col`` verbatim when given) + ``bloom_hit`` boolean:
     true iff every one of the k bloom bits for the fingerprint is set
     in `words` (from :func:`bloom_bit_words` with the SAME n_bits /
     n_hashes). ``bloom_hit = false`` is definitive absence (a Bloom
@@ -157,7 +162,9 @@ def bloom_membership(
     words side is ≤ n_bits/62 rows by construction, so the broadcast
     hint is always safe."""
     _check_bloom_params(n_bits, n_hashes)
-    out = corpus.withColumn("__fp", fingerprint(F.col(text_col)))
+    out = corpus.withColumn(
+        "__fp", F.col(key_col) if key_col else fingerprint(F.col(text_col))
+    )
     hit = F.lit(True)
     for i in range(n_hashes):
         out = out.withColumn(f"__bp{i}", _bloom_pos(F.col("__fp"), i, n_bits))
@@ -230,6 +237,55 @@ def dedup_against_bloom(
     r = reference.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
     verified_new = maybe.join(r, "__fp", "left_anti").drop("__fp", "bloom_hit")
     return definite_new.unionByName(verified_new)
+
+
+def gram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of a crawl doc's distinct shingles absent from the
+    reference — the "how much of this is actually new text" signal
+    novelty-aware sampling and refresh prioritization consume.
+
+    Composes the Arrow shingler with the broadcast Bloom bitmap:
+    reference shingles index into n_bits (2^22 default ≈ 4M bits —
+    size ~16 bits per DISTINCT reference gram); crawl shingles test
+    membership map-side (k broadcast joins, no gram ever shuffles
+    before the per-doc aggregate). Returns (id, n_grams, n_novel,
+    novelty_e6). Bloom false positives deflate novelty by < ~1% when
+    sized right and are fully DETERMINISTIC given (n_bits, n_hashes) —
+    the DuckDB oracle reproduces the identical values, so the measure
+    is engine-portable despite being approximate. Docs with fewer than
+    `shingle_n` tokens have no grams and are absent from the output
+    (same rule as the MinHash family)."""
+    ref_grams = (
+        explode_shingles_arrow(reference, id_col, text_col, n=shingle_n, distinct=True)
+        .select("gram")
+        .distinct()
+    )
+    words = bloom_bit_words(
+        ref_grams, n_bits=n_bits, n_hashes=n_hashes, key_col="gram"
+    )
+    crawl_grams = explode_shingles_arrow(
+        corpus, id_col, text_col, n=shingle_n, distinct=True
+    )
+    flagged = bloom_membership(
+        crawl_grams, words, n_bits=n_bits, n_hashes=n_hashes, key_col="gram"
+    )
+    novel = F.sum(F.when(~F.col("bloom_hit"), 1).otherwise(0))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        F.floor(
+            novel * F.lit(1_000_000) / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("bigint").alias("novelty_e6"),
+    )
 
 
 def lsh_cross_candidates(

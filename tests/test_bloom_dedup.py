@@ -134,3 +134,39 @@ class TestBloomDedup:
         assert _ids(dedup_against_bloom(corpus, reference)) == _ids(
             dedup_against_bloom(corpus, reference, n_bits=64)
         )
+
+
+class TestGramNovelty:
+    def _corpora(self, spark):
+        reference = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (10, "pack my box with five dozen liquor jugs")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),  # verbatim copy
+             (2, "completely novel sentence about spark bloom filters"),
+             (3, "the quick brown fox went somewhere entirely else today"),  # partial
+             (4, "ab")],  # < 3 tokens -> no grams -> absent
+            ["doc_id", "text"],
+        )
+        return corpus, reference
+
+    def test_novelty_extremes_and_absence(self, spark):
+        from kamu_cli_spark.operators.dedup import gram_novelty
+
+        corpus, reference = self._corpora(spark)
+        out = {r["doc_id"]: r for r in gram_novelty(corpus, reference, "doc_id").collect()}
+        assert out[1]["novelty_e6"] == 0          # every gram known
+        assert out[2]["novelty_e6"] == 1_000_000  # nothing known
+        assert 0 < out[3]["novelty_e6"] < 1_000_000
+        assert out[3]["n_novel"] < out[3]["n_grams"]
+        assert 4 not in out                       # too short for a shingle
+
+    def test_deterministic(self, spark):
+        from kamu_cli_spark.operators.dedup import gram_novelty
+
+        corpus, reference = self._corpora(spark)
+        a = sorted(map(tuple, gram_novelty(corpus, reference, "doc_id").collect()))
+        b = sorted(map(tuple, gram_novelty(corpus, reference, "doc_id").collect()))
+        assert a == b
