@@ -3104,10 +3104,14 @@ def q_documents_gram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     from kamu_cli_spark.operators.dedup import gram_novelty
 
     d = load_table(spark, sf, "documents")
+    # n_bits pinned: the static oracle SQL bakes the same 2^22 in, and
+    # novelty VALUES depend on the bitmap size (operator default derives
+    # it from the reference vocabulary instead)
     return gram_novelty(
         d.filter(F.col("doc_id") % 10 != 0),
         d.filter(F.col("doc_id") % 10 == 0),
         "doc_id",
+        n_bits=1 << 22,
     )
 
 

@@ -266,6 +266,13 @@ def kmeans_apply(
     STREAMING DataFrames — fit on the curated corpus, score the live
     crawl as it arrives."""
     qdf = df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe"))
+    # same widening as the fit: scoring is O(k·dim) per row, and a
+    # narrow batch scan would run it 6-wide on 32 cores (streams keep
+    # their micro-batch partitioning)
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if qdf.rdd.getNumPartitions() < target:
+            qdf = qdf.repartition(target)
     if not centroids:  # empty model: null assignment, same schema
         return qdf.select(
             id_col,

@@ -245,7 +245,7 @@ def gram_novelty(
     id_col: str,
     text_col: str = "text",
     shingle_n: int = 3,
-    n_bits: int = 1 << 22,
+    n_bits: int | None = None,
     n_hashes: int = 7,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus: the
@@ -254,8 +254,8 @@ def gram_novelty(
     novelty-aware sampling and refresh prioritization consume.
 
     Composes the Arrow shingler with the broadcast Bloom bitmap:
-    reference shingles index into n_bits (2^22 default ≈ 4M bits —
-    size ~16 bits per DISTINCT reference gram); crawl shingles test
+    reference shingles index into n_bits (default: derived at ~16 bits
+    per DISTINCT reference gram); crawl shingles test
     membership map-side (k broadcast joins, no gram ever shuffles
     before the per-doc aggregate). Returns (id, n_grams, n_novel,
     novelty_e6). Bloom false positives deflate novelty by < ~1% when
@@ -269,6 +269,13 @@ def gram_novelty(
         .select("gram")
         .distinct()
     )
+    if n_bits is None:
+        # size from the DISTINCT gram vocabulary, not doc count: unlike
+        # dedup_against_bloom, bloom FPs here DEFLATE the output values,
+        # and a saturated bitmap would silently collapse novelty to ~0
+        # (undetectable by the parity gate, which saturates both sides).
+        # Pin n_bits explicitly when an engine-portable twin must match.
+        n_bits = _derive_n_bits(ref_grams)
     words = bloom_bit_words(
         ref_grams, n_bits=n_bits, n_hashes=n_hashes, key_col="gram"
     )

@@ -32,6 +32,14 @@ _HEX_WIDTH = 4
 _BUCKETS = 16 ** _HEX_WIDTH
 
 
+def _salted_key(key: Column, salt: str) -> Column:
+    """THE salted-md5 key every sampler in this module ranks by — one
+    copy, because the cross-engine auditability of splits/shuffles/
+    stratified picks depends on all of them computing the identical
+    expression (md5(cast(key AS string) || salt), no separator)."""
+    return F.md5(F.concat(key.cast("string"), F.lit(salt)))
+
+
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     """[(split_name, upper_hex_bound_exclusive)] in declaration order;
     the last split takes the remainder. Fractions must sum to ~1."""
@@ -58,7 +66,7 @@ def split_assignment(
     the same keys (different salt → uncorrelated assignment).
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
-    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    h = F.substring(_salted_key(key, salt), 1, _HEX_WIDTH)
     thresholds = split_thresholds(fractions)
     expr = F.lit(thresholds[-1][0])  # remainder split
     for name, bound in reversed(thresholds[:-1]):
@@ -107,9 +115,13 @@ def stratified_sample(
     don't materialize beyond the cap per task."""
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be positive")
+    if not strata_cols:
+        # an empty partitionBy degenerates to ONE task globally sorting
+        # the corpus — never what a balancing step means
+        raise ValueError("strata_cols must name at least one column")
     from pyspark.sql import Window
 
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    h = _salted_key(F.col(id_col), salt)
     w = (
         Window.partitionBy(*[F.col(c) for c in strata_cols])
         .orderBy(h, F.col(id_col))
@@ -193,7 +205,7 @@ def global_shuffle_manifest(
     """
     from pyspark.sql import Window
 
-    skey = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    skey = _salted_key(F.col(key_col), salt)
     a = df.select(F.col(key_col), skey.alias("__skey"))
     shard = F.substring(F.col("__skey"), 1, shard_hex_chars)
     w = Window.partitionBy("shard").orderBy("__skey", key_col)

@@ -20,7 +20,12 @@ def _run_stream(spark, df, name, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout WITHOUT raising —
+        # fail loudly instead of asserting against a half-filled sink
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
 
 
 def test_streaming_apply_matches_batch(spark, tmp_path):
@@ -57,6 +62,11 @@ def test_streaming_apply_large_model_arrow_path(spark, tmp_path):
     src.mkdir()
     batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = kmeans_fit(batch, k=32, n_updates=1)  # 32*64 = 2048 cells
+    from kamu_cli_spark.operators.clustering import MAX_LITERAL_CELLS
+
+    # the point of this test is the ARROW scorer on a stream: prove the
+    # fitted model is still big enough to select it
+    assert len(cents) * len(cents[0][1]) > MAX_LITERAL_CELLS
     batch.coalesce(1).write.mode("append").parquet(str(src))
     stream = spark.readStream.schema(batch.schema).parquet(str(src))
     scored = kmeans_apply(stream, cents)
