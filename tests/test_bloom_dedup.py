@@ -170,3 +170,47 @@ class TestGramNovelty:
         a = sorted(map(tuple, gram_novelty(corpus, reference, "doc_id").collect()))
         b = sorted(map(tuple, gram_novelty(corpus, reference, "doc_id").collect()))
         assert a == b
+
+
+def test_bloom_membership_runs_on_streams(spark, tmp_path):
+    """The membership test is k broadcast joins + a projection — a
+    stream-static join pattern, so the same bitmap that filters a
+    batch crawl filters a live one (fit the bitmap offline, test the
+    stream as it arrives)."""
+    from kamu_cli_spark.operators.dedup import bloom_bit_words, bloom_membership
+
+    reference = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")], ["doc_id", "text"]
+    )
+    crawl_rows = [(100, "alpha beta gamma"), (101, "definitely new text")]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    batch_crawl = spark.createDataFrame(crawl_rows, ["doc_id", "text"])
+    batch_crawl.coalesce(1).write.mode("append").parquet(str(src))
+
+    words = bloom_bit_words(reference)
+    stream = spark.readStream.schema(batch_crawl.schema).parquet(str(src))
+    flagged = bloom_membership(stream, words).select("doc_id", "bloom_hit")
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.bloom_hit)
+        for r in spark.sql("SELECT * FROM bloom_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.bloom_hit)
+        for r in bloom_membership(batch_crawl, words)
+        .select("doc_id", "bloom_hit").collect()
+    }
+    assert got == want and (100, True) in got and (101, False) in got
