@@ -61,7 +61,8 @@ class TestJoinStrategy:
          # kmeans assignment is map-only; semantic dedup pairs come
          # from per-cluster Arrow groups, never a corpus cross join
          "documents_cross_bloom", "embeddings_kmeans",
-         "embeddings_semantic_dedup"],
+         "embeddings_semantic_dedup", "documents_gram_novelty",
+         "documents_stratified_sample"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
