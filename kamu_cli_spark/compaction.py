@@ -259,6 +259,14 @@ def compact(
     except Exception:
         if os.path.exists(tmp_chain_path):
             os.remove(tmp_chain_path)
+        # the nonce-named compact-*.parquet outputs can never be
+        # referenced by the surviving chain — reap them on ANY failure,
+        # not just the CAS-mismatch branch (which deletes them itself
+        # before raising, making this second pass a no-op there)
+        for rel, _ in new_files:
+            p = os.path.join(dataset.path, rel)
+            if os.path.exists(p):
+                os.remove(p)
         raise
     finally:
         os.remove(lock)

@@ -217,8 +217,11 @@ def dedup_against_bloom(
     single-node the bloom never wins — the design is priced for the
     network, not the disk.
 
-    ``n_bits=None`` derives ~16 bits per reference doc (FP < 1%) from
-    a memoized count; pass an explicit size to pin the bitmap."""
+    ``n_bits=None`` derives ~16 bits per reference doc (FP < 1%) via a
+    plain ``reference.count()`` — a FULL reference scan on every call.
+    Callers reusing the same reference in a loop should pass an
+    explicit ``n_bits`` (or precompute ``bloom_bit_words``) to avoid
+    paying that scan repeatedly."""
     if n_bits is None:
         n_bits = _derive_n_bits(reference)
     words = bloom_bit_words(reference, text_col, n_bits, n_hashes)

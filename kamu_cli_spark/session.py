@@ -77,7 +77,17 @@ def get_spark(
         # tpch_q3 4.25s -> 3.17s, tpch_q5 4.24s -> 3.38s,
         # top3_orders_per_customer 1.81s -> 1.59s; nothing regressed.
         # AQE skew-join splitting covers SHJ as of Spark 3.2+.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # RISK (documented per round-8 advice): an SHJ build-side hash
+        # map does not spill, so a badly misestimated build side (stats
+        # stale after filters/UDFs) can OOM a task that SMJ would have
+        # completed. Escape hatch without editing source:
+        #   SPARK_GRAFT_PREFER_SMJ=1  (or extra_conf) restores SMJ.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "") not in ("", "0")
+            else "false",
+        )
         # ODF identifiers are case-sensitive (reference:
         # engine_config_embedded.rs:18-30). Spark's default is
         # case-insensitive; we keep Spark's default for SQL-surface

@@ -298,8 +298,11 @@ def streaming_topn_to_changelog(
                 yield pdf
                 continue
             s = pdf.sort_values(sort_cols, ascending=sort_asc, kind="stable")
+            # dropna=False: Spark's groupBy treats null as a real group,
+            # so a null partition key must survive the pre-shrink or the
+            # leaderboard silently loses those rows vs the batch path
             yield (
-                s.groupby(group_cols, sort=False).head(n)
+                s.groupby(group_cols, sort=False, dropna=False).head(n)
                 if group_cols
                 else s.head(n)
             )

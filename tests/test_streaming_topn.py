@@ -313,3 +313,58 @@ def test_streaming_topn_null_timestamp_survives(spark, tmp_path):
         elif int(r["op"]) == 1 and by_place.get(int(r["place"])) == r["player_id"]:
             del by_place[int(r["place"])]
     assert by_place == {1: "alice", 2: "carol"}
+
+
+def test_streaming_topn_null_partition_key_survives(spark, tmp_path):
+    """Round-8 advice: the stateless pre-shrink's pandas groupby must
+    use dropna=False — Spark's groupBy treats a null partition key as a
+    real group, so null-keyed rows must reach the state task and form
+    their own leaderboard instead of being silently discarded."""
+    d = lambda day: datetime(2024, 1, day, tzinfo=timezone.utc)  # noqa: E731
+    ws = str(tmp_path)
+    scores = Dataset.create(ws, "scores-nk", system_time=d(1).isoformat())
+    w = DataWriter(scores, MergeStrategyLedger(["player_id"]))
+    w.write(
+        spark,
+        spark.createDataFrame(
+            [
+                (d(1), None, "alice", 100),
+                (d(1), None, "bob", 80),
+                (d(1), 2, "carol", 50),
+            ],
+            SCHEMA,
+        ),
+        system_time=d(2),
+    )
+    stream = read_dataset_stream(spark, scores).select(
+        "match_time", "match_id", "player_id", "score"
+    )
+    out = streaming_topn_to_changelog(
+        stream,
+        order_column="score",
+        n=1,
+        payload_columns=["score", "player_id", "match_time"],
+        partition_columns=["match_id"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_nullkey")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (
+            None if r["match_id"] is None else int(r["match_id"]),
+            int(r["op"]),
+            int(r["place"]),
+            r["player_id"],
+        )
+        for r in spark.sql("select * from topn_nullkey").collect()
+    }
+    assert got == {
+        (None, int(Op.APPEND), 1, "alice"),
+        (2, int(Op.APPEND), 1, "carol"),
+    }

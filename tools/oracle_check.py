@@ -75,9 +75,11 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         import time
 
         t0 = time.time()
@@ -127,7 +129,7 @@ def main() -> int:
         else:
             print(f"OK   {name}: {len(srows)} rows ({spark_s:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
     return 1 if failures else 0
 
 
