@@ -101,6 +101,9 @@ def _assign_arrow(
     # int64 fold bit-for-bit after the astype back.
     C = np.array([v for _, v in cents], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
+    # bound-pruning structure for large k (EXACT — see _argmin_block);
+    # built once driver-side, rides the closure like C itself
+    grp = _build_pruning_groups(C)
 
     # Emit WITHOUT the vector column: round-tripping __qe back through
     # Arrow costs ~8·dim bytes/row (1 GB at sf100 — measured 200 s of
@@ -113,24 +116,24 @@ def _assign_arrow(
     out_schema = f"{fields}, dist_e12 bigint, cluster int"
     keep = [f.name for f in qdf.schema.fields if f.name != "__qe"]
 
-    chunk = _score_chunk_rows(len(cids))
+    chunk = _score_chunk_rows(
+        len(cids) if grp is None else max(len(grp[3]), max(m.size for m in grp[3]))
+    )
+    argmin = _argmin_block
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf["__qe"].to_numpy()).astype(np.float64)
+            x_sq_all = (X * X).sum(axis=1)
             best = np.empty(len(pdf), dtype=np.int64)
             dist = np.empty(len(pdf), dtype=np.float64)
-            for s in range(0, len(pdf), chunk):  # cap the rows×k matrix
+            for s in range(0, len(pdf), chunk):  # cap the distance matrix
                 e = min(s + chunk, len(pdf))
-                d = (
-                    (X[s:e] * X[s:e]).sum(axis=1)[:, None]
-                    - 2.0 * (X[s:e] @ C.T)
-                    + c_sq[None, :]
+                best[s:e], dist[s:e] = argmin(
+                    X[s:e], x_sq_all[s:e], C, c_sq, grp
                 )
-                best[s:e] = np.argmin(d, axis=1)
-                dist[s:e] = d[np.arange(e - s), best[s:e]]
             out = pdf[keep].copy()
             out["dist_e12"] = dist.astype(np.int64)
             out["cluster"] = cids[best].astype(np.int32)
@@ -143,6 +146,141 @@ def _score_chunk_rows(k: int) -> int:
     """Rows per scoring chunk so the rows×k float64 distance matrix
     stays ~32 MB regardless of centroid count."""
     return max(64, (1 << 22) // max(1, k))
+
+
+#: From this many centroids on, the Arrow scorer routes through the
+#: bound-pruned two-level structure below. The hierarchy is EXACT — it
+#: is a triangle-inequality pruning of the same flat argmin, never an
+#: approximate router — so this is purely a cost knob: below it the
+#: flat rows×k BLAS matmul is already cheap and the per-group masking
+#: overhead isn't worth it.
+HIER_MIN_K = 64
+
+
+def _build_pruning_groups(C: "np.ndarray"):  # noqa: ANN201 (numpy tuple)
+    """Driver-side pruning structure over the centroid MATRIX (rows
+    ordered by ascending cid): ~√k groups from a small deterministic
+    Lloyd run over the centroids themselves, plus per-group
+    representative, squared norm and covering radius.
+
+    Used by :func:`_argmin_block` to make assignment O(n·√k) instead of
+    O(n·k) while returning the bit-identical flat argmin: a group whose
+    triangle-inequality lower bound ``(‖x−rep‖ − radius)²`` exceeds the
+    current best distance cannot contain the winner (nor an equal-
+    distance tie, thanks to a conservative slack on the bound), so its
+    members are never scored. This is the fit-side counterpart of the
+    IVF family's supercentroid routing (similarity.py) — but exact,
+    because Lloyd's update semantics (and the DuckDB oracle replay) are
+    defined on the full argmin. Cost: O(k·√k·iters) driver-side — for
+    the SemDeDup recipe's k≈n/300 this is ~n/300·√k work ONCE vs n·k
+    work per pass saved on the cluster."""
+    import numpy as np
+
+    k, dim = C.shape
+    if k < HIER_MIN_K:
+        return None
+    G = max(2, int(np.ceil(np.sqrt(k))))
+    # deterministic spread init: every ⌈k/G⌉-th centroid in cid order
+    reps = C[np.linspace(0, k - 1, G).astype(np.int64)].copy()
+    assign = None
+    for _ in range(4):
+        rep_sq = (reps * reps).sum(axis=1)
+        d = (
+            (C * C).sum(axis=1)[:, None]
+            - 2.0 * (C @ reps.T)
+            + rep_sq[None, :]
+        )
+        assign = np.argmin(d, axis=1)
+        for g in range(G):
+            m = assign == g
+            if m.any():  # empty group: rep stays (deterministic)
+                reps[g] = C[m].mean(axis=0)
+    rep_sq = (reps * reps).sum(axis=1)
+    d = (
+        (C * C).sum(axis=1)[:, None]
+        - 2.0 * (C @ reps.T)
+        + rep_sq[None, :]
+    )
+    assign = np.argmin(d, axis=1)
+    members = []
+    radii = []
+    keep_reps = []
+    for g in range(G):
+        m = np.nonzero(assign == g)[0]  # ascending index = ascending cid
+        if m.size == 0:
+            continue
+        members.append(m)
+        # covering radius, nudged up so float sqrt error can only widen
+        radii.append(float(np.sqrt(max(d[m, g].max(), 0.0))) * (1 + 1e-12))
+        keep_reps.append(g)
+    reps = reps[keep_reps]
+    return reps, (reps * reps).sum(axis=1), np.array(radii), members
+
+
+def _argmin_block(X, x_sq, C, c_sq, grp):
+    """Exact lexicographic argmin over centroid rows for a block of
+    rows: returns (best_idx, best_dist) with ties broken to the lowest
+    row index (= lowest cid, rows are cid-ordered). All arithmetic is
+    exact-integer-in-float64 (products ≤ 1.6e13, sums ≤ 4e15 — under
+    2^53), so == comparisons and the returned distances are exact.
+
+    With ``grp`` (from :func:`_build_pruning_groups`) the scan is
+    two-level: score the row's nearest group's members for an upper
+    bound, then score only groups whose conservative lower bound
+    ``(‖x−rep‖−radius)² − slack`` does not exceed it. Groups containing
+    an equal-distance tie always survive the prune (the slack is
+    strictly positive), so tie-breaks match the flat path bit-for-bit.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    if grp is None:
+        d = x_sq[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+        best = np.argmin(d, axis=1)
+        return best, d[np.arange(n), best]
+
+    reps, rep_sq, radii, members = grp
+    dg = x_sq[:, None] - 2.0 * (X @ reps.T) + rep_sq[None, :]
+    np.maximum(dg, 0.0, out=dg)
+    lb = np.sqrt(dg) - radii[None, :]
+    np.maximum(lb, 0.0, out=lb)
+    lb2 = lb * lb
+    # conservative slack: sqrt/matmul float error is ulp-scale (≤1e-12
+    # relative at these magnitudes); subtracting 1e-9·lb2 + 16 means a
+    # group is pruned only when its true minimum strictly exceeds the
+    # current best — equal-distance ties always get scored.
+    lb2 -= lb2 * 1e-9 + 16.0
+    nearest = np.argmin(dg, axis=1)
+    best_dist = np.full(n, np.inf)
+    best_idx = np.zeros(n, dtype=np.int64)
+    rows_all = np.arange(n)
+    # pass 1: the nearest group's members give a tight upper bound
+    for g in range(len(members)):
+        rows = rows_all[nearest == g]
+        if rows.size == 0:
+            continue
+        M = members[g]
+        d = x_sq[rows, None] - 2.0 * (X[rows] @ C[M].T) + c_sq[M][None, :]
+        j = np.argmin(d, axis=1)  # first min = lowest cid in group
+        best_dist[rows] = d[np.arange(rows.size), j]
+        best_idx[rows] = M[j]
+    # pass 2: any other group whose lower bound can still win or tie
+    for g in range(len(members)):
+        rows = rows_all[(lb2[:, g] <= best_dist) & (nearest != g)]
+        if rows.size == 0:
+            continue
+        M = members[g]
+        d = x_sq[rows, None] - 2.0 * (X[rows] @ C[M].T) + c_sq[M][None, :]
+        j = np.argmin(d, axis=1)
+        dm = d[np.arange(rows.size), j]
+        cand = M[j]
+        upd = (dm < best_dist[rows]) | (
+            (dm == best_dist[rows]) & (cand < best_idx[rows])
+        )
+        r = rows[upd]
+        best_dist[r] = dm[upd]
+        best_idx[r] = cand[upd]
+    return best_idx, best_dist
 
 
 def _update_arrow(
@@ -164,10 +302,12 @@ def _update_arrow(
     C = np.array([v for _, v in cents], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
     k, dim = C.shape
+    grp = _build_pruning_groups(C)  # EXACT bound-pruned scan for big k
 
-    chunk = _score_chunk_rows(k)  # captured by value: workers must not
-    # need the module importable (cloudpickle serializes closures that
-    # call module-level functions BY REFERENCE)
+    chunk = _score_chunk_rows(
+        k if grp is None else max(len(grp[3]), max(m.size for m in grp[3]))
+    )
+    argmin = _argmin_block
 
     def upd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sums = np.zeros((k, dim), dtype=np.float64)
@@ -176,14 +316,10 @@ def _update_arrow(
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf["__qe"].to_numpy()).astype(np.float64)
-            for s in range(0, len(pdf), chunk):  # cap the rows×k matrix
+            x_sq_all = (X * X).sum(axis=1)
+            for s in range(0, len(pdf), chunk):  # cap the distance matrix
                 e = min(s + chunk, len(pdf))
-                d = (
-                    (X[s:e] * X[s:e]).sum(axis=1)[:, None]
-                    - 2.0 * (X[s:e] @ C.T)
-                    + c_sq[None, :]
-                )
-                best = np.argmin(d, axis=1)
+                best, _ = argmin(X[s:e], x_sq_all[s:e], C, c_sq, grp)
                 np.add.at(sums, best, X[s:e])
                 cnts += np.bincount(best, minlength=k)
         live = np.nonzero(cnts)[0]

@@ -963,3 +963,123 @@ def contamination_check(
         .cast("long")
         .alias("contamination_e6"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Substring-level EXACT dedup (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): find every maximal token span of length ≥ `min_len`
+    whose text appears verbatim more than once in the corpus (across
+    OR within documents), as (id, span_start, span_end, span_tokens)
+    with 0-based inclusive token positions.
+
+    Semantics: a token lies inside a repeated span of length ≥ L iff
+    it is covered by at least one duplicated L-token window, so the
+    union of duplicated L-windows — merged into maximal runs — is
+    exactly the repeated-substring cover. This is the shingle-join
+    formulation of suffix-array dedup: same answer, but expressed as
+    one count shuffle + one join + one per-doc window instead of a
+    global suffix sort, so it distributes (the reference engine has no
+    counterpart; this is a training-data-pipeline operator).
+
+    Scale design (100 TB): windows are keyed by md5(gram) — fixed
+    ~50 B/occurrence into the count shuffle regardless of L, with
+    map-side combine on the count; the join back ships only positions;
+    the island merge is one window over (id, pos). All JVM built-ins —
+    no Python in the plan (asserted in tests/test_plan_shapes.py).
+    md5's 128 bits keep cross-gram collisions negligible at any corpus
+    size (~1e-18 at 1e12 distinct grams). DuckDB twin:
+    O_SUBSTRING_DEDUP in __spark_entry__.py."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    from pyspark.sql import Window
+
+    L = min_len
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(shingles(F.col(text_col), n=L)).alias("pos", "gram"),
+        )
+        .select(id_col, "pos", F.md5(F.col("gram")).alias("__k"))
+    )
+    dup = (
+        occ.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__k")
+    )
+    hits = occ.join(dup, "__k").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gapped = hits.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0),
+    )
+    isl = gapped.withColumn("__island", F.sum("__new").over(w))
+    return isl.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (L - 1)).alias("span_end"),
+        (F.max("pos") + (L - 1) - F.min("pos") + 1).alias("span_tokens"),
+    ).drop("__island")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Remove every token covered by a duplicated ≥ `min_len`-token
+    span (ALL occurrences — boilerplate-removal semantics; keeping one
+    canonical copy is a policy layered on :func:`duplicate_spans`, not
+    baked in here). Returns (id, clean_text, kept_tokens,
+    removed_tokens); tokenization is the family's lowercased
+    whitespace split, so clean_text is normalized like every other
+    text operator here.
+
+    The covered-position set explodes only DUPLICATED windows (L rows
+    per hit, not per token), anti-joins the token table on (id, tok),
+    and re-assembles with an order-preserving collect over a per-doc
+    sort — one extra shuffle over :func:`duplicate_spans`."""
+    spans = duplicate_spans(df, id_col, text_col, min_len)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("tok"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            tokens(F.lower(F.col(text_col)))
+        ).alias("tok", "word"),
+    )
+    kept = toks.join(covered, [id_col, "tok"], "left_anti")
+    n_tok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tok"), F.col("word")))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    return (
+        n_tok.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            (F.col("__n") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
+                "removed_tokens"
+            ),
+        )
+    )

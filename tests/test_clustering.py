@@ -104,3 +104,58 @@ class TestKMeans:
         out = kmeans_assign(df, k=4, n_updates=1)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestHierarchicalAssignment:
+    """Round-9: bound-pruned two-level assignment (O(n·√k)) must be
+    bit-identical to the flat argmin — it is a triangle-inequality
+    pruning, not an approximate router, so oracle parity is by
+    construction."""
+
+    def test_pruned_argmin_matches_flat_including_ties(self):
+        import numpy as np
+
+        from kamu_cli_spark.operators.clustering import (
+            _argmin_block,
+            _build_pruning_groups,
+        )
+
+        rng = np.random.default_rng(7)
+        k, dim, n = 300, 16, 4000
+        C = rng.integers(-4_000_000, 4_000_000, (k, dim)).astype(np.float64)
+        # duplicate centroids force exact distance ties across groups
+        C[50] = C[10]
+        C[299] = C[0]
+        X = rng.integers(-4_000_000, 4_000_000, (n, dim)).astype(np.float64)
+        X[:20] = C[10]  # rows AT tied centroids: dist 0, two winners
+        X[20:40] = C[0]
+        x_sq = (X * X).sum(axis=1)
+        c_sq = (C * C).sum(axis=1)
+        grp = _build_pruning_groups(C)
+        assert grp is not None
+        assert sum(m.size for m in grp[3]) == k
+        bi_f, bd_f = _argmin_block(X, x_sq, C, c_sq, None)
+        bi_p, bd_p = _argmin_block(X, x_sq, C, c_sq, grp)
+        assert (bd_f == bd_p).all()
+        assert (bi_f == bi_p).all()
+        # the tie rows resolved to the LOWEST index of the duplicates
+        assert (bi_p[:20] == 10).all() and (bi_p[20:40] == 0).all()
+        assert (bd_p[:40] == 0).all()
+
+    def test_kmeans_assign_hier_path_matches_flat(self, spark, monkeypatch):
+        """k=64 triggers the hierarchy (HIER_MIN_K); forcing the flat
+        scan via the threshold must give the identical assignment."""
+        import kamu_cli_spark.operators.clustering as cl
+
+        df = _planted(spark, per=40, d=8)
+        assert cl.HIER_MIN_K <= 64
+        hier = {
+            (r["vec_id"], r["cluster"], r["dist_e12"])
+            for r in kmeans_assign(df, k=64, n_updates=2).collect()
+        }
+        monkeypatch.setattr(cl, "HIER_MIN_K", 10**9)
+        flat = {
+            (r["vec_id"], r["cluster"], r["dist_e12"])
+            for r in kmeans_assign(df, k=64, n_updates=2).collect()
+        }
+        assert hier == flat

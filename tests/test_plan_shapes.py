@@ -62,7 +62,10 @@ class TestJoinStrategy:
          # from per-cluster Arrow groups, never a corpus cross join
          "documents_cross_bloom", "embeddings_kmeans",
          "embeddings_semantic_dedup", "documents_gram_novelty",
-         "documents_stratified_sample"],
+         "documents_stratified_sample",
+         # round-9: hierarchical assignment stays map-only; substring
+         # dedup candidates come from an md5-key equi-join + window
+         "embeddings_kmeans_hier", "documents_substring_dedup"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
