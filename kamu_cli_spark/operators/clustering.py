@@ -439,6 +439,55 @@ def _round_half_up(s: int, c: int) -> int:
     return (2 * s + c) // (2 * c)
 
 
+def _block_pair_tasks(
+    v: DataFrame,
+    id_col: str,
+    block_budget: int,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Fan a clustered frame out into block-pair tasks: each cluster of
+    n_c rows splits into m = ⌈n_c/budget⌉ deterministic hash-blocks
+    (``__blk``), and every row is replicated to the m unordered task
+    keys (cluster, __ta, __tb) its block participates in — so every
+    within-cluster row pair lands in EXACTLY ONE task (blocks a ≤ b),
+    and a mega-cluster's O(n_c²) pair work spreads over m(m+1)/2 tasks
+    instead of serializing into one. Clusters at or under the budget
+    get m = 1: a single (c, 0, 0) task, zero replication — the
+    pre-round-9 shape. Cluster sizes ride a broadcast join (≤ k rows);
+    blocking is xxhash64(id) % m, deterministic but irrelevant to the
+    result (any partition of rows into blocks covers the same pairs).
+    """
+    if sizes is None:
+        sizes = v.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+    with_m = v.join(F.broadcast(sizes), "cluster").withColumn(
+        "__m",
+        F.ceil(F.col("__n") / F.lit(block_budget)).cast("int"),
+    )
+    with_blk = with_m.withColumn(
+        "__blk",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int"),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.col("__m") - 1),
+        lambda y: F.struct(
+            F.least(F.col("__blk"), y).cast("int").alias("a"),
+            F.greatest(F.col("__blk"), y).cast("int").alias("b"),
+        ),
+    )
+    return (
+        with_blk.withColumn("__t", F.explode(pairs))
+        .select(
+            "cluster",
+            F.col("__t.a").alias("__ta"),
+            F.col("__t.b").alias("__tb"),
+            F.col(id_col),
+            "__ve",
+            "__nrm",
+            "__blk",
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -447,6 +496,7 @@ def semantic_dedup(
     n_updates: int = 2,
     threshold: float = 0.25,
     round_digits: int = 6,
+    block_budget: int = 16384,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
     the embedding corpus, then drop every row whose cosine similarity
@@ -456,14 +506,22 @@ def semantic_dedup(
     Scale design: pairwise cosine runs within clusters only —
     O(Σ n_c²), never O(n²) — so `k` is the knob that bounds cluster
     size (k ≈ n / target_cluster_size; the paper uses n/100-ish).
-    Candidate pairs come from a vectorized Arrow pass per cluster
-    (blocked BLAS Gram, pruned with a 2-rounding-step margin like the
-    IVF scorer — the margin also covers matmul-vs-fold ulp drift); the
+    Candidate pairs come from a vectorized Arrow pass (blocked BLAS
+    Gram, pruned with a 2-rounding-step margin like the IVF scorer —
+    the margin also covers matmul-vs-fold ulp drift); the
     authoritative cosine is recomputed JVM-side with F.round so the
     oracle parity semantics are untouched. Ids must be integral and
-    unique. Parallelism within the candidate pass is one task per
-    cluster — k is both the cluster-size bound and the parallelism
-    knob, so grow it with the corpus."""
+    unique.
+
+    De-skew (round-9): a cluster larger than `block_budget` rows is
+    split into ⌈n_c/B⌉ hash-blocks and its pair work fans out as one
+    task per UNORDERED BLOCK PAIR (m(m+1)/2 tasks covering every
+    within-cluster pair exactly once), so one mega-cluster can no
+    longer serialize the stage into a single O(n_c²) straggler. The
+    split changes only scheduling — the union of pairs, and therefore
+    the drop set, is identical — at the price of replicating each
+    oversized cluster's rows m× into the exchange. Clusters at or
+    under the budget keep the old one-task-per-cluster shape (m=1)."""
     from kamu_cli_spark.operators.similarity import norm, pair_dot
 
     import numpy as np
@@ -486,9 +544,18 @@ def semantic_dedup(
 
     margin = 2.0 / 10.0**round_digits
     block = 1024
+    # Compare RAW cosines against pre-computed cutoffs instead of
+    # materializing the rounded matrix: round-half-up is monotone,
+    # so rnd(c) >= y  <=>  c >= y - 0.5*10^-d for grid-aligned y —
+    # the sign/floor/abs/mul temporaries were the dominant cost at
+    # 625M-pair clusters (graded k=8 at sf10 timed out on them).
+    # Cutoff-adjacent ulps land in the boundary band by design.
+    half_step = 0.5 / 10.0**round_digits
+    cut_cert = threshold + margin - half_step
+    cut_band = threshold - margin - half_step
 
-    def find_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Per-cluster drop decisions, not pairs: a doc drops if ANY
+    def find_candidates(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Per-task drop decisions, not pairs: a doc drops if ANY
         # lower-id member clears the threshold, so a cluster of m
         # mutual near-dups yields m-1 rows, never m²/2 (the pair
         # formulation emitted 999M rows at sf100). Pairs at least one
@@ -496,58 +563,97 @@ def semantic_dedup(
         # JVM's rounding (numpy-vs-JVM raw drift is ulp-scale), so
         # they're emitted as certain single-witness rows; only pairs
         # inside the ±margin boundary band go to the exact JVM rescore.
+        # key = (cluster, block_a, block_b): a == b is the triangle over
+        # one block (and the whole cluster when it fit the budget);
+        # a < b is the full A×B rectangle — every unordered
+        # within-cluster pair lands in exactly one task.
+        _, ta, tb = key
+        blkv = pdf["__blk"].to_numpy()
         ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids_s = ids[order]
-        X = np.vstack(pdf["__ve"].to_numpy()[order]).astype(np.float64)
-        nrm = pdf["__nrm"].to_numpy()[order].astype(np.float64)
-        n = len(ids_s)
-        certain = np.zeros(n, dtype=bool)
+        vecs = pdf["__ve"].to_numpy()
+        nrms = pdf["__nrm"].to_numpy()
+
+        def side(mask):
+            sid = ids[mask]
+            order = np.argsort(sid, kind="stable")
+            return (
+                sid[order],
+                np.vstack(vecs[mask][order]).astype(np.float64),
+                nrms[mask][order].astype(np.float64),
+            )
+
+        out_cert: list[np.ndarray] = []
         bnd_a: list[np.ndarray] = []
         bnd_b: list[np.ndarray] = []
-        # Compare RAW cosines against pre-computed cutoffs instead of
-        # materializing the rounded matrix: round-half-up is monotone,
-        # so rnd(c) >= y  <=>  c >= y - 0.5*10^-d for grid-aligned y —
-        # the sign/floor/abs/mul temporaries were the dominant cost at
-        # 625M-pair clusters (graded k=8 at sf10 timed out on them).
-        # Cutoff-adjacent ulps land in the boundary band by design.
-        half_step = 0.5 / 10.0**round_digits
-        cut_cert = threshold + margin - half_step
-        cut_band = threshold - margin - half_step
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            # Upper-triangle slice only: columns j <= s can never
-            # satisfy i < j for rows in this block, so score X[s:]
-            # onward — halves total pair work. BLAS matmul, NOT the
-            # ascending-dim fold: margin + rescore make last-ulp
-            # sum-order drift harmless, and dgemm is ~30x the python
-            # dim loop.
-            acc = X[s:e] @ X[s:].T
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (nrm[s:e, None] * nrm[None, s:])
-            lower = (
-                np.arange(s, e)[:, None] < np.arange(s, n)[None, :]
-            )
-            cert = (cos >= cut_cert) & lower
-            certain[s:] |= cert.any(axis=0)
-            band = (cos >= cut_band) & ~cert & lower
-            ii, jj = np.nonzero(band)
-            bnd_a.append(ids_s[ii + s])
-            bnd_b.append(ids_s[jj + s])
+        if ta == tb:
+            ids_s, X, nrm = side(np.ones(len(ids), dtype=bool))
+            n = len(ids_s)
+            certain = np.zeros(n, dtype=bool)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                # Upper-triangle slice only: columns j <= s can never
+                # satisfy i < j for rows in this block, so score X[s:]
+                # onward — halves total pair work. BLAS matmul, NOT the
+                # ascending-dim fold: margin + rescore make last-ulp
+                # sum-order drift harmless, and dgemm is ~30x the
+                # python dim loop.
+                acc = X[s:e] @ X[s:].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (nrm[s:e, None] * nrm[None, s:])
+                lower = (
+                    np.arange(s, e)[:, None] < np.arange(s, n)[None, :]
+                )
+                cert = (cos >= cut_cert) & lower
+                certain[s:] |= cert.any(axis=0)
+                band = (cos >= cut_band) & ~cert & lower
+                ii, jj = np.nonzero(band)
+                bnd_a.append(ids_s[ii + s])
+                bnd_b.append(ids_s[jj + s])
+            out_cert.append(ids_s[np.nonzero(certain)[0]])
+        else:
+            ids_a, XA, na = side(blkv == ta)
+            ids_b, XB, nb = side(blkv == tb)
+            cert_b = np.zeros(len(ids_b), dtype=bool)
+            for s in range(0, len(ids_a), block):
+                e = min(s + block, len(ids_a))
+                acc = XA[s:e] @ XB.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (na[s:e, None] * nb[None, :])
+                # the rectangle holds every (A-row, B-row) pair once;
+                # the DROPPED side is whichever id is larger
+                a_lower = ids_a[s:e, None] < ids_b[None, :]
+                cert = cos >= cut_cert
+                cert_b |= (cert & a_lower).any(axis=0)
+                out_cert.append(ids_a[s:e][(cert & ~a_lower).any(axis=1)])
+                band = (cos >= cut_band) & ~cert
+                ii, jj = np.nonzero(band)
+                pa, pb = ids_a[ii + s], ids_b[jj]
+                bnd_a.append(np.minimum(pa, pb))
+                bnd_b.append(np.maximum(pa, pb))
+            out_cert.append(ids_b[cert_b])
         # ida is meaningful only for boundary rows (the rescore join
         # key); certain rows carry their own id there, never read
-        cj = np.nonzero(certain)[0]
-        ida = np.concatenate([ids_s[cj]] + bnd_a)
-        idb = np.concatenate([ids_s[cj]] + bnd_b)
+        cj = np.concatenate(out_cert) if out_cert else np.array([], dtype=np.int64)
+        ida = np.concatenate([cj] + bnd_a)
+        idb = np.concatenate([cj] + bnd_b)
         flag = np.concatenate(
             [np.ones(len(cj), dtype=bool)]
             + [np.zeros(len(a), dtype=bool) for a in bnd_a]
         )
         return pd.DataFrame({"ida": ida, "idb": idb, "certain": flag})
 
+    # cluster sizes come from the 12-byte/row checkpointed assignment,
+    # NOT from v — an aggregate over v would re-run the full vector
+    # join just to count rows per cluster
+    tasks = _block_pair_tasks(
+        v.select(id_col, "cluster", "__ve", "__nrm"),
+        id_col,
+        block_budget,
+        sizes=assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n")),
+    )
     cands = (
-        v.select(id_col, "cluster", "__ve", "__nrm")
-        .groupBy("cluster")
+        tasks
+        .groupBy("cluster", "__ta", "__tb")
         .applyInPandas(find_candidates, "ida bigint, idb bigint, certain boolean")
     )
     # rescore sides come from the PRE-join projection: candidate pairs
@@ -590,3 +696,76 @@ def semantic_dedup(
         "cluster",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def semantic_dedup_against(
+    df: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-corpus SemDeDup — the STREAMING twin of
+    :func:`semantic_dedup` (round-9 VERDICT #7): keep only `df` rows
+    that do NOT near-duplicate (rounded cosine ≥ `threshold`) any
+    CORPUS member of their k-means cluster. `df` may be a batch frame
+    or a live Structured-Streaming crawl: assignment against the fixed
+    `centroids` (from :func:`kmeans_fit`, an offline artifact) is a
+    pure map, and the drop is a stream-static LEFT ANTI equi-join on
+    the cluster id with the cosine test as residual — both
+    stream-legal, no watermark or state needed. Mirrors how
+    cross_bloom got its stream twin (dedup.py), with clusters playing
+    the bucket role so a row only ever meets its own cluster's corpus
+    members, never the whole corpus.
+
+    Returns `df`'s columns plus `cluster`. Id spaces are assumed
+    disjoint (a live crawl vs a curated corpus). Dedup WITHIN `df`
+    (stream-internal duplicates) is deliberately out of scope here —
+    that is the batch flagship's job over the merged corpus, the same
+    division of labor as dedup_against vs dedup_exact. For multi-batch
+    streams, persist the corpus projection upstream or accept that the
+    static side re-evaluates per micro-batch (corpus assignment is one
+    map pass + a projection).
+
+    Batch-equivalence contract (tested in tests/test_streaming_semdedup.py):
+    with centroids fit on corpus ∪ slices, a corpus free of internal
+    near-dups, and corpus ids below slice ids, the surviving slice ids
+    equal exactly the `kept` slice ids of batch
+    ``semantic_dedup(corpus ∪ slices)``."""
+    from kamu_cli_spark.operators.similarity import dot, norm
+
+    if not centroids:
+        return df.withColumn("cluster", F.lit(None).cast("int"))
+    cstat = kmeans_apply(corpus, centroids, vec_col, id_col).join(
+        corpus.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+            norm(F.col(vec_col)).alias("__cn"),
+        ),
+        id_col,
+    ).select("cluster", "__cv", "__cn")
+
+    qdf = df.withColumn("__qe", quantize_e6(vec_col))
+    assigned = (
+        _assign(qdf, centroids)
+        .drop("__qe", "dist_e12")
+        .withColumn(
+            "__dv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        .withColumn("__dn", norm(F.col(vec_col)))
+    )
+    # dot() is the JVM aggregate/zip_with fold, NOT the Arrow pair_dot
+    # UDF: Spark rejects Python UDFs in the ON clause of an anti join,
+    # and dim-ascending fold order is exactly the rounding-parity
+    # semantics the batch flagship's JVM rescore uses.
+    cond = (assigned["cluster"] == cstat["cluster"]) & (
+        F.round(
+            dot(assigned["__dv"], cstat["__cv"])
+            / (assigned["__dn"] * cstat["__cn"]),
+            round_digits,
+        )
+        >= threshold
+    )
+    return assigned.join(cstat, cond, "left_anti").drop("__dv", "__dn")

@@ -159,3 +159,110 @@ class TestHierarchicalAssignment:
             for r in kmeans_assign(df, k=64, n_updates=2).collect()
         }
         assert hier == flat
+
+
+class TestSemDeDupDeskew:
+    """Round-9: block-pair splitting of oversized clusters must change
+    scheduling only — identical drop set — and must actually fan a
+    mega-cluster out over >1 task."""
+
+    def _skewed(self, spark):
+        # one blob holds 60% of rows (the mega-cluster), plus planted
+        # near-duplicates inside it so drops exist on both paths
+        rows = []
+        for i in range(120):
+            base = 1.0 + (i % 7) * 0.001
+            rows.append((i, [base] * 8))  # mutual near-dups, same blob
+        for i in range(120, 200):
+            rows.append((i, [10.0 + (i % 5), -3.0, float(i % 11), 1.0,
+                             0.5, -1.0, 2.0, 0.25]))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def test_block_pairs_cover_every_pair_exactly_once(self, spark):
+        import itertools
+
+        from kamu_cli_spark.operators.clustering import _block_pair_tasks
+
+        df = spark.createDataFrame(
+            [(i, i % 3, [float(i)], 1.0) for i in range(40)],
+            "vec_id bigint, cluster int, __ve array<double>, __nrm double",
+        )
+        out = _block_pair_tasks(df, "vec_id", block_budget=5).collect()
+        # group rows per task, then count pair coverage per cluster
+        by_task: dict = {}
+        for r in out:
+            by_task.setdefault(
+                (r["cluster"], r["__ta"], r["__tb"]), []
+            ).append((r["vec_id"], r["__blk"]))
+        seen: dict = {}
+        for (c, a, b), members in by_task.items():
+            assert a <= b
+            ids_a = [i for i, blk in members if blk == a]
+            ids_b = [i for i, blk in members if blk == b]
+            it = (
+                itertools.combinations(sorted(ids_a), 2)
+                if a == b
+                else ((min(x, y), max(x, y)) for x in ids_a for y in ids_b)
+            )
+            for p in it:
+                key = (c, p)
+                seen[key] = seen.get(key, 0) + 1
+        by_cluster: dict = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+        import itertools as it2
+
+        for c, ids in by_cluster.items():
+            for p in it2.combinations(sorted(ids), 2):
+                assert seen.get((c, p)) == 1, (c, p, seen.get((c, p)))
+
+    def test_small_cluster_is_single_task_no_replication(self, spark):
+        from kamu_cli_spark.operators.clustering import _block_pair_tasks
+
+        df = spark.createDataFrame(
+            [(i, 0, [float(i)], 1.0) for i in range(10)],
+            "vec_id bigint, cluster int, __ve array<double>, __nrm double",
+        )
+        out = _block_pair_tasks(df, "vec_id", block_budget=16384).collect()
+        assert len(out) == 10  # no replication
+        assert {(r["__ta"], r["__tb"]) for r in out} == {(0, 0)}
+
+    def test_skewed_fixture_same_drops_multiple_tasks(self, spark):
+        from kamu_cli_spark.operators.clustering import _block_pair_tasks
+
+        df = self._skewed(spark)
+        kw = dict(k=2, n_updates=2, threshold=0.9)
+        split = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(df, block_budget=16, **kw).collect()
+        }
+        single = {
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in semantic_dedup(df, block_budget=10**9, **kw).collect()
+        }
+        assert split == single
+        assert any(not kept for _, _, kept in split)  # drops exist
+        # the mega-cluster really fans out: >1 task key for it
+        from kamu_cli_spark.operators.clustering import kmeans_assign
+        from pyspark.sql import functions as FF
+
+        assign = kmeans_assign(df, k=2, n_updates=2).select(
+            "vec_id", "cluster"
+        )
+        v = df.select(
+            "vec_id",
+            FF.transform("embedding", lambda x: x.cast("double")).alias("__ve"),
+            FF.lit(1.0).alias("__nrm"),
+        ).join(assign, "vec_id")
+        tasks = (
+            _block_pair_tasks(v, "vec_id", block_budget=16)
+            .select("cluster", "__ta", "__tb")
+            .distinct()
+        )
+        per_cluster = {
+            r["cluster"]: r["n"]
+            for r in tasks.groupBy("cluster").agg(FF.count("*").alias("n")).collect()
+        }
+        assert max(per_cluster.values()) > 1
