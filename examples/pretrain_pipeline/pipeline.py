@@ -8,6 +8,9 @@ runs, in the canonical order:
       └─ 1. quality filter   (Gopher-style rule battery, keep/drop)
       └─ 2. PII scrub audit  (emails/IPs/phones counted + fingerprint)
       └─ 3. exact dedup      (normalized-text fingerprint, min-id wins)
+      └─ 3b. substring dedup (optional: Lee et al. ExactSubstr —
+                              strip every token span ≥ L repeated
+                              verbatim anywhere in the corpus)
       └─ 4. near-dup dedup   (MinHash → LSH bands → connected
                               components; cluster min-id wins)
       └─ 4b. semantic dedup  (optional, needs embeddings: k-means
@@ -46,6 +49,7 @@ from kamu_cli_spark.operators.dedup import (
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signature,
+    strip_duplicate_spans,
 )
 from kamu_cli_spark.operators.clustering import semantic_dedup
 from kamu_cli_spark.operators.sampling import (
@@ -86,6 +90,7 @@ def run_pipeline(
     vec_col: str = "embedding",
     sem_k: int = 8,
     sem_threshold: float = 0.35,
+    substring_min_len: int | None = None,
 ) -> PipelineResult:
     """Run the full curation pipeline over `docs`; outputs are
     unmaterialized DataFrames so a caller can sink each stage into a
@@ -115,6 +120,20 @@ def run_pipeline(
     exact = dedup_exact(good, id_col, text_col=text_col)
     exact_survivors = exact.filter(F.col("is_canonical")).select(id_col)
     uniq = good.join(exact_survivors, id_col, "left_semi")
+
+    # 3b. optional substring-level dedup (round-9): strip every token
+    # span ≥ substring_min_len repeated verbatim anywhere in the
+    # surviving corpus (boilerplate removal); downstream stages see the
+    # stripped text, so near-dup/semantic stages stop matching docs on
+    # shared boilerplate alone
+    if substring_min_len is not None:
+        stripped = strip_duplicate_spans(
+            uniq, id_col, text_col=text_col, min_len=substring_min_len
+        )
+        uniq = uniq.drop(text_col).join(
+            stripped.select(id_col, F.col("clean_text").alias(text_col)),
+            id_col,
+        )
 
     # 4. near-dup dedup: LSH candidates -> components -> min-id wins
     sig = minhash_signature(

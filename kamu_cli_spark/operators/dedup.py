@@ -965,6 +965,55 @@ def contamination_check(
     )
 
 
+def _span_occurrences_arrow(
+    df: DataFrame, id_col: str, text_col: str, L: int
+) -> DataFrame:
+    """(id, pos, __kh, __kl) rows — one per L-token window — via the
+    family's Arrow shingling pattern (same re.ASCII ``\\s+`` split and
+    lowercase as :func:`explode_shingles_arrow`), with the window text
+    keyed by its FULL md5 digest as two int64s. Per-batch memo: gram
+    frequencies are Zipfian, so most occurrences hash once."""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, int]] = {}
+
+        def key(g: str) -> tuple[int, int]:
+            k = memo.get(g)
+            if k is None:
+                d = hashlib.md5(g.encode("utf-8")).digest()
+                k = (
+                    int.from_bytes(d[:8], "big", signed=True),
+                    int.from_bytes(d[8:], "big", signed=True),
+                )
+                memo[g] = k
+            return k
+
+        for pdf in batches:
+            ids, poses, khs, kls = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                for p in range(len(toks) - L + 1):
+                    kh, kl = key(" ".join(toks[p : p + L]))
+                    ids.append(i)
+                    poses.append(p)
+                    khs.append(kh)
+                    kls.append(kl)
+            yield pd.DataFrame(
+                {id_col: ids, "pos": poses, "__kh": khs, "__kl": kls}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"`{id_col}` long, pos int, __kh long, __kl long"
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -987,33 +1036,34 @@ def duplicate_spans(
     global suffix sort, so it distributes (the reference engine has no
     counterpart; this is a training-data-pipeline operator).
 
-    Scale design (100 TB): windows are keyed by md5(gram) — fixed
-    ~50 B/occurrence into the count shuffle regardless of L, with
-    map-side combine on the count; the join back ships only positions;
-    the island merge is one window over (id, pos). All JVM built-ins —
-    no Python in the plan (asserted in tests/test_plan_shapes.py).
-    md5's 128 bits keep cross-gram collisions negligible at any corpus
-    size (~1e-18 at 1e12 distinct grams). DuckDB twin:
-    O_SUBSTRING_DEDUP in __spark_entry__.py."""
+    Scale design (100 TB): windows are emitted by the family's Arrow
+    shingler (the interpreted higher-order slice/array_join expression
+    path measured 72 s vs ~6 s at sf1) and keyed by the FULL 128-bit
+    md5 as an int64 PAIR — 20 B/occurrence into the count shuffle
+    regardless of L, with map-side combine on the count; the join back
+    ships only positions; the island merge is one window over
+    (id, pos). 128 bits keep cross-gram collisions negligible at any
+    corpus size (~1e-18 at 1e12 distinct grams). DuckDB twin:
+    O_SUBSTRING_DEDUP in __spark_entry__.py (same spans via md5 hex
+    strings — the key representation is internal to each engine)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     from pyspark.sql import Window
 
     L = min_len
-    occ = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(shingles(F.col(text_col), n=L)).alias("pos", "gram"),
-        )
-        .select(id_col, "pos", F.md5(F.col("gram")).alias("__k"))
-    )
-    dup = (
-        occ.groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    occ = _span_occurrences_arrow(df, id_col, text_col, L)
+    # ONE pass over the windows: a per-key window count marks
+    # duplicated grams in the same shuffle that would have fed a
+    # groupBy — the groupBy+join-back formulation scanned (and Arrow-
+    # shingled) the corpus twice and paid a second full-size exchange
+    # for the join probe side (sf1: 14.0 s -> 9.2 s; the remaining
+    # floor is one Arrow shingling pass + one keyed exchange)
+    wk = Window.partitionBy("__kh", "__kl")
+    hits = (
+        occ.withColumn("__c", F.count(F.lit(1)).over(wk))
         .filter(F.col("__c") >= 2)
-        .select("__k")
+        .select(id_col, "pos")
     )
-    hits = occ.join(dup, "__k").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     gapped = hits.withColumn(
         "__new",

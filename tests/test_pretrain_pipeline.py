@@ -151,3 +151,29 @@ def test_semantic_stage_drops_embedding_neardups(spark):
     # determinism of the composed run
     again = run_pipeline(spark, docs, seq_len=256, embeddings=emb)
     assert kept_ids == {r["doc_id"] for r in again.kept.collect()}
+
+
+def test_substring_stage_strips_shared_boilerplate(spark):
+    """Round-9 stage 3b: a long boilerplate footer shared by otherwise
+    distinct docs is stripped before near-dup/semantic stages, and the
+    docs survive with their unique bodies."""
+    from examples.pretrain_pipeline.pipeline import run_pipeline
+
+    # bodies pass the quality gate: stopwords present, sane word lengths
+    footer = "the terms of use for legal" + " " + " ".join(
+        f"law{i}" for i in range(6)
+    )  # 12 tokens
+    bodies = [
+        "the data in row " + " ".join(f"word{i}{j}" for j in range(26))
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{bodies[i]} {footer}") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    res = run_pipeline(spark, docs, substring_min_len=8, vocab_k=50)
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert set(kept) == {0, 1, 2}  # all three survive (bodies distinct)
+    for i in range(3):
+        assert "legal0" not in kept[i]
+        assert kept[i] == bodies[i]
