@@ -80,3 +80,29 @@ def test_streaming_apply_large_model_arrow_path(spark, tmp_path):
         for r in kmeans_apply(batch, cents).collect()
     }
     assert got == want
+
+
+def test_streaming_apply_hierarchical_path(spark, tmp_path):
+    # round-9: k >= HIER_MIN_K routes the Arrow scorer through the
+    # bound-pruned groups; the prune is exact, so a stream scored with
+    # the big model must match the batch assignment bit-for-bit
+    src = tmp_path / "vecs"
+    src.mkdir()
+    batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(batch, k=64, n_updates=1)
+    from kamu_cli_spark.operators.clustering import HIER_MIN_K
+
+    assert len(cents) >= HIER_MIN_K
+    batch.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    scored = kmeans_apply(stream, cents)
+    _run_stream(spark, scored, "kmeans_stream_hier", tmp_path / "ckpt")
+    got = {
+        (r.vec_id, r.cluster, r.dist_e12)
+        for r in spark.sql("SELECT * FROM kmeans_stream_hier").collect()
+    }
+    want = {
+        (r.vec_id, r.cluster, r.dist_e12)
+        for r in kmeans_apply(batch, cents).collect()
+    }
+    assert got == want
