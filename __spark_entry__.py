@@ -3302,6 +3302,57 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_documents_contaminated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level contamination (dedup.py:contaminated_spans): for
+    each crawl doc (doc_id % 10 != 0), the maximal ≥8-token spans that
+    appear verbatim in the eval set (doc_id % 10 == 0) — the positional
+    decontamination complement of documents_contamination's gram-ratio
+    audit (GPT-3 App. C redacts exactly these windows). Pure map: the
+    eval window keys are a bounded driver artifact, membership + island
+    merge run inside one stateless Arrow kernel (stream-legal)."""
+    from kamu_cli_spark.operators.dedup import contaminated_spans
+
+    d = load_table(spark, sf, "documents")
+    return contaminated_spans(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        min_len=8,
+    )
+
+
+O_CONTAMINATED_SPANS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+7], ' ')) AS k
+  FROM words, UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)
+),
+ref AS (SELECT DISTINCT k FROM sh WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT doc_id, pos FROM sh JOIN ref USING (k) WHERE doc_id % 10 != 0
+),
+gapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS newi
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM gapped
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -3411,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_gram_novelty": q_documents_gram_novelty,
         "embeddings_kmeans_hier": q_embeddings_kmeans_hier,
         "documents_substring_dedup": q_documents_substring_dedup,
+        "documents_contaminated_spans": q_documents_contaminated_spans,
     }
 
 
@@ -3506,4 +3558,5 @@ def oracle_sql() -> dict[str, str]:
         "documents_gram_novelty": _o_gram_novelty(),
         "embeddings_kmeans_hier": _o_kmeans(k=64),
         "documents_substring_dedup": O_SUBSTRING_DEDUP,
+        "documents_contaminated_spans": O_CONTAMINATED_SPANS,
     }

@@ -1179,3 +1179,139 @@ def strip_duplicate_spans(
             ),
         )
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    min_len: int = 8,
+    max_reference_windows: int = 5_000_000,
+) -> DataFrame:
+    """SPAN-level contamination: for each `df` document, the maximal
+    token spans of length ≥ `min_len` that appear VERBATIM anywhere in
+    `reference` (the held-out eval/benchmark set), as
+    (id, span_start, span_end, span_tokens) — the positional
+    complement of :func:`contamination_check` (which scores gram
+    overlap but cannot say WHERE), and what a decontamination pass
+    actually redacts (GPT-3 App. C removes 13-gram-collision windows).
+
+    Works UNCHANGED on a Structured-Streaming `df`: the reference's
+    distinct window keys are a driver-side artifact collected at plan
+    time (bounded by `max_reference_windows` — eval sets are small by
+    nature; a reference over the cap raises instead of silently
+    truncating), and everything per-document — windowing, membership,
+    island merge — happens inside one stateless Arrow kernel, so the
+    plan is a pure map with no shuffle at all. Keys are the same
+    rolling-polynomial 128-bit window keys as :func:`duplicate_spans`
+    (engine-internal; the DuckDB twin uses md5 strings and must
+    produce identical spans — O_CONTAMINATED_SPANS)."""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    L = min_len
+    rtext = ref_text_col or text_col
+    ref_keys = _span_occurrences_arrow(reference, id_col, rtext, L).select(
+        "__kh", "__kl"
+    )
+    n_ref = ref_keys.distinct().count()
+    if n_ref > max_reference_windows:
+        raise ValueError(
+            f"reference has {n_ref} distinct {L}-token windows, over the "
+            f"{max_reference_windows} driver-collect cap — span-level "
+            "contamination is designed for bounded eval/benchmark "
+            "references; pre-filter the reference or raise the cap"
+        )
+    rows = ref_keys.distinct().collect()  # bounded: checked above
+    ref_kh = np.sort(np.array([r["__kh"] for r in rows], dtype=np.int64))
+    ref_pairs = frozenset((r["__kh"], r["__kl"]) for r in rows)
+
+    ws = re.compile(r"\s+", re.ASCII)
+    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
+    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
+    pw1 = np.empty(L, dtype=np.uint64)
+    pw2 = np.empty(L, dtype=np.uint64)
+    a = b = 1
+    for j in range(L - 1, -1, -1):
+        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
+        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
+        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
+        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, starts, ends, lens = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n = len(toks) - L + 1
+                if n <= 0:
+                    continue
+                H = np.fromiter(
+                    (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                W = np.lib.stride_tricks.sliding_window_view(H, L)
+                k1 = (W * pw1).sum(axis=1).view(np.int64)
+                k2 = (W * pw2).sum(axis=1).view(np.int64)
+                # vectorized prefilter on the sorted kh column, exact
+                # 128-bit confirm on the (rare) candidates only
+                idx = np.searchsorted(ref_kh, k1)
+                idx[idx >= len(ref_kh)] = max(len(ref_kh) - 1, 0)
+                cand = (
+                    np.nonzero(len(ref_kh) and (ref_kh[idx] == k1))[0]
+                    if len(ref_kh)
+                    else np.array([], dtype=np.int64)
+                )
+                hit_pos = [
+                    int(p) for p in cand
+                    if (int(k1[p]), int(k2[p])) in ref_pairs
+                ]
+                if not hit_pos:
+                    continue
+                # in-kernel island merge (positions already ascending)
+                s0 = prev = hit_pos[0]
+                for p in hit_pos[1:]:
+                    if p - prev > L:
+                        ids.append(int(i))
+                        starts.append(s0)
+                        ends.append(prev + L - 1)
+                        lens.append(prev + L - 1 - s0 + 1)
+                        s0 = p
+                    prev = p
+                ids.append(int(i))
+                starts.append(s0)
+                ends.append(prev + L - 1)
+                lens.append(prev + L - 1 - s0 + 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "span_start": pd.Series(starts, dtype="int64"),
+                    "span_end": pd.Series(ends, dtype="int64"),
+                    "span_tokens": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        run,
+        f"`{id_col}` long, span_start long, span_end long, span_tokens long",
+    )

@@ -64,8 +64,10 @@ class TestJoinStrategy:
          "embeddings_semantic_dedup", "documents_gram_novelty",
          "documents_stratified_sample",
          # round-9: hierarchical assignment stays map-only; substring
-         # dedup candidates come from an md5-key equi-join + window
-         "embeddings_kmeans_hier", "documents_substring_dedup"],
+         # dedup candidates come from an md5-key equi-join + window;
+         # contaminated_spans is a pure stateless Arrow map
+         "embeddings_kmeans_hier", "documents_substring_dedup",
+         "documents_contaminated_spans"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)

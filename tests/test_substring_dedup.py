@@ -111,3 +111,76 @@ class TestStripDuplicateSpans:
         ).collect()}
         assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
         assert out[1]["removed_tokens"] == 10
+
+
+class TestContaminatedSpans:
+    """Span-level contamination vs a bounded eval reference
+    (dedup.py:contaminated_spans): positions, stream parity, cap."""
+
+    def _fx(self, spark):
+        eval_set = _docs(spark, [(1000, SHARED)])
+        docs = _docs(
+            spark,
+            [
+                (1, f"{_uniq('a', 5)} {SHARED} {_uniq('b', 5)}"),
+                (2, _uniq("c", 15)),  # clean doc
+            ],
+        )
+        return docs, eval_set
+
+    def test_spans_found_with_positions(self, spark):
+        from kamu_cli_spark.operators.dedup import contaminated_spans
+
+        docs, eval_set = self._fx(spark)
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+            for r in contaminated_spans(
+                docs, eval_set, "doc_id", min_len=8
+            ).collect()
+        }
+        assert got == {(1, 5, 14, 10)}
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        from kamu_cli_spark.operators.dedup import contaminated_spans
+
+        docs, eval_set = self._fx(spark)
+        src = tmp_path / "docs"
+        src.mkdir()
+        docs.coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        out = contaminated_spans(stream, eval_set, "doc_id", min_len=8)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cont_spans")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            tuple(r) for r in spark.sql("select * from cont_spans").collect()
+        }
+        want = {
+            tuple(r)
+            for r in contaminated_spans(
+                docs, eval_set, "doc_id", min_len=8
+            ).collect()
+        }
+        assert got == want == {(1, 5, 14, 10)}
+
+    def test_reference_cap_raises(self, spark):
+        from kamu_cli_spark.operators.dedup import contaminated_spans
+
+        docs, eval_set = self._fx(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="driver-collect cap"):
+            contaminated_spans(
+                docs, eval_set, "doc_id", min_len=8,
+                max_reference_windows=1,
+            )
