@@ -3302,6 +3302,59 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_documents_strip_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate removal (dedup.py:strip_duplicate_spans): drop every
+    token covered by a ≥8-token span repeated verbatim anywhere in the
+    corpus; returns the normalized clean text + kept/removed counts —
+    the destructive form of documents_substring_dedup's span audit."""
+    from kamu_cli_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        load_table(spark, sf, "documents"), "doc_id", min_len=8
+    )
+
+
+O_STRIP_SPANS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+7], ' ')) AS k
+  FROM words, UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)
+),
+dup AS (SELECT k FROM sh GROUP BY k HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (k)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS tok
+  FROM hits, UNNEST(range(0, 8)) AS t(j)
+),
+toks AS (
+  SELECT doc_id, i - 1 AS tok, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tok = c.tok
+  WHERE c.tok IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY tok) AS clean_text,
+         count(*) AS kept_tokens
+  FROM kept GROUP BY doc_id
+),
+ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       n.n - coalesce(a.kept_tokens, 0) AS removed_tokens
+FROM ntok n LEFT JOIN agg a ON n.doc_id = a.doc_id
+"""
+
+
 def q_documents_contaminated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level contamination (dedup.py:contaminated_spans): for
     each crawl doc (doc_id % 10 != 0), the maximal ≥8-token spans that
@@ -3463,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans_hier": q_embeddings_kmeans_hier,
         "documents_substring_dedup": q_documents_substring_dedup,
         "documents_contaminated_spans": q_documents_contaminated_spans,
+        "documents_strip_spans": q_documents_strip_spans,
     }
 
 
@@ -3559,4 +3613,5 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kmeans_hier": _o_kmeans(k=64),
         "documents_substring_dedup": O_SUBSTRING_DEDUP,
         "documents_contaminated_spans": O_CONTAMINATED_SPANS,
+        "documents_strip_spans": O_STRIP_SPANS,
     }
