@@ -3355,6 +3355,67 @@ FROM ntok n LEFT JOIN agg a ON n.doc_id = a.doc_id
 """
 
 
+def q_documents_scrub_contaminated(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-legal decontamination scrubber
+    (dedup.py:strip_contaminated_spans): crawl docs (doc_id % 10 != 0)
+    with every token covered by a ≥8-token eval-set span removed —
+    membership, island merge and reassembly in ONE stateless Arrow map
+    (zero shuffle; identical kernel on a live stream)."""
+    from kamu_cli_spark.operators.dedup import strip_contaminated_spans
+
+    d = load_table(spark, sf, "documents")
+    return strip_contaminated_spans(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        min_len=8,
+    )
+
+
+O_SCRUB_CONTAMINATED = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+7], ' ')) AS k
+  FROM words, UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)
+),
+ref AS (SELECT DISTINCT k FROM sh WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT doc_id, pos FROM sh JOIN ref USING (k) WHERE doc_id % 10 != 0
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS tok
+  FROM hits, UNNEST(range(0, 8)) AS t(j)
+),
+toks AS (
+  SELECT doc_id, i - 1 AS tok, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+  WHERE doc_id % 10 != 0
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tok = c.tok
+  WHERE c.tok IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY tok) AS clean_text,
+         count(*) AS kept_tokens
+  FROM kept GROUP BY doc_id
+),
+ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       n.n - coalesce(a.kept_tokens, 0) AS removed_tokens
+FROM ntok n LEFT JOIN agg a ON n.doc_id = a.doc_id
+"""
+
+
 def q_documents_contaminated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level contamination (dedup.py:contaminated_spans): for
     each crawl doc (doc_id % 10 != 0), the maximal ≥8-token spans that
@@ -3517,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_substring_dedup": q_documents_substring_dedup,
         "documents_contaminated_spans": q_documents_contaminated_spans,
         "documents_strip_spans": q_documents_strip_spans,
+        "documents_scrub_contaminated": q_documents_scrub_contaminated,
     }
 
 
@@ -3614,4 +3676,5 @@ def oracle_sql() -> dict[str, str]:
         "documents_substring_dedup": O_SUBSTRING_DEDUP,
         "documents_contaminated_spans": O_CONTAMINATED_SPANS,
         "documents_strip_spans": O_STRIP_SPANS,
+        "documents_scrub_contaminated": O_SCRUB_CONTAMINATED,
     }

@@ -1315,3 +1315,118 @@ def contaminated_spans(
         run,
         f"`{id_col}` long, span_start long, span_end long, span_tokens long",
     )
+
+
+def strip_contaminated_spans(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    min_len: int = 8,
+    max_reference_windows: int = 5_000_000,
+) -> DataFrame:
+    """The decontamination SCRUBBER: remove every token covered by a
+    ≥ `min_len`-token span that appears verbatim in `reference`, and
+    return (id, clean_text, kept_tokens, removed_tokens) with the
+    family's normalized (lowercased, whitespace-collapsed) text.
+
+    Like :func:`contaminated_spans` this is ONE stateless Arrow map —
+    membership, island merge and text reassembly all happen per
+    document inside the kernel — so it runs unchanged on a
+    Structured-Streaming crawl: the live decontamination pass a
+    training-data intake runs before anything touches the corpus.
+    (The self-corpus analogue :func:`strip_duplicate_spans` needs
+    global gram counts and therefore shuffles; against a BOUNDED
+    reference the whole job is map-side.)"""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    L = min_len
+    rtext = ref_text_col or text_col
+    ref_keys = _span_occurrences_arrow(reference, id_col, rtext, L).select(
+        "__kh", "__kl"
+    )
+    n_ref = ref_keys.distinct().count()
+    if n_ref > max_reference_windows:
+        raise ValueError(
+            f"reference has {n_ref} distinct {L}-token windows, over the "
+            f"{max_reference_windows} driver-collect cap — span-level "
+            "contamination is designed for bounded eval/benchmark "
+            "references; pre-filter the reference or raise the cap"
+        )
+    rows = ref_keys.distinct().collect()  # bounded: checked above
+    ref_kh = np.sort(np.array([r["__kh"] for r in rows], dtype=np.int64))
+    ref_pairs = frozenset((r["__kh"], r["__kl"]) for r in rows)
+
+    ws = re.compile(r"\s+", re.ASCII)
+    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
+    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
+    pw1 = np.empty(L, dtype=np.uint64)
+    pw2 = np.empty(L, dtype=np.uint64)
+    a = b = 1
+    for j in range(L - 1, -1, -1):
+        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
+        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
+        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
+        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, cleans, kepts, removeds = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n = len(toks) - L + 1
+                drop = np.zeros(len(toks), dtype=bool)
+                if n > 0 and len(ref_kh):
+                    H = np.fromiter(
+                        (tok_h(t) for t in toks),
+                        dtype=np.uint64,
+                        count=len(toks),
+                    )
+                    W = np.lib.stride_tricks.sliding_window_view(H, L)
+                    k1 = (W * pw1).sum(axis=1).view(np.int64)
+                    k2 = (W * pw2).sum(axis=1).view(np.int64)
+                    idx = np.searchsorted(ref_kh, k1)
+                    idx[idx >= len(ref_kh)] = len(ref_kh) - 1
+                    for p in np.nonzero(ref_kh[idx] == k1)[0]:
+                        if (int(k1[p]), int(k2[p])) in ref_pairs:
+                            drop[p : p + L] = True
+                kept_toks = [t for t, d in zip(toks, drop) if not d]
+                ids.append(int(i))
+                cleans.append(" ".join(kept_toks))
+                kepts.append(len(kept_toks))
+                removeds.append(len(toks) - len(kept_toks))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "clean_text": pd.Series(cleans, dtype="object"),
+                    "kept_tokens": pd.Series(kepts, dtype="int64"),
+                    "removed_tokens": pd.Series(removeds, dtype="int64"),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        run,
+        f"`{id_col}` long, clean_text string, kept_tokens long, "
+        "removed_tokens long",
+    )

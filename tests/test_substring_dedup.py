@@ -184,3 +184,76 @@ class TestContaminatedSpans:
                 docs, eval_set, "doc_id", min_len=8,
                 max_reference_windows=1,
             )
+
+
+class TestStripContaminatedSpans:
+    def test_scrub_matches_span_audit(self, spark):
+        from kamu_cli_spark.operators.dedup import (
+            contaminated_spans,
+            strip_contaminated_spans,
+        )
+
+        eval_set = _docs(spark, [(1000, SHARED)])
+        docs = _docs(
+            spark,
+            [
+                (1, f"{_uniq('a', 5)} {SHARED} {_uniq('b', 5)}"),
+                (2, _uniq("c", 15)),
+            ],
+        )
+        spans = contaminated_spans(docs, eval_set, "doc_id", min_len=8).collect()
+        removed = {}
+        for r in spans:
+            removed[r["doc_id"]] = removed.get(r["doc_id"], 0) + r["span_tokens"]
+        out = {
+            r["doc_id"]: r
+            for r in strip_contaminated_spans(
+                docs, eval_set, "doc_id", min_len=8
+            ).collect()
+        }
+        assert out[1]["removed_tokens"] == removed[1] == 10
+        assert out[1]["clean_text"] == f"{_uniq('a', 5)} {_uniq('b', 5)}"
+        assert out[2]["removed_tokens"] == 0
+        assert out[2]["clean_text"] == _uniq("c", 15)
+
+    def test_empty_reference_keeps_everything(self, spark):
+        from kamu_cli_spark.operators.dedup import strip_contaminated_spans
+
+        docs = _docs(spark, [(1, _uniq("a", 12))])
+        empty = _docs(spark, [])
+        out = strip_contaminated_spans(docs, empty, "doc_id", min_len=8).collect()
+        assert out[0]["removed_tokens"] == 0 and out[0]["kept_tokens"] == 12
+
+    def test_streaming_scrub_matches_batch(self, spark, tmp_path):
+        from kamu_cli_spark.operators.dedup import strip_contaminated_spans
+
+        eval_set = _docs(spark, [(1000, SHARED)])
+        docs = _docs(
+            spark, [(1, f"{_uniq('a', 5)} {SHARED}"), (2, _uniq("c", 10))]
+        )
+        src = tmp_path / "docs"
+        src.mkdir()
+        docs.coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        out = strip_contaminated_spans(stream, eval_set, "doc_id", min_len=8)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("scrub_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {tuple(r) for r in spark.sql("select * from scrub_stream").collect()}
+        want = {
+            tuple(r)
+            for r in strip_contaminated_spans(
+                docs, eval_set, "doc_id", min_len=8
+            ).collect()
+        }
+        assert got == want
