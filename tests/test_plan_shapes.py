@@ -67,7 +67,8 @@ class TestJoinStrategy:
          # dedup candidates come from an md5-key equi-join + window;
          # contaminated_spans is a pure stateless Arrow map
          "embeddings_kmeans_hier", "documents_substring_dedup",
-         "documents_contaminated_spans"],
+         "documents_contaminated_spans", "documents_strip_spans",
+         "documents_scrub_contaminated"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
