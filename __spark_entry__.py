@@ -3581,6 +3581,73 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    so zero-order customers land in the c_count=0 bucket, then a
+    second aggregation over the first — the double-agg shape."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+O_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the supplier(s) matching the global max. Revenue is rounded to
+    cents BEFORE the max comparison — float equality on raw drift-y
+    sums is the cross-engine trap the rounding gotcha documents; the
+    rounded value is the published column anyway."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+O_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -3696,6 +3763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
     }
 
 
@@ -3797,4 +3866,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9": O_TPCH_Q9,
         "tpch_q14": O_TPCH_Q14,
         "tpch_q18": O_TPCH_Q18,
+        "tpch_q13": O_TPCH_Q13,
+        "tpch_q15": O_TPCH_Q15,
     }
