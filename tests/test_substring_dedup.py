@@ -257,3 +257,52 @@ class TestStripContaminatedSpans:
             ).collect()
         }
         assert got == want
+
+
+def test_duplicate_spans_matches_python_reference_on_random_corpus(spark):
+    """Randomized cross-check (fixed seed): tiny vocabulary forces
+    organic repeats; the operator must equal an independent pure-Python
+    computation of duplicated-window cover merged into maximal spans."""
+    import random
+
+    rng = random.Random(20240815)
+    vocab = [f"w{i}" for i in range(12)]  # tiny -> repeats everywhere
+    L = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+
+    # pure-Python reference
+    from collections import Counter
+
+    windows: dict[int, list[tuple[int, str]]] = {}
+    counts: Counter = Counter()
+    for i, txt in docs:
+        toks = [t for t in txt.lower().split() if t]
+        ws = [
+            (p, " ".join(toks[p : p + L]))
+            for p in range(len(toks) - L + 1)
+        ]
+        windows[i] = ws
+        counts.update(g for _, g in ws)
+    want = set()
+    for i, ws in windows.items():
+        hit = sorted(p for p, g in ws if counts[g] >= 2)
+        if not hit:
+            continue
+        s0 = prev = hit[0]
+        for p in hit[1:]:
+            if p - prev > L:
+                want.add((i, s0, prev + L - 1, prev + L - s0))
+                s0 = p
+            prev = p
+        want.add((i, s0, prev + L - 1, prev + L - s0))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(
+            _docs(spark, docs), "doc_id", min_len=L
+        ).collect()
+    }
+    assert got == want
