@@ -11,6 +11,9 @@ runs, in the canonical order:
       └─ 3b. substring dedup (optional: Lee et al. ExactSubstr —
                               strip every token span ≥ L repeated
                               verbatim anywhere in the corpus)
+      └─ 3c. decontamination (optional: strip every token span ≥ L
+                              appearing verbatim in the held-out
+                              eval/benchmark set — GPT-3 App. C)
       └─ 4. near-dup dedup   (MinHash → LSH bands → connected
                               components; cluster min-id wins)
       └─ 4b. semantic dedup  (optional, needs embeddings: k-means
@@ -49,6 +52,7 @@ from kamu_cli_spark.operators.dedup import (
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signature,
+    strip_contaminated_spans,
     strip_duplicate_spans,
 )
 from kamu_cli_spark.operators.clustering import semantic_dedup
@@ -91,6 +95,8 @@ def run_pipeline(
     sem_k: int = 8,
     sem_threshold: float = 0.35,
     substring_min_len: int | None = None,
+    eval_set: DataFrame | None = None,
+    decontam_min_len: int = 8,
 ) -> PipelineResult:
     """Run the full curation pipeline over `docs`; outputs are
     unmaterialized DataFrames so a caller can sink each stage into a
@@ -132,6 +138,19 @@ def run_pipeline(
         )
         uniq = uniq.drop(text_col).join(
             stripped.select(id_col, F.col("clean_text").alias(text_col)),
+            id_col,
+        )
+
+    # 3c. optional span-level decontamination against the held-out
+    # eval/benchmark set: covered tokens stripped in one stateless
+    # Arrow map (the same kernel a live crawl intake runs)
+    if eval_set is not None:
+        scrubbed = strip_contaminated_spans(
+            uniq, eval_set, id_col, text_col=text_col,
+            min_len=decontam_min_len,
+        )
+        uniq = uniq.drop(text_col).join(
+            scrubbed.select(id_col, F.col("clean_text").alias(text_col)),
             id_col,
         )
 

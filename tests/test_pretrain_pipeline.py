@@ -177,3 +177,28 @@ def test_substring_stage_strips_shared_boilerplate(spark):
     for i in range(3):
         assert "legal0" not in kept[i]
         assert kept[i] == bodies[i]
+
+
+def test_decontamination_stage_scrubs_eval_spans(spark):
+    """Round-9 stage 3c: an 8+-token span lifted verbatim from the
+    eval set is stripped before downstream stages; clean docs pass
+    through untouched."""
+    from examples.pretrain_pipeline.pipeline import run_pipeline
+
+    bench = "what is the capital of france paris is the answer here"
+    eval_set = spark.createDataFrame(
+        [(9000, bench)], "doc_id bigint, text string"
+    )
+    body = "the data in row " + " ".join(f"tok{j}" for j in range(26))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{body} {bench}"),   # leaked benchmark text
+            (2, body.replace("tok", "oth")),  # clean
+        ],
+        "doc_id bigint, text string",
+    )
+    res = run_pipeline(spark, docs, eval_set=eval_set, vocab_k=50)
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert set(kept) == {1, 2}
+    assert "capital" not in kept[1] and kept[1] == body
+    assert kept[2] == body.replace("tok", "oth")
