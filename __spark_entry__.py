@@ -3648,6 +3648,68 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
+def q_purchase_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-int64 PageRank (operators/graph.py:pagerank_int) over the
+    undirected customer↔supplier purchase graph (distinct pairs from
+    orders⋈lineitem; supplier ids offset by 1e9 to disjoin the id
+    spaces): 3 iterations, damping 17/20, all integer arithmetic — the
+    second iterative-algorithm family (after k-means) whose DuckDB
+    oracle replays the iterations as chained CTEs. Curation use: the
+    same centrality recipe ranks canonical documents in a near-dup
+    graph."""
+    from kamu_cli_spark.operators.graph import pagerank_int
+
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    return pagerank_int(edges, iterations=3)
+
+
+def _o_pagerank(iterations: int = 3) -> str:
+    """DuckDB twin: same integer formulation, iterations as chained
+    CTEs (r0..rN). 17/20 damping and // floor division keep every
+    intermediate an exact int64 — no float drift to reconcile."""
+    parts = ["""WITH pairs AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS id FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes)"""]
+    for it in range(1, iterations + 1):
+        parts.append(f""",
+i{it} AS (
+  SELECT e.dst AS id, sum(r.rank_e6 // g.d) AS inflow
+  FROM r{it - 1} r JOIN deg g ON r.id = g.src
+  JOIN edges e ON e.src = r.id
+  GROUP BY e.dst
+),
+r{it} AS (
+  SELECT n.id,
+         CAST(150000 + (17 * coalesce(i.inflow, 0)) // 20 AS BIGINT)
+           AS rank_e6
+  FROM nodes n LEFT JOIN i{it} i ON n.id = i.id
+)""")
+    parts.append(f"\nSELECT id, rank_e6 FROM r{iterations}")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -3765,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "purchase_graph_pagerank": q_purchase_graph_pagerank,
     }
 
 
@@ -3868,4 +3931,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": O_TPCH_Q18,
         "tpch_q13": O_TPCH_Q13,
         "tpch_q15": O_TPCH_Q15,
+        "purchase_graph_pagerank": _o_pagerank(),
     }

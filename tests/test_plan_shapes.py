@@ -68,7 +68,7 @@ class TestJoinStrategy:
          # contaminated_spans is a pure stateless Arrow map
          "embeddings_kmeans_hier", "documents_substring_dedup",
          "documents_contaminated_spans", "documents_strip_spans",
-         "documents_scrub_contaminated"],
+         "documents_scrub_contaminated", "purchase_graph_pagerank"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
