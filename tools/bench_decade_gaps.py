@@ -50,6 +50,8 @@ DUCK_RUNNER = r"""
 import os, sys, time, json, duckdb
 sf_dir, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
+con.execute("SET temp_directory='/tmp/duckdb_spill'")  # never spill inside the repo
+
 con.execute(f"SET threads TO {len(os.sched_getaffinity(0))}")
 con.execute("SET enable_progress_bar=false")
 for t in %s:

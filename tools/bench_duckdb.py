@@ -21,6 +21,8 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # never spill inside the repo
+
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table = directory of parts

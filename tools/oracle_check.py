@@ -67,6 +67,8 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # never spill inside the repo
+
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
