@@ -3263,8 +3263,8 @@ def q_documents_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     whose text repeats verbatim anywhere in the corpus, as merged
     0-based [span_start, span_end] runs per doc — the last
     training-data dedup modality (doc-exact / near / semantic tiers
-    already exist). All-JVM plan: md5-keyed window count + join-back +
-    per-doc island merge."""
+    already exist). All-JVM plan: map-side-combined key count +
+    semi-join-back + per-doc island merge."""
     from kamu_cli_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(
@@ -3346,7 +3346,7 @@ agg AS (
          count(*) AS kept_tokens
   FROM kept GROUP BY doc_id
 ),
-ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+ntok AS (SELECT doc_id, len(w) AS n FROM words)
 SELECT n.doc_id,
        coalesce(a.clean_text, '') AS clean_text,
        coalesce(a.kept_tokens, 0) AS kept_tokens,
@@ -3407,7 +3407,7 @@ agg AS (
          count(*) AS kept_tokens
   FROM kept GROUP BY doc_id
 ),
-ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+ntok AS (SELECT doc_id, len(w) AS n FROM words WHERE doc_id % 10 != 0)
 SELECT n.doc_id,
        coalesce(a.clean_text, '') AS clean_text,
        coalesce(a.kept_tokens, 0) AS kept_tokens,

@@ -1065,6 +1065,7 @@ def duplicate_spans(
     id_col: str,
     text_col: str = "text",
     min_len: int = 8,
+    materialize_occurrences: bool = True,
 ) -> DataFrame:
     """Substring-level EXACT dedup (Lee et al. 2022, arXiv:2107.06499
     "Deduplicating Training Data Makes Language Models Better",
@@ -1085,30 +1086,54 @@ def duplicate_spans(
     Scale design (100 TB): windows are emitted by the family's Arrow
     shingler (the interpreted higher-order slice/array_join expression
     path measured 72 s vs ~6 s at sf1) and keyed by the FULL 128-bit
-    md5 as an int64 PAIR — 20 B/occurrence into the count shuffle
-    regardless of L, with map-side combine on the count; the join back
-    ships only positions; the island merge is one window over
-    (id, pos). 128 bits keep cross-gram collisions negligible at any
-    corpus size (~1e-18 at 1e12 distinct grams). DuckDB twin:
-    O_SUBSTRING_DEDUP in __spark_entry__.py (same spans via md5 hex
-    strings — the key representation is internal to each engine)."""
+    md5 as an int64 PAIR — 20 B/occurrence regardless of L. The
+    duplicated-key set comes from a plain groupBy count, which Spark
+    partially aggregates map-side: a span repeated in 30% of a 100 TB
+    corpus reaches the reducer as at most one row PER MAP TASK, not
+    one row per occurrence — unlike the earlier
+    ``count() OVER (PARTITION BY key)`` formulation, where window
+    functions get no partial aggregation and every occurrence of a hot
+    key serialized into a single straggler task. The (small) dup-key
+    set then LEFT SEMI joins back onto the occurrences: AQE upgrades
+    it to a broadcast probe when it fits (no occurrence exchange at
+    all) and splits any skewed SMJ partition otherwise; the island
+    merge is one window over (id, pos). 128 bits keep cross-gram
+    collisions negligible at any corpus size (~1e-18 at 1e12 distinct
+    grams). DuckDB twin: O_SUBSTRING_DEDUP in __spark_entry__.py (same
+    spans via md5 hex strings — the key representation is internal to
+    each engine).
+
+    ``materialize_occurrences=True`` (default) localCheckpoints the
+    occurrence table so count and join-probe share ONE Arrow shingling
+    pass — right while checkpoint storage (~28 B/token, 4-5× the raw
+    text) is affordable. At true 100 TB pass ``False``: the probe side
+    re-shingles instead (second corpus scan, zero checkpoint
+    footprint), the same recompute-over-persist call gram_novelty
+    makes."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     from pyspark.sql import Window
 
     L = min_len
     occ = _span_occurrences_arrow(df, id_col, text_col, L)
-    # ONE pass over the windows: a per-key window count marks
-    # duplicated grams in the same shuffle that would have fed a
-    # groupBy — the groupBy+join-back formulation scanned (and Arrow-
-    # shingled) the corpus twice and paid a second full-size exchange
-    # for the join probe side (sf1: 14.0 s -> 9.2 s; the remaining
-    # floor is one Arrow shingling pass + one keyed exchange)
-    wk = Window.partitionBy("__kh", "__kl")
-    hits = (
-        occ.withColumn("__c", F.count(F.lit(1)).over(wk))
+    if materialize_occurrences:
+        # DISK_ONLY, not the default MEMORY_AND_DISK(_DESER): the
+        # occurrence table is ~28 B/token SERIALIZED but several× that
+        # as unrolled JVM row objects — the deserialized store heap-OOMed
+        # the sf100 run outright. Sequential disk re-read of the compact
+        # serialized form beats a second Arrow shingling pass and keeps
+        # the heap for the shuffle.
+        from pyspark import StorageLevel
+
+        occ = occ.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    dup_keys = (
+        occ.groupBy("__kh", "__kl")
+        .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 2)
-        .select(id_col, "pos")
+        .select("__kh", "__kl")
+    )
+    hits = occ.join(dup_keys, ["__kh", "__kl"], "left_semi").select(
+        id_col, "pos"
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     gapped = hits.withColumn(
@@ -1155,7 +1180,16 @@ def strip_duplicate_spans(
         ).alias("tok", "word"),
     )
     kept = toks.join(covered, [id_col, "tok"], "left_anti")
-    n_tok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    # token counts come from the INPUT, not the posexplode: a
+    # zero-token doc produces no toks rows and would otherwise vanish
+    # from the output entirely (strip_contaminated_spans emits a row
+    # for every input doc — keep the two kernels consistent)
+    n_tok = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(tokens(F.lower(F.col(text_col)))), F.lit(0)
+        ).alias("__n"),
+    )
     agg = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
