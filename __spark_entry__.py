@@ -3713,24 +3713,37 @@ r{it} AS (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
-    # representative in the top 50; the tail entries (51+) are queries
-    # whose operator family already has a graded sibling above
-    # (tpch_q4/q7/q10 ~ q1/q5/q3 agg/join/EXISTS shapes —
-    # suppliers_with_large_orders keeps EXISTS graded; top2_global ~
-    # top3 ranking; lineitem_cube + lineitem_grouping_sets ~
-    # lineitem_rollup grouping family; events_snapshot_cdc +
-    # customer_snapshot_cdc_compare_cols ~ customer_snapshot_cdc same
-    # strategy; events_conditional_agg + orders_date_battery ~
-    # scalar/window/salted agg batteries; customers_dormant_anti ~
-    # ledger-merge anti-join + suppliers EXISTS;
-    # documents_lang_confusion ~ text_metrics' lang_pred;
+    # representative in the top 50 — round 10 moved the six flagship
+    # training-data families INTO the window (gram_novelty, kmeans_hier,
+    # semantic_dedup, substring_dedup, contaminated_spans, pagerank:
+    # they were appended past index 50 as the registry grew and had no
+    # driver-graded row at all, VERDICT r9 "What's wrong #3"). The six
+    # swapped to the tail each leave a graded same-family sibling:
+    # events_salted_agg ~ scalar/window/percentile/regex batteries;
+    # documents_cross_lsh = composition of graded cross_dedup +
+    # minhash_lsh; documents_winnow ~ simhash_pairs + ngram_jaccard
+    # fingerprinting; documents_repetition ~ text_metrics +
+    # quality_filter; embeddings_quantize ~ array_battery +
+    # centroid_stats vector transforms; documents_pack_sequences ~
+    # train_split sampling (chunk/stratified/global_shuffle also tail).
+    # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18 ~
+    # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
+    # keeps EXISTS graded; top2_global ~ top3 ranking; lineitem_cube +
+    # lineitem_grouping_sets ~ lineitem_rollup grouping family;
+    # events_snapshot_cdc + customer_snapshot_cdc_compare_cols ~
+    # customer_snapshot_cdc same strategy; events_conditional_agg +
+    # orders_date_battery ~ scalar/window agg batteries;
+    # customers_dormant_anti ~ ledger-merge anti-join + suppliers
+    # EXISTS; documents_lang_confusion ~ text_metrics' lang_pred;
     # documents_simhash ⊂ documents_simhash_pairs;
     # documents_token_counts ~ text_metrics; embeddings_near_dup +
     # embeddings_cosine_topk = quadratic exact-cosine baselines (cosine
     # scoring graded via strict-hash ann_lsh/ivf_ann);
     # documents_two_stage_dedup = composition of graded minhash_lsh +
     # ngram_jaccard + dedup_exact stages; events_sliding_7d ~
-    # cumulative_revenue/window_battery frames).
+    # cumulative_revenue/window_battery frames; strip_spans /
+    # scrub_contaminated = destructive forms of graded substring_dedup /
+    # contaminated_spans; embeddings_kmeans ⊂ graded kmeans_hier.
     return {
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3754,7 +3767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_percentiles": q_lineitem_percentiles,
         "region_string_agg": q_region_string_agg,
         "orders_regex_battery": q_orders_regex_battery,
-        "events_salted_agg": q_events_salted_agg,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
         "orders_ledger_merge": q_orders_ledger_merge,
         "events_changelog_projection": q_events_changelog_projection,
@@ -3762,12 +3774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dedup_exact": q_documents_dedup_exact,
         "documents_minhash_lsh": q_documents_minhash_lsh,
         "documents_cross_dedup": q_documents_cross_dedup,
-        "documents_cross_lsh": q_documents_cross_lsh,
         "embeddings_cross_neardup": q_embeddings_cross_neardup,
         "documents_dup_clusters": q_documents_dup_clusters,
         "documents_ngram_jaccard": q_documents_ngram_jaccard,
         "documents_simhash_pairs": q_documents_simhash_pairs,
-        "documents_winnow": q_documents_winnow,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
         "documents_multimodal_features": q_documents_multimodal_features,
@@ -3776,16 +3786,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
         "embeddings_ivf_ann": q_embeddings_ivf_ann,
         "documents_train_split": q_documents_train_split,
-        "documents_repetition": q_documents_repetition,
-        "embeddings_quantize": q_embeddings_quantize,
         "documents_contamination": q_documents_contamination,
-        "documents_pack_sequences": q_documents_pack_sequences,
+        "documents_gram_novelty": q_documents_gram_novelty,
+        "embeddings_kmeans_hier": q_embeddings_kmeans_hier,
+        "embeddings_semantic_dedup": q_embeddings_semantic_dedup,
+        "documents_substring_dedup": q_documents_substring_dedup,
+        "documents_contaminated_spans": q_documents_contaminated_spans,
+        "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_pii_scrub": q_documents_pii_scrub,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
         "documents_chunk": q_documents_chunk,
         "documents_image_decode": q_documents_image_decode,
+        "events_salted_agg": q_events_salted_agg,
+        "documents_cross_lsh": q_documents_cross_lsh,
+        "documents_winnow": q_documents_winnow,
+        "documents_repetition": q_documents_repetition,
+        "embeddings_quantize": q_embeddings_quantize,
+        "documents_pack_sequences": q_documents_pack_sequences,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "documents_global_shuffle": q_documents_global_shuffle,
@@ -3814,12 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
         "embeddings_kmeans": q_embeddings_kmeans,
-        "embeddings_semantic_dedup": q_embeddings_semantic_dedup,
         "documents_stratified_sample": q_documents_stratified_sample,
-        "documents_gram_novelty": q_documents_gram_novelty,
-        "embeddings_kmeans_hier": q_embeddings_kmeans_hier,
-        "documents_substring_dedup": q_documents_substring_dedup,
-        "documents_contaminated_spans": q_documents_contaminated_spans,
         "documents_strip_spans": q_documents_strip_spans,
         "documents_scrub_contaminated": q_documents_scrub_contaminated,
         "tpch_q9": q_tpch_q9,
@@ -3827,7 +3841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
-        "purchase_graph_pagerank": q_purchase_graph_pagerank,
     }
 
 
