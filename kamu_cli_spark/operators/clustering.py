@@ -581,6 +581,17 @@ def semantic_dedup(
 
         def side(mask):
             sid = ids[mask]
+            if len(sid) == 0:
+                # a rectangle task can receive zero rows for one hash
+                # block (rows emit keys for every block of their
+                # cluster even when a block is empty); vstack of an
+                # empty selection raises, so return a typed (0, dim)
+                # frame instead — the matmul loop degrades to no-ops
+                return (
+                    sid,
+                    np.empty((0, len(vecs[0])), dtype=np.float64),
+                    np.empty(0, dtype=np.float64),
+                )
             order = np.argsort(sid, kind="stable")
             return (
                 sid[order],

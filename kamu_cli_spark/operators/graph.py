@@ -68,12 +68,22 @@ def pagerank_int(
                 .groupBy("id")
                 .agg(F.sum("__c").alias("__inflow"))
             )
+            # floor(17·x/20) with BOUNDED intermediates:
+            # x = 20q + r  =>  17q + floor(17r/20), r < 20 so the
+            # products never exceed x itself. The naive 17*x pre-scales
+            # by 17 and would wrap int64 (silently, in non-ANSI Spark;
+            # DuckDB raises) for hub inflows above ~5.4e17 e6-units —
+            # reachable only past ~5.4e11 nodes of total rank mass, but
+            # the bounded form costs nothing and keeps the bit-exact
+            # cross-engine claim unconditional (identical values to the
+            # oracle's 17*x//20 wherever the latter doesn't overflow).
             ranks = nodes.join(contrib, "id", "left").select(
                 "id",
                 (
                     F.lit(BASE_E6)
                     + F.expr(
-                        "div(17 * coalesce(__inflow, 0L), 20)"
+                        "17 * div(coalesce(__inflow, 0L), 20)"
+                        " + div(17 * pmod(coalesce(__inflow, 0L), 20), 20)"
                     )
                 ).cast("long").alias("rank_e6"),
             )
