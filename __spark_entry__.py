@@ -3416,6 +3416,121 @@ FROM ntok n LEFT JOIN agg a ON n.doc_id = a.doc_id
 """
 
 
+def q_documents_spans_against_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level dedup AGAINST A STATIC CORPUS
+    (dedup.py:spans_against_corpus): maximal ≥8-token spans of crawl
+    docs (doc_id % 3 != 0) that appear verbatim anywhere in the curated
+    corpus (doc_id % 3 == 0). Unlike documents_contaminated_spans the
+    reference keys stay DISTRIBUTED (no driver cap — the corpus can be
+    the whole curated set): broadcast Bloom prefilter exits negative
+    windows map-side, an exact LEFT SEMI join confirms, per-doc island
+    merge — every stage stream-legal, so the same operator runs on a
+    live crawl (tests/test_spans_against_corpus.py)."""
+    from kamu_cli_spark.operators.dedup import spans_against_corpus
+
+    d = load_table(spark, sf, "documents")
+    return spans_against_corpus(
+        d.filter(F.col("doc_id") % 3 != 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        "doc_id",
+        min_len=8,
+    )
+
+
+O_SPANS_AGAINST_CORPUS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+7], ' ')) AS k
+  FROM words, UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)
+),
+ck AS (SELECT DISTINCT k FROM sh WHERE doc_id % 3 = 0),
+hits AS (
+  SELECT doc_id, pos FROM sh JOIN ck USING (k) WHERE doc_id % 3 != 0
+),
+gapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS newi
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM gapped
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_documents_strip_against_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-intake scrubber against the curated corpus
+    (dedup.py:strip_spans_against_corpus): crawl docs (doc_id % 3 != 0)
+    with every token covered by a ≥8-token span already present in the
+    corpus (doc_id % 3 == 0) removed — one row per input doc. The
+    stream twin runs unchanged on a live crawl (Bloom + stream-static
+    semi join + stateless-in-effect per-doc kernel)."""
+    from kamu_cli_spark.operators.dedup import strip_spans_against_corpus
+
+    d = load_table(spark, sf, "documents")
+    return strip_spans_against_corpus(
+        d.filter(F.col("doc_id") % 3 != 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        "doc_id",
+        min_len=8,
+    )
+
+
+O_STRIP_AGAINST_CORPUS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+7], ' ')) AS k
+  FROM words, UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)
+),
+ck AS (SELECT DISTINCT k FROM sh WHERE doc_id % 3 = 0),
+hits AS (
+  SELECT doc_id, pos FROM sh JOIN ck USING (k) WHERE doc_id % 3 != 0
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS tok
+  FROM hits, UNNEST(range(0, 8)) AS t(j)
+),
+toks AS (
+  SELECT doc_id, i - 1 AS tok, w[i] AS word
+  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+  WHERE doc_id % 3 != 0
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tok = c.tok
+  WHERE c.tok IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY tok) AS clean_text,
+         count(*) AS kept_tokens
+  FROM kept GROUP BY doc_id
+),
+ntok AS (SELECT doc_id, len(w) AS n FROM words WHERE doc_id % 3 != 0)
+SELECT n.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       n.n - coalesce(a.kept_tokens, 0) AS removed_tokens
+FROM ntok n LEFT JOIN agg a ON n.doc_id = a.doc_id
+"""
+
+
 def q_documents_contaminated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level contamination (dedup.py:contaminated_spans): for
     each crawl doc (doc_id % 10 != 0), the maximal ≥8-token spans that
@@ -3805,6 +3920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_repetition": q_documents_repetition,
         "embeddings_quantize": q_embeddings_quantize,
         "documents_pack_sequences": q_documents_pack_sequences,
+        "documents_spans_against_corpus": q_documents_spans_against_corpus,
+        "documents_strip_against_corpus": q_documents_strip_against_corpus,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "documents_global_shuffle": q_documents_global_shuffle,
@@ -3938,6 +4055,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_substring_dedup": O_SUBSTRING_DEDUP,
         "documents_contaminated_spans": O_CONTAMINATED_SPANS,
         "documents_strip_spans": O_STRIP_SPANS,
+        "documents_spans_against_corpus": O_SPANS_AGAINST_CORPUS,
+        "documents_strip_against_corpus": O_STRIP_AGAINST_CORPUS,
         "documents_scrub_contaminated": O_SCRUB_CONTAMINATED,
         "tpch_q9": O_TPCH_Q9,
         "tpch_q14": O_TPCH_Q14,

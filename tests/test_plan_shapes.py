@@ -68,7 +68,11 @@ class TestJoinStrategy:
          # contaminated_spans is a pure stateless Arrow map
          "embeddings_kmeans_hier", "documents_substring_dedup",
          "documents_contaminated_spans", "documents_strip_spans",
-         "documents_scrub_contaminated", "purchase_graph_pagerank"],
+         "documents_scrub_contaminated", "purchase_graph_pagerank",
+         # round-10: against-corpus span family — bloom prefilter is
+         # broadcast joins, confirmation is an equi semi join
+         "documents_spans_against_corpus",
+         "documents_strip_against_corpus"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
