@@ -70,6 +70,17 @@ EXTRA = [
     "embeddings_semantic_dedup",
     "documents_stratified_sample",
     "documents_gram_novelty",
+    # round-9/10 families: in the gated extra aggregate so a regression
+    # in any flagship can't land silently (BASELINE.md: extra_total
+    # min-of-3 bound at sf0.1)
+    "embeddings_kmeans_hier",
+    "documents_substring_dedup",
+    "documents_strip_spans",
+    "documents_contaminated_spans",
+    "documents_scrub_contaminated",
+    "purchase_graph_pagerank",
+    "documents_spans_against_corpus",
+    "documents_strip_against_corpus",
 ]
 
 

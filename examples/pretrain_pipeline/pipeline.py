@@ -94,6 +94,7 @@ def run_pipeline(
     vec_col: str = "embedding",
     sem_k: int = 8,
     sem_threshold: float = 0.35,
+    semantic_centroids: list | None = None,
     substring_min_len: int | None = None,
     eval_set: DataFrame | None = None,
     decontam_min_len: int = 8,
@@ -172,12 +173,16 @@ def run_pipeline(
     # to one already dropped upstream
     semantic = None
     if embeddings is not None:
+        # semantic_centroids (e.g. model_store.load_kmeans_model output)
+        # pins stage 4b to a LEDGER artifact instead of an in-run fit,
+        # making the whole pipeline as-of reproducible from the chain
         semantic = semantic_dedup(
             embeddings.join(kept_docs.select(id_col), id_col, "left_semi"),
             vec_col=vec_col,
             id_col=id_col,
             k=sem_k,
             threshold=sem_threshold,
+            centroids=semantic_centroids,
         )
         sem_losers = semantic.filter(~F.col("kept")).select(id_col)
         kept_docs = kept_docs.join(sem_losers, id_col, "left_anti")

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kamu_cli_spark.dataset import Dataset
 from kamu_cli_spark.operators.merge import MergeStrategySnapshot, project_changelog
@@ -80,3 +80,134 @@ def load_kmeans_model(
     state = project_changelog(df, ["cid"], dataset.vocab)
     rows = state.select("cid", "centroid").collect()  # bounded: k rows
     return [(int(r["cid"]), list(r["centroid"])) for r in sorted(rows, key=lambda r: r["cid"])]
+
+
+BLOOM_SCHEMA = "word_idx bigint, word bigint, n_bits bigint, n_hashes int"
+
+
+def save_bloom_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    words: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit a Bloom bitmap (:func:`~kamu_cli_spark.operators.dedup.
+    bloom_bit_words` output) as one snapshot poll of `dataset` (PK =
+    word_idx): a re-derived bitmap appends new words, changes emit
+    -C/+C corrections, vanished words emit -R — so the
+    decontamination / cross-dedup prefilter becomes an as-of
+    reproducible ledger artifact like any ingested table. The sizing
+    params ride along as constant columns (parquet RLE makes them
+    free) because membership REQUIRES the same n_bits/n_hashes the
+    bitmap was built with. The frame is ≤ n_bits/62 rows by
+    construction — bounded by the filter, never the reference data —
+    and is written/read fully distributed (no driver collect)."""
+    _check = words.columns
+    if set(_check) != {"word_idx", "word"}:
+        raise ValueError(
+            f"expected bloom_bit_words output (word_idx, word), got {_check}"
+        )
+    w = DataWriter(dataset, MergeStrategySnapshot(["word_idx"]))
+    return w.write(
+        spark,
+        words.select(
+            "word_idx",
+            "word",
+            F.lit(int(n_bits)).cast("bigint").alias("n_bits"),
+            F.lit(int(n_hashes)).cast("int").alias("n_hashes"),
+        ),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_bloom_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """(words, n_bits, n_hashes) at the latest state (or as-of a
+    pinned block): `words` is the (word_idx, word) frame
+    :func:`~kamu_cli_spark.operators.dedup.bloom_membership` consumes,
+    still distributed; only ONE row reaches the driver (the constant
+    sizing params). Returns (None, 0, 0) for an empty/absent model."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None, 0, 0
+    state = project_changelog(df, ["word_idx"], dataset.vocab)
+    first = state.select("n_bits", "n_hashes").limit(1).collect()
+    if not first:
+        return None, 0, 0
+    return (
+        state.select("word_idx", "word"),
+        int(first[0]["n_bits"]),
+        int(first[0]["n_hashes"]),
+    )
+
+
+IVF_SCHEMA = "level int, cid int, centroid array<double>"
+
+
+def ivf_model_df(
+    spark: SparkSession, levels: list[list[list[float]]]
+) -> DataFrame:
+    """Nested per-level centroid lists -> (level, cid, centroid)."""
+    rows = [
+        (lvl, cid, [float(x) for x in vec])
+        for lvl, cents in enumerate(levels)
+        for cid, vec in enumerate(cents)
+    ]
+    return spark.createDataFrame(rows, IVF_SCHEMA)
+
+
+def save_ivf_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    levels: list[list[list[float]]],
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit an IVF cell model — one or more LEVELS of centroid
+    vectors (a flat seeded index is one level; a hierarchy is several)
+    — as a snapshot poll keyed on (level, cid). float64 survives the
+    parquet round trip bit-for-bit, so a reloaded model re-scores
+    identically (tests/test_model_store_r10.py); cell counts are
+    ~√n per level, the same driver-bounded size ivf_ann_seeded already
+    collects per run."""
+    if not levels or not any(levels):
+        raise ValueError("refusing to commit an empty IVF model")
+    w = DataWriter(dataset, MergeStrategySnapshot(["level", "cid"]))
+    return w.write(
+        spark,
+        ivf_model_df(spark, levels),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_ivf_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> list[list[list[float]]]:
+    """The per-level centroid lists at the latest state (or as-of a
+    pinned block), each level ordered by cid — exactly what
+    ``ivf_ann_seeded(seed_vectors=levels[0])`` consumes. The collect
+    is bounded by the model (~√n vectors/level), never the corpus."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return []
+    state = project_changelog(df, ["level", "cid"], dataset.vocab)
+    rows = state.select("level", "cid", "centroid").collect()
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        out.setdefault(int(r["level"]), []).append(
+            (int(r["cid"]), list(r["centroid"]))
+        )
+    return [
+        [vec for _, vec in sorted(out[lvl], key=lambda t: t[0])]
+        for lvl in sorted(out)
+    ]

@@ -497,11 +497,15 @@ def semantic_dedup(
     threshold: float = 0.25,
     round_digits: int = 6,
     block_budget: int = 8192,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
     the embedding corpus, then drop every row whose cosine similarity
     to a LOWER-id member of the SAME cluster clears `threshold`.
-    Returns (id, cluster, kept).
+    Returns (id, cluster, kept). Pass `centroids` (a kmeans_fit /
+    model_store.load_kmeans_model artifact) to score against a FIXED
+    model instead of fitting — `k`/`n_updates` are then ignored, and
+    the run is as-of reproducible from the ledger alone.
 
     Scale design: pairwise cosine runs within clusters only —
     O(Σ n_c²), never O(n²) — so `k` is the knob that bounds cluster
@@ -538,9 +542,11 @@ def semantic_dedup(
     # lazy recompute re-scores the whole corpus (~50 s per pass at
     # sf100 k=6400). localCheckpoint stores only (id, cluster) — 12
     # bytes/row — and truncates the scoring lineage.
-    assign = kmeans_assign(df, vec_col, id_col, k, n_updates).select(
-        id_col, "cluster"
-    ).localCheckpoint()
+    assign = (
+        kmeans_apply(df, centroids, vec_col, id_col)
+        if centroids is not None
+        else kmeans_assign(df, vec_col, id_col, k, n_updates)
+    ).select(id_col, "cluster").localCheckpoint()
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__ve"),

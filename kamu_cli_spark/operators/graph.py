@@ -16,7 +16,13 @@ iteration as a chained CTE, like the k-means twin):
 
 Scale shape (100 TB): per iteration one shuffle of contributions
 keyed by destination (map-side combined sum) plus one join back to
-the node list; edges and degrees are computed once and persisted.
+the node list; edges and degrees are computed once and persisted
+DISK_ONLY — the in-memory store's unrolled row objects are several×
+the serialized size and, combined with 32 concurrent hash-agg tasks,
+heap-OOMed the 8g local JVM on the sf100 (600M-edge) run; sequential
+disk re-reads of the compact serialized form cost ~nothing next to
+the per-iteration shuffle. The per-iteration edge join is hinted
+sort-merge for the same reason (see inline note).
 Driver traffic is zero — ranks stay distributed (unlike k-means,
 whose model is small by construction). Companion to
 ``connected_components`` (operators/dedup.py); no reference
@@ -32,6 +38,71 @@ E6 = 1_000_000
 BASE_E6 = 150_000  # (1 - 17/20) · 1e6
 
 
+
+def _prepare_graph(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """(ed, nodes): ed = distinct edges with out-degree pre-joined,
+    hash-partitioned AND sorted by __s, materialized DISK_ONLY via
+    localCheckpoint. Design constraints learned on the sf100 run
+    (1.17B edges, single box):
+
+    - ONE exchange builds ed: repartition by __s happens FIRST, and
+      hashpartitioning(__s) satisfies the clustering the dedup
+      (dropDuplicates on (__s,__d)), the degree aggregate, and the
+      degree join all require — Catalyst inserts no further exchange
+      for any of them. The naive distinct-then-join shape shuffled the
+      full edge list three times, and shuffle files live for the WHOLE
+      job: at sf100 that filled the disk before the heap mattered.
+    - localCheckpoint (not persist): it CUTS lineage, so the build
+      shuffles become garbage the moment ed materializes and the
+      cleaner can delete them mid-job; a persist keeps the lineage
+      (and its shuffle files) pinned for recompute.
+    - Spark preserves a checkpointed frame's outputPartitioning and
+      ordering (LogicalRDD carries both), so every iteration's
+      rank⋈edge sort-merge join reuses the cached layout and only the
+      rank side exchanges.
+    - DISK_ONLY because unrolled in-memory rows are several× the
+      serialized size (the 8g-heap OOM lesson).
+    """
+    ed = (
+        edges.select(
+            F.col(src).cast("long").alias("__s"),
+            F.col(dst).cast("long").alias("__d"),
+        )
+        .repartition(F.col("__s"))
+        .dropDuplicates(["__s", "__d"])
+    )
+    deg = ed.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = (
+        ed.join(deg, "__s")
+        .select("__s", "__d", "__deg")
+        .sortWithinPartitions("__s")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    _reap_shuffles(ed.sparkSession)
+    nodes = (
+        ed.select(F.col("__s").alias("id"))
+        .unionByName(ed.select(F.col("__d").alias("id")))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    return ed, nodes
+
+
+def _reap_shuffles(spark) -> None:
+    """Nudge the JVM GC so ContextCleaner deletes shuffle files whose
+    lineage a checkpoint just cut. Spark's own periodic GC runs every
+    30 min (spark.cleaner.periodicGC.interval) — far too slow for an
+    iterative job whose per-iteration shuffles are GBs: without the
+    nudge, every iteration's files survive to job end and the disk,
+    not the algorithm, becomes the scale limit."""
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass  # cleanup is best-effort; correctness never depends on it
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",
@@ -45,22 +116,17 @@ def pagerank_int(
     engines — see the module docstring for the integer formulation."""
     if iterations < 0:
         raise ValueError("iterations must be non-negative")
-    e = edges.select(
-        F.col(src).cast("long").alias("__s"), F.col(dst).cast("long").alias("__d")
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ed, nodes = _prepare_graph(edges, src, dst)
     try:
-        deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-        nodes = (
-            e.select(F.col("__s").alias("id"))
-            .unionByName(e.select(F.col("__d").alias("id")))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
         ranks = nodes.withColumn("rank_e6", F.lit(E6).cast("long"))
         for _ in range(iterations):
+            # merge hint: both sides are corpus-scale; the session's
+            # prefer-shuffled-hash would build a per-task hash map over
+            # |E|/partitions rows (~19M/task at sf100×32 slots — heap
+            # OOM at 8g). SMJ spills, and ed's cached partitioning +
+            # sort order mean ONLY the rank side exchanges.
             contrib = (
-                ranks.join(deg, ranks["id"] == deg["__s"])
-                .join(e, "__s")
+                ranks.join(ed.hint("merge"), ranks["id"] == ed["__s"])
                 .select(
                     F.col("__d").alias("id"),
                     F.expr("div(rank_e6, __deg)").alias("__c"),
@@ -77,6 +143,12 @@ def pagerank_int(
             # the bounded form costs nothing and keeps the bit-exact
             # cross-engine claim unconditional (identical values to the
             # oracle's 17*x//20 wherever the latter doesn't overflow).
+            # checkpoint EVERY iteration (16 B/row, DISK_ONLY), not
+            # just at the end: cutting the lineage lets the cleaner
+            # delete the finished iteration's shuffle files — with the
+            # lazy unrolled-join shape, all iterations' shuffles were
+            # alive simultaneously and disk (not CPU) capped the
+            # feasible graph size
             ranks = nodes.join(contrib, "id", "left").select(
                 "id",
                 (
@@ -86,12 +158,89 @@ def pagerank_int(
                         " + div(17 * pmod(coalesce(__inflow, 0L), 20), 20)"
                     )
                 ).cast("long").alias("rank_e6"),
+            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            _reap_shuffles(ranks.sparkSession)
+        if iterations == 0:
+            # keep the returned frame valid past the unpersists below
+            ranks = ranks.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
             )
-        # materialize (16 B/row) BEFORE releasing the caches: it
-        # truncates the iterations-deep unrolled-join lineage AND keeps
-        # the returned frame valid after the unpersists below
-        out = ranks.localCheckpoint()
         nodes.unpersist()
-        return out
+        return ranks
     finally:
-        e.unpersist()
+        ed.unpersist()
+
+
+def pagerank_int_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    epsilon_e6: int = 100,
+    max_iterations: int = 50,
+) -> tuple[DataFrame, int]:
+    """:func:`pagerank_int` with a delta-threshold early exit instead
+    of a magic iteration constant: iterate until
+    ``max |Δrank_e6| <= epsilon_e6`` (exact int — the comparison is
+    deterministic, so the REALIZED iteration count is a pure function
+    of the graph) or `max_iterations`. Returns ``(ranks, n_iters)``;
+    by construction ``ranks`` is bit-identical to
+    ``pagerank_int(edges, iterations=n_iters)`` (pytest-pinned in
+    tests/test_graph_converged.py, along with delta(n_iters) <= eps <
+    delta(n_iters - 1)).
+
+    Scale notes: per iteration, the same one contribution shuffle +
+    one node join as the fixed variant, PLUS one localCheckpoint of
+    the 16 B/row rank frame (which the fixed variant does once at the
+    end — here it also truncates the per-iteration lineage so the
+    delta aggregate doesn't replay history) and one max-abs-delta
+    aggregate (a scalar action, map-side combined; no data reaches
+    the driver beyond one int64 per iteration)."""
+    if epsilon_e6 < 0:
+        raise ValueError("epsilon_e6 must be non-negative")
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be positive")
+    ed, nodes = _prepare_graph(edges, src, dst)
+    try:
+        ranks = nodes.withColumn(
+            "rank_e6", F.lit(E6).cast("long")
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        n_iters = 0
+        for _ in range(max_iterations):
+            contrib = (
+                ranks.join(ed.hint("merge"), ranks["id"] == ed["__s"])
+                .select(
+                    F.col("__d").alias("id"),
+                    F.expr("div(rank_e6, __deg)").alias("__c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("__c").alias("__inflow"))
+            )
+            new_ranks = nodes.join(contrib, "id", "left").select(
+                "id",
+                (
+                    F.lit(BASE_E6)
+                    + F.expr(
+                        "17 * div(coalesce(__inflow, 0L), 20)"
+                        " + div(17 * pmod(coalesce(__inflow, 0L), 20), 20)"
+                    )
+                ).cast("long").alias("rank_e6"),
+            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            _reap_shuffles(new_ranks.sparkSession)
+            n_iters += 1
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(
+                    F.max(
+                        F.abs(F.col("n.rank_e6") - F.col("o.rank_e6"))
+                    ).alias("__dmax")
+                )
+                .collect()[0]["__dmax"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= epsilon_e6:
+                break
+        nodes.unpersist()
+        return ranks, n_iters
+    finally:
+        ed.unpersist()

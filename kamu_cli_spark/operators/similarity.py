@@ -316,6 +316,7 @@ def ivf_ann_seeded(
     k: int = 5,
     round_digits: int = 6,
     scale_safe: bool = True,
+    seed_vectors: list[list[float]] | None = None,
 ) -> DataFrame:
     """Deterministic IVF ANN: cells are seeded by the `n_centroids`
     corpus vectors with the smallest ``md5(corpus_id)`` — a
@@ -353,15 +354,23 @@ def ivf_ann_seeded(
     centroid matrix is a broadcast closure constant, assignment is one
     vectorized narrow pipeline over the corpus, and the candidate join
     shuffles on the small cell id.
+
+    Pass `seed_vectors` (e.g. from model_store.load_ivf_model) to
+    reuse a PERSISTED cell model instead of re-deriving seeds from the
+    corpus: the seed collect is skipped entirely, `n_centroids` is
+    len(seed_vectors), and the output is bit-identical to the run that
+    produced the seeds (tests/test_model_store_r10.py).
     """
     import math
 
-    derived = n_centroids is None
+    if seed_vectors is not None and not seed_vectors:
+        raise ValueError("seed_vectors must be non-empty")
+    derived = seed_vectors is None and n_centroids is None
     if derived:
         n_corpus = cached_count(corpus)
         r = math.isqrt(max(n_corpus, 1))
         n_centroids = max(16, r if r * r == n_corpus else r + 1)
-    if scale_safe and n_centroids > MAX_SEED_CENTROIDS:
+    if seed_vectors is None and scale_safe and n_centroids > MAX_SEED_CENTROIDS:
         if not derived:
             # round-7 ADVICE: an explicit request must not be silently
             # answered by a different algorithm — fail loudly instead
@@ -388,15 +397,21 @@ def ivf_ann_seeded(
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    seeds = (
-        c.select("cid", "cv", F.md5(F.col("cid").cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(n_centroids)
-        .collect()
-    )
-    center_vecs = [
-        [float(x) for x in r["cv"]] for r in sorted(seeds, key=lambda r: r["h"])
-    ]
+    if seed_vectors is not None:
+        # persisted cell model (model_store.load_ivf_model): no seed
+        # collect at all — the cells are exactly the saved ones
+        center_vecs = [[float(x) for x in v] for v in seed_vectors]
+    else:
+        seeds = (
+            c.select("cid", "cv", F.md5(F.col("cid").cast("string")).alias("h"))
+            .orderBy("h")
+            .limit(n_centroids)
+            .collect()
+        )
+        center_vecs = [
+            [float(x) for x in r["cv"]]
+            for r in sorted(seeds, key=lambda r: r["h"])
+        ]
 
     # Cell selection compares RAW cosine values, not rounded ones: with
     # dimension-order accumulation the dots (and norms, and IEEE

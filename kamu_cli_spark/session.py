@@ -61,6 +61,12 @@ def get_spark(
         # clusters, so it is scale-correct, not a small-data hack.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # serialized cache/checkpoint blocks (DISK_ONLY intermediates:
+        # substring-dedup occurrences, pagerank edges/ranks) compress
+        # ~2-3× with lz4; Spark's default leaves them raw, and at the
+        # sf100 decades the DISK footprint of materialized
+        # intermediates — not CPU — was the binding constraint
+        .config("spark.rdd.compress", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark's stock 10 MB: a 64 MB threshold made q5/q3 broadcast a
         # 15 MB-parquet orders table at sf1 — the single-threaded

@@ -71,6 +71,14 @@ print("RESULT:" + json.dumps(best))
 
 def main() -> None:
     sf_dir = sys.argv[1]
+    if "sf100" in os.path.basename(sf_dir.rstrip("/")):
+        # the sf100 decade simulates a 100×-scale node on one box: the
+        # deliberately-small 8g default (multi-query GC geometry,
+        # session.py) starves 32 concurrent tasks on 600M-row inputs
+        # (pagerank edges heap-OOMed at 250 MB/task). One-query decade
+        # runs have no later queries to protect — give the JVM the
+        # heap a real executor would have. Must be set pre-launch.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     names = sys.argv[2:] or GAPS
     cap = float(os.environ.get("DECADE_CAP_S", "300"))
     spark = get_spark(app_name="decade-gaps")
