@@ -37,6 +37,17 @@ from pyspark.storagelevel import StorageLevel
 E6 = 1_000_000
 BASE_E6 = 150_000  # (1 - 17/20) · 1e6
 
+#: Above this many distinct directed edges, pagerank_int switches to
+#: per-iteration checkpoint + shuffle reaping (disk-bounded regime);
+#: below it, iterations stay lazy -- per-iteration materialization (a
+#: job + a full System.gc each) measured 1.5-1.8x slower at sf1/sf10
+#: for zero benefit. At the threshold the lazy shape keeps roughly
+#: 3 iterations x ~7 GB of shuffle files alive (~25 GB), inside any
+#: reasonable executor scratch; the sf100 graph (1.17B edges) pays the
+#: checkpoint tax and stays disk-bounded instead of disk-unbounded.
+LOW_FOOTPRINT_EDGES = 300_000_000
+
+
 
 
 def _prepare_graph(
@@ -58,10 +69,12 @@ def _prepare_graph(
       shuffles become garbage the moment ed materializes and the
       cleaner can delete them mid-job; a persist keeps the lineage
       (and its shuffle files) pinned for recompute.
-    - Spark preserves a checkpointed frame's outputPartitioning and
-      ordering (LogicalRDD carries both), so every iteration's
-      rank⋈edge sort-merge join reuses the cached layout and only the
-      rank side exchanges.
+    - The pre-partitioned sort order would ideally be reused by every
+      iteration's sort-merge join; this Spark build reports
+      UnknownPartitioning for checkpointed frames under AQE, so each
+      iteration re-exchanges ed — bounded by the per-iteration shuffle
+      reaping, and the one-exchange build still wins (the old shape
+      shuffled the edge list three times just to construct it).
     - DISK_ONLY because unrolled in-memory rows are several× the
       serialized size (the 8g-heap OOM lesson).
     """
@@ -117,14 +130,27 @@ def pagerank_int(
     if iterations < 0:
         raise ValueError("iterations must be non-negative")
     ed, nodes = _prepare_graph(edges, src, dst)
+    # Two iteration regimes, same result:
+    # - small graphs: lazy unrolled iterations + ONE final checkpoint --
+    #   per-iteration materialization (a job + a full System.gc each)
+    #   measured a 1.8x slowdown at sf1 for zero benefit;
+    # - big graphs: checkpoint EVERY iteration (16 B/row, DISK_ONLY)
+    #   and reap -- with the lazy shape all iterations' shuffle files
+    #   are alive simultaneously and DISK, not CPU, capped the feasible
+    #   graph size (the sf100 run died on scratch space before heap).
+    # ed is already materialized, so the count is a cached-block scan.
+    low_footprint = ed.count() > LOW_FOOTPRINT_EDGES
     try:
         ranks = nodes.withColumn("rank_e6", F.lit(E6).cast("long"))
         for _ in range(iterations):
             # merge hint: both sides are corpus-scale; the session's
             # prefer-shuffled-hash would build a per-task hash map over
             # |E|/partitions rows (~19M/task at sf100×32 slots — heap
-            # OOM at 8g). SMJ spills, and ed's cached partitioning +
-            # sort order mean ONLY the rank side exchanges.
+            # OOM at 8g). SMJ spills. (ed does re-exchange each
+            # iteration: this Spark build reports UnknownPartitioning
+            # for checkpointed/cached frames under AQE, so the saved
+            # layout can't be reused — the reaping below keeps those
+            # per-iteration shuffle files from accumulating.)
             contrib = (
                 ranks.join(ed.hint("merge"), ranks["id"] == ed["__s"])
                 .select(
@@ -143,12 +169,6 @@ def pagerank_int(
             # the bounded form costs nothing and keeps the bit-exact
             # cross-engine claim unconditional (identical values to the
             # oracle's 17*x//20 wherever the latter doesn't overflow).
-            # checkpoint EVERY iteration (16 B/row, DISK_ONLY), not
-            # just at the end: cutting the lineage lets the cleaner
-            # delete the finished iteration's shuffle files — with the
-            # lazy unrolled-join shape, all iterations' shuffles were
-            # alive simultaneously and disk (not CPU) capped the
-            # feasible graph size
             ranks = nodes.join(contrib, "id", "left").select(
                 "id",
                 (
@@ -158,10 +178,15 @@ def pagerank_int(
                         " + div(17 * pmod(coalesce(__inflow, 0L), 20), 20)"
                     )
                 ).cast("long").alias("rank_e6"),
-            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-            _reap_shuffles(ranks.sparkSession)
-        if iterations == 0:
-            # keep the returned frame valid past the unpersists below
+            )
+            if low_footprint:
+                ranks = ranks.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+                _reap_shuffles(ranks.sparkSession)
+        if not low_footprint or iterations == 0:
+            # truncate the unrolled lineage / keep the returned frame
+            # valid past the unpersists below
             ranks = ranks.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY
             )
