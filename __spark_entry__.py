@@ -3531,6 +3531,62 @@ FROM ntok n LEFT JOIN agg a ON n.doc_id = a.doc_id
 """
 
 
+
+def q_documents_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality filtering (text.py:ngram_lm_fit/score):
+    fit an exact-integer bigram model on the curated third of the
+    corpus (doc_id % 3 == 0), score every crawl doc's familiarity
+    (mean conditional bigram probability, e6 ints — the rational
+    stand-in for KenLM perplexity; ln() is not bit-portable across
+    engines). Low familiarity = gibberish / out-of-domain, the
+    pretraining quality-filter axis the rule battery can't see."""
+    from kamu_cli_spark.operators.text import ngram_lm_fit, ngram_lm_score
+
+    d = load_table(spark, sf, "documents")
+    model = ngram_lm_fit(d.filter(F.col("doc_id") % 3 == 0))
+    return ngram_lm_score(d.filter(F.col("doc_id") % 3 != 0), model)
+
+
+O_NGRAM_LM = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+),
+pair_n AS (
+  SELECT w1, w2, count(*) AS pn FROM bg WHERE doc_id % 3 = 0 GROUP BY w1, w2
+),
+ctx_n AS (SELECT w1, sum(pn) AS cn FROM pair_n GROUP BY w1),
+model AS (
+  SELECT p.w1, p.w2, (1000000 * p.pn) // c.cn AS cond_e6
+  FROM pair_n p JOIN ctx_n c USING (w1)
+),
+crawl AS (SELECT * FROM bg WHERE doc_id % 3 != 0),
+scored AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         count(m.cond_e6) AS seen_bigrams,
+         sum(coalesce(m.cond_e6, 0)) AS s
+  FROM crawl b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id
+),
+totals AS (
+  SELECT doc_id, greatest(len(w) - 1, 0) AS nb
+  FROM words WHERE doc_id % 3 != 0
+)
+SELECT t.doc_id,
+       CAST(t.nb AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.seen_bigrams, 0) AS BIGINT) AS seen_bigrams,
+       CAST(CASE WHEN t.nb > 0 THEN coalesce(s.s, 0) // t.nb ELSE 0 END
+            AS BIGINT) AS familiarity_e6
+FROM totals t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
 def q_documents_contaminated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level contamination (dedup.py:contaminated_spans): for
     each crawl doc (doc_id % 10 != 0), the maximal ≥8-token spans that
@@ -3922,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pack_sequences": q_documents_pack_sequences,
         "documents_spans_against_corpus": q_documents_spans_against_corpus,
         "documents_strip_against_corpus": q_documents_strip_against_corpus,
+        "documents_ngram_lm": q_documents_ngram_lm,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "documents_global_shuffle": q_documents_global_shuffle,
@@ -4057,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_strip_spans": O_STRIP_SPANS,
         "documents_spans_against_corpus": O_SPANS_AGAINST_CORPUS,
         "documents_strip_against_corpus": O_STRIP_AGAINST_CORPUS,
+        "documents_ngram_lm": O_NGRAM_LM,
         "documents_scrub_contaminated": O_SCRUB_CONTAMINATED,
         "tpch_q9": O_TPCH_Q9,
         "tpch_q14": O_TPCH_Q14,

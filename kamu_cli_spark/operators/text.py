@@ -460,3 +460,117 @@ def tfidf_topk(
             "rank",
         )
     )
+
+
+def ngram_lm_fit(
+    corpus: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Bigram language model over a reference corpus, exact-integer:
+    (w1, w2, pair_n, ctx_n, cond_e6) with
+    ``cond_e6 = floor(1e6 · count(w1 w2) / count(w1 ·))`` — the
+    integer-rational stand-in for the conditional log-probabilities a
+    KenLM-style model would produce. CCNet / GPT-3 filter crawl text
+    by LM score against a high-quality corpus; this is that signal's
+    engine-portable core (ln() differs across libms in the last ulp,
+    so probabilities stay rational and scores stay bit-identical —
+    the same trade tfidf_topk makes).
+
+    Plan shape at 100 TB: bigram explode → ONE pair-count shuffle with
+    map-side combine (the exchange moves ≤ |bigram vocab| rows per
+    task, not |tokens|); context totals fold from the pair counts
+    themselves (no second corpus scan) and join back on w1 — |vocab|-
+    sized, AQE broadcasts when it fits. No reference twin; LLM-pipeline
+    surface.
+
+    Overflow bound: ``1e6 · pair_n`` wraps int64 only past ~9.2e12
+    occurrences of one bigram — a trillion-token corpus where one pair
+    is ~1% of all text; raise into a ratio-of-divs split (pagerank's
+    trick) before that regime."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    # sequence(0, n-2) runs DESCENDING for n < 2 (Spark generates
+    # [0, -1]) and the subscript throws — docs without a bigram are
+    # filtered, not indexed
+    pairs = corpus.select(toks.alias("__t")).filter(
+        F.size(F.col("__t")) >= 2
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__t) - 2),"
+                " i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    pair_n = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    ctx_n = pair_n.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
+    return pair_n.join(ctx_n, "w1").select(
+        "w1",
+        "w2",
+        "pair_n",
+        "ctx_n",
+        F.expr("div(1000000 * pair_n, ctx_n)").cast("long").alias("cond_e6"),
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document familiarity against an :func:`ngram_lm_fit` model:
+    (id, n_bigrams, seen_bigrams, familiarity_e6) where familiarity is
+    the mean conditional probability over the doc's bigrams
+    (``floor(Σ cond_e6 / n_bigrams)``, unseen bigrams contribute 0,
+    zero-bigram docs score 0) — low familiarity ≈ high perplexity ≈
+    gibberish or out-of-domain, the CCNet quality-filter axis.
+
+    Plan: bigram explode → LEFT equi-join the model on (w1, w2) (the
+    model side has one row per bigram, so a hot crawl bigram skews only
+    the probe — AQE splits it) → one count/sum shuffle by doc →
+    left-join totals so every input doc is emitted. Occurrence rows
+    carry ~24 B + the token pair; the doc text never enters the
+    join."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    occ = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size(F.col("__t")) >= 2
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__t) - 2),"
+                " i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+            )
+        ).alias("__p"),
+    ).select(id_col, "__p.w1", "__p.w2")
+    scored = (
+        occ.join(model.select("w1", "w2", "cond_e6"), ["w1", "w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("cond_e6").alias("seen_bigrams"),
+            F.sum(F.coalesce(F.col("cond_e6"), F.lit(0))).alias("__sum"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - 1, F.lit(0)).alias("__nb"),
+    )
+    return totals.join(scored, id_col, "left").select(
+        id_col,
+        F.col("__nb").cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("seen_bigrams"), F.lit(0)).cast("long").alias(
+            "seen_bigrams"
+        ),
+        F.when(
+            F.col("__nb") > 0,
+            F.expr("div(coalesce(__sum, 0L), __nb)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("familiarity_e6"),
+    )

@@ -1,0 +1,63 @@
+"""Exact-integer bigram LM (text.py:ngram_lm_fit / ngram_lm_score) —
+the CCNet-style LM-perplexity quality-filter axis, rational instead of
+log-float so scores are engine-portable. Hand-computed fixtures + the
+ordering property the filter relies on (in-domain text scores above
+gibberish)."""
+
+from __future__ import annotations
+
+from kamu_cli_spark.operators.text import ngram_lm_fit, ngram_lm_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_fit_conditional_counts_exact(spark):
+    corpus = _docs(spark, [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the dog sat"),
+    ])
+    m = {(r["w1"], r["w2"]): (r["pair_n"], r["ctx_n"], r["cond_e6"])
+         for r in ngram_lm_fit(corpus).collect()}
+    # "the": 3 contexts -> cat 2/3, dog 1/3
+    assert m[("the", "cat")] == (2, 3, 666666)
+    assert m[("the", "dog")] == (1, 3, 333333)
+    # "cat": sat 1/2, ran 1/2
+    assert m[("cat", "sat")] == (1, 2, 500000)
+    assert m[("cat", "ran")] == (1, 2, 500000)
+    assert len(m) == 5  # + ("dog","sat")
+    assert m[("dog", "sat")] == (1, 1, 1000000)
+
+
+def test_score_mean_and_unseen_and_empty(spark):
+    corpus = _docs(spark, [(1, "the cat sat"), (2, "the cat ran")])
+    m = ngram_lm_fit(corpus)
+    docs = _docs(spark, [
+        (10, "the cat sat"),      # bigrams: (the,cat)=1e6, (cat,sat)=5e5
+        (11, "zz qq"),            # one unseen bigram -> 0
+        (12, "the"),              # zero bigrams
+        (13, ""),                 # zero tokens
+    ])
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs, m).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["n_bigrams"] == 2 and out[10]["seen_bigrams"] == 2
+    assert out[10]["familiarity_e6"] == (1_000_000 + 500_000) // 2
+    assert out[11]["n_bigrams"] == 1 and out[11]["seen_bigrams"] == 0
+    assert out[11]["familiarity_e6"] == 0
+    for i in (12, 13):
+        assert out[i]["n_bigrams"] == 0 and out[i]["familiarity_e6"] == 0
+
+
+def test_in_domain_scores_above_gibberish(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = ngram_lm_fit(docs)
+    probe = _docs(spark, [
+        # splice of real corpus style vs token soup
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "qxv zzk jjw pplm aa0x 9qq7 zoiw"),
+    ])
+    out = {r["doc_id"]: r["familiarity_e6"]
+           for r in ngram_lm_score(probe, model).collect()}
+    assert out[2] == 0 or out[1] > out[2]

@@ -72,7 +72,9 @@ class TestJoinStrategy:
          # round-10: against-corpus span family — bloom prefilter is
          # broadcast joins, confirmation is an equi semi join
          "documents_spans_against_corpus",
-         "documents_strip_against_corpus"],
+         "documents_strip_against_corpus",
+         # bigram LM: model join is an equi join on (w1, w2)
+         "documents_ngram_lm"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
