@@ -3819,6 +3819,300 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
+
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7 suppliers' share of
+    EUROPE customers' ECONOMY-part revenue per order year. Two nation
+    joins with distinct roles (customer side restricts via region,
+    supplier side feeds the share numerator); dims broadcast, the
+    conditional-sum ratio runs after one lineitem-sized join chain."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf, "customer")
+    su = load_table(spark, sf, "supplier")
+    p_ = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__n1k"), F.col("n_regionkey").alias("__n1r")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__n2k"), F.col("n_name").alias("__supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(F.broadcast(p_), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__n1k"))
+        .join(F.broadcast(r), F.col("__n1r") == F.col("r_regionkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__n2k"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("__supp_nation") == "NATION_7", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+O_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (priority counts by ship class; the testdata
+    has no l_shipmode/commitdate, so the class column is l_linestatus
+    and the lateness predicate is the shipdate year — same
+    join + conditional integer aggregation plan)."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+O_TPCH_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one
+    brand whose quantity is under 20% of that part's average quantity.
+    The correlated scalar subquery decorrelates to a per-part average
+    joined back — quantities are integral doubles, so the average is
+    an exact sum over an exact count and the 0.2× threshold compare is
+    engine-deterministic without rounding."""
+    l = load_table(spark, sf, "lineitem")
+    p_ = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__aq")
+    )
+    return (
+        l.join(F.broadcast(p_), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+O_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive conjunction groups across a join):
+    revenue from three OR-ed brand/size/quantity windows — the
+    predicate groups must stay pushable around one lineitem⋈part
+    equi-join (no container/shipmode columns in the testdata; size and
+    quantity windows carry the shape)."""
+    l = load_table(spark, sf, "lineitem")
+    p_ = load_table(spark, sf, "part")
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p_), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(g1 | g2 | g3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+O_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (double-correlated EXISTS / NOT EXISTS): count,
+    per supplier, the finished-order lineitems where ANOTHER supplier
+    also shipped on the order (EXISTS) but none of them shipped MORE
+    than this supplier (NOT EXISTS with an inequality) — the testdata
+    has no receipt/commit dates, so quantity plays the lateness role.
+    The two correlations become one left-semi and one left-anti join
+    on the order key; integer counts, exact."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    su = load_table(spark, sf, "supplier")
+    l1 = l.select("l_orderkey", "l_suppkey", "l_quantity")
+    l2 = l.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = l.select(
+        F.col("l_orderkey").alias("__ok3"),
+        F.col("l_suppkey").alias("__sk3"),
+        F.col("l_quantity").alias("__q3"),
+    )
+    base = l1.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("__ok2"))
+        & (F.col("l_suppkey") != F.col("__sk2")),
+        "left_semi",
+    )
+    top = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("__ok3"))
+        & (F.col("l_suppkey") != F.col("__sk3"))
+        & (F.col("__q3") > F.col("l_quantity")),
+        "left_anti",
+    )
+    return (
+        top.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+O_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_quantity > l1.l_quantity)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global-average scalar subquery + anti-join):
+    above-average-balance customers in selected nation codes with no
+    URGENT orders, grouped by code (the testdata has no c_phone and
+    every customer has SOME order, so nation-key-mod-10 plays the
+    country-code role and "no 1-URGENT order" plays "no orders" —
+    same anti-join shape, non-degenerate result). The average is
+    rounded to cents BEFORE the comparison — the q15 cross-engine
+    float trap."""
+    c = load_table(spark, sf, "customer").withColumn(
+        "cntrycode", F.pmod(F.col("c_nationkey"), F.lit(10)).cast("int")
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    sel = c.filter(F.col("cntrycode").isin(1, 3, 5, 7, 9))
+    avg_bal = sel.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("__ab")
+    )
+    rich = sel.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__ab"))
+    no_orders = rich.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+O_TPCH_Q22 = """
+WITH sel AS (
+  SELECT c_custkey, c_acctbal, CAST(c_nationkey % 10 AS INTEGER) AS cntrycode
+  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+)
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM sel
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM sel
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
 def q_purchase_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-int64 PageRank (operators/graph.py:pagerank_int) over the
     undirected customer↔supplier purchase graph (distinct pairs from
@@ -3897,7 +4191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quality_filter; embeddings_quantize ~ array_battery +
     # centroid_stats vector transforms; documents_pack_sequences ~
     # train_split sampling (chunk/stratified/global_shuffle also tail).
-    # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18 ~
+    # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
+    # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
     # keeps EXISTS graded; top2_global ~ top3 ranking; lineitem_cube +
     # lineitem_grouping_sets ~ lineitem_rollup grouping family;
@@ -4015,6 +4310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -4121,5 +4422,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": O_TPCH_Q18,
         "tpch_q13": O_TPCH_Q13,
         "tpch_q15": O_TPCH_Q15,
+        "tpch_q8": O_TPCH_Q8,
+        "tpch_q12": O_TPCH_Q12,
+        "tpch_q17": O_TPCH_Q17,
+        "tpch_q19": O_TPCH_Q19,
+        "tpch_q21": O_TPCH_Q21,
+        "tpch_q22": O_TPCH_Q22,
         "purchase_graph_pagerank": _o_pagerank(),
     }
