@@ -6,6 +6,9 @@ runs, in the canonical order:
 
     raw documents
       └─ 1. quality filter   (Gopher-style rule battery, keep/drop)
+      └─ 1b. LM quality gate  (optional: CCNet-style bigram-LM
+                              familiarity vs a curated reference;
+                              drops gibberish the rules can't see)
       └─ 2. PII scrub audit  (emails/IPs/phones counted + fingerprint)
       └─ 3. exact dedup      (normalized-text fingerprint, min-id wins)
       └─ 3b. substring dedup (optional: Lee et al. ExactSubstr —
@@ -61,7 +64,12 @@ from kamu_cli_spark.operators.sampling import (
     pack_sequences,
     split_assignment,
 )
-from kamu_cli_spark.operators.text import vocab_coverage, vocabulary
+from kamu_cli_spark.operators.text import (
+    ngram_lm_fit,
+    ngram_lm_score,
+    vocab_coverage,
+    vocabulary,
+)
 
 
 @dataclass
@@ -90,6 +98,8 @@ def run_pipeline(
     seq_len: int = 512,
     fractions: dict[str, float] | None = None,
     existing_corpus: DataFrame | None = None,
+    lm_reference: DataFrame | None = None,
+    lm_min_familiarity_e6: int = 10_000,
     embeddings: DataFrame | None = None,
     vec_col: str = "embedding",
     sem_k: int = 8,
@@ -118,6 +128,21 @@ def run_pipeline(
     quality = quality_filter(docs, text_col=text_col, id_col=id_col)
     good_ids = quality.filter(F.col("keep")).select(id_col)
     good = docs.join(good_ids, id_col, "left_semi")
+
+    # 1b. optional LM quality gate (CCNet): score familiarity against
+    # a bigram model fit on the curated reference; drop docs below the
+    # threshold — the perplexity-filter axis the rule battery can't
+    # see (gibberish with good lengths/ratios)
+    if lm_reference is not None:
+        lm = ngram_lm_fit(lm_reference, text_col=text_col)
+        fam = ngram_lm_score(good, lm, id_col=id_col, text_col=text_col)
+        good = good.join(
+            fam.filter(
+                F.col("familiarity_e6") >= lm_min_familiarity_e6
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
 
     # 2. PII audit rides alongside (the scrubbed corpus is derivable;
     # the audit is what reviewers consume)

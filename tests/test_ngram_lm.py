@@ -61,3 +61,35 @@ def test_in_domain_scores_above_gibberish(spark):
     out = {r["doc_id"]: r["familiarity_e6"]
            for r in ngram_lm_score(probe, model).collect()}
     assert out[2] == 0 or out[1] > out[2]
+
+
+def test_pipeline_lm_gate_drops_gibberish(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples/pretrain_pipeline")
+    from pipeline import run_pipeline
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = real.limit(40)
+    # crawl: real-style docs + one token-soup doc that passes length
+    # rules but has zero familiar bigrams
+    soup = _docs(spark, [(999_999, "qxv zzk jjw pplm xx0q 9qq7 zoiw "
+                                   "vvkp qlm0 zzt9 wq1x p0o9 kkj3 qp2z "
+                                   "aav4 bbn5 ccm6 ddl7 eek8 ffj9 zzz0 "
+                                   "yyx1 wwv2 uut3 ssr4 qqp5 oon6 mml7")])
+    # repartition flattens the union lineage: AQE's stage zip chokes
+    # on the two-child union's unequal partition counts deep inside
+    # the pipeline (Spark-internal ZippedPartitionsRDD assert), which
+    # is an input-shape quirk, not an operator property
+    crawl = (
+        real.limit(20).select("doc_id", "text").unionByName(soup)
+        .repartition(8)
+    )
+
+    gated = run_pipeline(spark, crawl, lm_reference=ref, vocab_k=50)
+    ungated = run_pipeline(spark, crawl, vocab_k=50)
+    kept_gated = {r["doc_id"] for r in gated.kept.select("doc_id").collect()}
+    kept_ungated = {r["doc_id"] for r in ungated.kept.select("doc_id").collect()}
+    assert 999_999 not in kept_gated
+    # the gate only ever removes docs, never adds
+    assert kept_gated <= kept_ungated
