@@ -537,6 +537,13 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    if centroids is not None and not centroids:
+        # an absent/empty model from the store would pass `is not
+        # None`, get NULL clusters from kmeans_apply, and silently
+        # collapse the whole corpus into one O(n²) null-cluster
+        # pairwise pass — refuse, mirroring save_kmeans_model's
+        # refusal to commit an empty model (ADVICE r10).
+        raise ValueError("semantic_dedup: centroids list is empty")
     # materialize the assignment ONCE: it appears twice in the
     # downstream plan (candidate pass, final join), and at large k each
     # lazy recompute re-scores the whole corpus (~50 s per pass at

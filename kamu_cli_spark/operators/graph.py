@@ -190,9 +190,11 @@ def pagerank_int(
             ranks = ranks.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY
             )
-        nodes.unpersist()
         return ranks
     finally:
+        # both in the finally: an exception mid-iteration must not
+        # leave the DISK_ONLY nodes frame pinned (ADVICE r10)
+        nodes.unpersist()
         ed.unpersist()
 
 
@@ -265,7 +267,7 @@ def pagerank_int_converged(
             ranks = new_ranks
             if delta is not None and delta <= epsilon_e6:
                 break
-        nodes.unpersist()
         return ranks, n_iters
     finally:
+        nodes.unpersist()
         ed.unpersist()

@@ -17,6 +17,8 @@ import sys
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -27,23 +29,29 @@ TABLES = [
 
 
 def canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "\\N"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if bool(v) else "false"
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "nan"
+            return "\\N"  # pandas null for a numeric column
         if v == int(v) and abs(v) < 1e15:
             return repr(int(v)) + ".0"
         return repr(v)
     if isinstance(v, datetime):
+        # pandas has no date dtype: DuckDB DATE arrives as a midnight
+        # Timestamp while Spark collect() keeps datetime.date — hash
+        # dates as midnight timestamps on both paths.
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
-        return v.strftime("%Y-%m-%d")
-    if isinstance(v, bool):
-        return "true" if v else "false"
+        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
@@ -99,9 +107,12 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({spark_s:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # .df() (not fetchall): the driver's hasher is pandas-based,
+            # so DuckDB HUGEINT → float64 drift must be visible here too
+            # (fetchall returns Python ints for HUGEINT and hides it).
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            drows = list(ddf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
