@@ -99,6 +99,7 @@ def run_pipeline(
     fractions: dict[str, float] | None = None,
     existing_corpus: DataFrame | None = None,
     lm_reference: DataFrame | None = None,
+    lm_model: DataFrame | None = None,
     lm_min_familiarity_e6: int = 10_000,
     embeddings: DataFrame | None = None,
     vec_col: str = "embedding",
@@ -132,9 +133,16 @@ def run_pipeline(
     # 1b. optional LM quality gate (CCNet): score familiarity against
     # a bigram model fit on the curated reference; drop docs below the
     # threshold — the perplexity-filter axis the rule battery can't
-    # see (gibberish with good lengths/ratios)
-    if lm_reference is not None:
-        lm = ngram_lm_fit(lm_reference, text_col=text_col)
+    # see (gibberish with good lengths/ratios). Pass `lm_model` (a
+    # model_store.load_ngram_lm_model frame) to score against a FIXED
+    # ledger artifact instead of refitting — the run is then as-of
+    # reproducible, mirroring semantic_centroids for stage 4b.
+    if lm_model is not None or lm_reference is not None:
+        lm = (
+            lm_model
+            if lm_model is not None
+            else ngram_lm_fit(lm_reference, text_col=text_col)
+        )
         fam = ngram_lm_score(good, lm, id_col=id_col, text_col=text_col)
         good = good.join(
             fam.filter(

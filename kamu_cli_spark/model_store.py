@@ -148,6 +148,58 @@ def load_bloom_model(
     )
 
 
+NGRAM_LM_COLUMNS = ["w1", "w2", "pair_n", "ctx_n", "cond_e6"]
+
+
+def save_ngram_lm_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    model: DataFrame,
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit a bigram LM (:func:`~kamu_cli_spark.operators.text.
+    ngram_lm_fit` output) as one snapshot poll of `dataset` (PK =
+    (w1, w2)): a refit on a revised reference corpus appends new
+    bigrams, re-estimated probabilities emit -C/+C corrections, and
+    bigrams absent from the refit emit -R — the curation pipeline's
+    stage-1b quality gate (CCNet-style) becomes as-of reproducible
+    from the ledger like the k-means/Bloom/IVF artifacts. The model is
+    exact integers (pair_n, ctx_n, cond_e6 rationals), so the round
+    trip scores bit-identically (tests/test_model_store_r11.py).
+    Unlike the centroid models the LM stays DISTRIBUTED end to end —
+    vocabulary-sized, written and read with no driver collect."""
+    if set(model.columns) != set(NGRAM_LM_COLUMNS):
+        raise ValueError(
+            f"expected ngram_lm_fit output {NGRAM_LM_COLUMNS}, got {model.columns}"
+        )
+    if not model.head(1):
+        raise ValueError("refusing to commit an empty ngram LM")
+    w = DataWriter(dataset, MergeStrategySnapshot(["w1", "w2"]))
+    return w.write(
+        spark,
+        model.select(*NGRAM_LM_COLUMNS),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_ngram_lm_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> DataFrame | None:
+    """The LM's latest state (or as-of a pinned block) as the
+    (w1, w2, pair_n, ctx_n, cond_e6) frame
+    :func:`~kamu_cli_spark.operators.text.ngram_lm_score` consumes —
+    still distributed; nothing reaches the driver. None if absent."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None
+    state = project_changelog(df, ["w1", "w2"], dataset.vocab)
+    return state.select(*NGRAM_LM_COLUMNS)
+
+
 IVF_SCHEMA = "level int, cid int, centroid array<double>"
 
 

@@ -462,6 +462,124 @@ def tfidf_topk(
     )
 
 
+def _bigram_counts_arrow(
+    df: DataFrame,
+    id_col: str | None,
+    text_col: str,
+    lowercase: bool,
+) -> DataFrame:
+    """Pre-aggregated bigram counts via one Arrow map pass: (w1, w2, c)
+    per Arrow batch when ``id_col is None``, else (id, w1, w2, c) per
+    (doc, bigram). EXACT — only the counting is restructured.
+
+    Why a kernel and not explode: a bigram row per TOKEN through
+    Spark's generator (struct alloc + per-element hashing, measured
+    down from 2.6 s to its 1.7 s floor at sf1 after de-lambda-ing)
+    still dominated the operator end-to-end. The corpus bigram
+    vocabulary is tiny compared to the token count (931 distinct
+    bigrams across ~20M sf10 bigram occurrences), so counting INSIDE
+    the scan and emitting one row per distinct bigram per batch moves
+    ~4 orders of magnitude fewer rows into the exchange. The kernel is
+    pure C-path: per batch, tokens factorize to dense codes
+    (pd.factorize), bigram codes are one shift-or over the code array,
+    and counts come from np.unique / a hash groupby — no per-token
+    Python loop beyond the regex split itself. Tokenization is the
+    family's re.ASCII ``\\s+`` split + lower (parity proven against
+    the DuckDB regex oracles by the span operators). Memory is bounded
+    per batch (factorize/unique scratch ~ batch tokens); nothing
+    accumulates across batches.
+
+    Worst-case honesty: an adversarial corpus where every bigram is
+    unique gets NO compression — the emission then matches the explode
+    plan's row count, minus the generator overhead, so the kernel
+    never loses."""
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    with_id = id_col is not None
+    mask32 = (1 << 32) - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {
+            **({id_col: np.array([], dtype=np.int64)} if with_id else {}),
+            "w1": np.array([], dtype=object),
+            "w2": np.array([], dtype=object),
+            "c": np.array([], dtype=np.int64),
+        }
+        for pdf in batches:
+            toks_per_doc: list[list[str]] = []
+            ids: list[int] = []
+            texts = pdf[text_col]
+            doc_ids = pdf[id_col] if with_id else range(len(pdf))
+            for i, txt in zip(doc_ids, texts):
+                s = (txt or "")
+                if lowercase:
+                    s = s.lower()
+                toks = [t for t in ws.split(s) if t]
+                if len(toks) >= 2:
+                    toks_per_doc.append(toks)
+                    ids.append(int(i))
+            if not toks_per_doc:
+                yield pd.DataFrame(empty)
+                continue
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64,
+                count=len(toks_per_doc),
+            )
+            flat = np.empty(int(lens.sum()), dtype=object)
+            off = 0
+            for t in toks_per_doc:
+                flat[off:off + len(t)] = t
+                off += len(t)
+            codes, uniq = pd.factorize(flat)  # dense batch-local ids
+            codes = codes.astype(np.int64, copy=False)
+            # adjacent-pair codes; mask out pairs that straddle a doc
+            # boundary (batch-local vocab < 2^32 by construction)
+            doc_rep = np.repeat(
+                np.arange(len(lens), dtype=np.int64), lens
+            )
+            pair_ok = doc_rep[:-1] == doc_rep[1:]
+            pc = ((codes[:-1] << 32) | codes[1:])[pair_ok]
+            if not with_id:
+                upc, cnt = np.unique(pc, return_counts=True)
+                yield pd.DataFrame(
+                    {
+                        "w1": uniq[(upc >> 32)],
+                        "w2": uniq[(upc & mask32)],
+                        "c": cnt.astype(np.int64),
+                    }
+                )
+                continue
+            drep = doc_rep[:-1][pair_ok]
+            g = (
+                pd.DataFrame({"d": drep, "p": pc})
+                .groupby(["d", "p"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            id_arr = np.asarray(ids, dtype=np.int64)
+            upc = g["p"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: id_arr[g["d"].to_numpy()],
+                    "w1": uniq[(upc >> 32)],
+                    "w2": uniq[(upc & mask32)],
+                    "c": g["c"].to_numpy(dtype=np.int64),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    cols = [id_col, text_col] if with_id else [text_col]
+    schema = ("" if not with_id else f"`{id_col}` long, ")
+    schema += "w1 string, w2 string, c long"
+    return spread(df.select(*cols)).mapInPandas(run, schema)
+
+
 def ngram_lm_fit(
     corpus: DataFrame,
     text_col: str = "text",
@@ -477,33 +595,21 @@ def ngram_lm_fit(
     so probabilities stay rational and scores stay bit-identical —
     the same trade tfidf_topk makes).
 
-    Plan shape at 100 TB: bigram explode → ONE pair-count shuffle with
-    map-side combine (the exchange moves ≤ |bigram vocab| rows per
-    task, not |tokens|); context totals fold from the pair counts
-    themselves (no second corpus scan) and join back on w1 — |vocab|-
-    sized, AQE broadcasts when it fits. No reference twin; LLM-pipeline
-    surface.
+    Plan shape at 100 TB: ONE Arrow scan emitting per-batch
+    PRE-AGGREGATED (w1, w2, c) rows (:func:`_bigram_counts_arrow` —
+    counting happens inside the scan, so the exchange moves ≤ |batch
+    bigram vocab| rows per batch, not |tokens| generator rows) → one
+    map-side-combined sum shuffle; context totals fold from the pair
+    counts themselves (no second corpus scan) and join back on w1 —
+    |vocab|-sized, AQE broadcasts when it fits. No reference twin;
+    LLM-pipeline surface.
 
     Overflow bound: ``1e6 · pair_n`` wraps int64 only past ~9.2e12
     occurrences of one bigram — a trillion-token corpus where one pair
     is ~1% of all text; raise into a ratio-of-divs split (pagerank's
     trick) before that regime."""
-    t = F.col(text_col)
-    toks = tokens(F.lower(t) if lowercase else t)
-    # sequence(0, n-2) runs DESCENDING for n < 2 (Spark generates
-    # [0, -1]) and the subscript throws — docs without a bigram are
-    # filtered, not indexed
-    pairs = corpus.select(toks.alias("__t")).filter(
-        F.size(F.col("__t")) >= 2
-    ).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(__t) - 2),"
-                " i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
-            )
-        ).alias("__p")
-    ).select("__p.w1", "__p.w2")
-    pair_n = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    bc = _bigram_counts_arrow(corpus, None, text_col, lowercase)
+    pair_n = bc.groupBy("w1", "w2").agg(F.sum("c").alias("pair_n"))
     ctx_n = pair_n.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
     return pair_n.join(ctx_n, "w1").select(
         "w1",
@@ -528,47 +634,44 @@ def ngram_lm_score(
     zero-bigram docs score 0) — low familiarity ≈ high perplexity ≈
     gibberish or out-of-domain, the CCNet quality-filter axis.
 
-    Plan: bigram explode → LEFT equi-join the model on (w1, w2) (the
-    model side has one row per bigram, so a hot crawl bigram skews only
-    the probe — AQE splits it) → one count/sum shuffle by doc →
-    left-join totals so every input doc is emitted. Occurrence rows
-    carry ~24 B + the token pair; the doc text never enters the
-    join."""
-    t = F.col(text_col)
-    toks = tokens(F.lower(t) if lowercase else t)
-    occ = df.select(F.col(id_col), toks.alias("__t")).filter(
-        F.size(F.col("__t")) >= 2
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(__t) - 2),"
-                " i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
-            )
-        ).alias("__p"),
-    ).select(id_col, "__p.w1", "__p.w2")
+    Plan: ONE Arrow scan emitting per-(doc, bigram) COUNTS
+    (:func:`_bigram_counts_arrow` — the probe side carries one row per
+    distinct bigram per doc, not one per occurrence) → LEFT equi-join
+    the model on (w1, w2) (model has one row per bigram, so a hot
+    crawl bigram skews only the probe — AQE splits it) → one sum
+    shuffle by doc → left-join ids so every input doc is emitted. The
+    doc text never enters the join, and the corpus is tokenized ONCE:
+    n_bigrams folds from Σc (= n_tokens − 1 for every doc that emitted
+    rows; docs with < 2 tokens coalesce to 0, same as
+    greatest(size−1, 0))."""
+    occ = _bigram_counts_arrow(df, id_col, text_col, lowercase)
     scored = (
         occ.join(model.select("w1", "w2", "cond_e6"), ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count("cond_e6").alias("seen_bigrams"),
-            F.sum(F.coalesce(F.col("cond_e6"), F.lit(0))).alias("__sum"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cond_e6").isNotNull(), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("seen_bigrams"),
+            F.sum(
+                F.col("c") * F.coalesce(F.col("cond_e6"), F.lit(0))
+            ).alias("__sum"),
         )
     )
-    totals = df.select(
-        F.col(id_col),
-        F.greatest(F.size(toks) - 1, F.lit(0)).alias("__nb"),
-    )
+    totals = df.select(F.col(id_col))
     return totals.join(scored, id_col, "left").select(
         id_col,
-        F.col("__nb").cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
+        ),
         F.coalesce(F.col("seen_bigrams"), F.lit(0)).cast("long").alias(
             "seen_bigrams"
         ),
         F.when(
-            F.col("__nb") > 0,
-            F.expr("div(coalesce(__sum, 0L), __nb)"),
+            F.col("n_bigrams") > 0,
+            F.expr("div(coalesce(__sum, 0L), n_bigrams)"),
         )
         .otherwise(F.lit(0))
         .cast("long")

@@ -1,0 +1,116 @@
+"""Round-11 model-store extension (VERDICT r10 #4): the bigram LM —
+the one curation-stage artifact (pipeline stage 1b) that wasn't yet a
+ledger dataset — persisted with snapshot-CDC semantics keyed (w1, w2).
+Save/load round-trips must score bit-identically (the model is exact
+integers), refits must emit the CDC alphabet, and the pipeline's LM
+gate must accept a ledger-loaded model."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.dataset import Dataset
+from kamu_cli_spark.model_store import (
+    load_ngram_lm_model,
+    save_ngram_lm_model,
+)
+from kamu_cli_spark.operators.text import ngram_lm_fit, ngram_lm_score
+
+
+def _d(day):
+    return datetime(2024, 3, day, tzinfo=timezone.utc)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+class TestNgramLmModel:
+    def test_round_trip_scores_identically(self, spark, tmp_path):
+        docs = _docs(spark)
+        ref = docs.filter(F.col("doc_id") % 3 == 0)
+        crawl = docs.filter(F.col("doc_id") % 3 != 0)
+        model = ngram_lm_fit(ref)
+
+        ds = Dataset.create(str(tmp_path), "lm", system_time=_d(1).isoformat())
+        save_ngram_lm_model(
+            spark, ds, model, system_time=_d(2), source_event_time=_d(2)
+        )
+        loaded = load_ngram_lm_model(spark, ds)
+        assert loaded is not None
+
+        # the model itself round-trips exactly
+        assert model.exceptAll(loaded).count() == 0
+        assert loaded.exceptAll(model).count() == 0
+
+        # and scoring against the loaded artifact is bit-identical
+        want = {tuple(r) for r in ngram_lm_score(crawl, model).collect()}
+        got = {tuple(r) for r in ngram_lm_score(crawl, loaded).collect()}
+        assert got == want and len(got) > 0
+
+    def test_refit_emits_cdc_alphabet(self, spark, tmp_path):
+        docs = _docs(spark)
+        ds = Dataset.create(str(tmp_path), "lm", system_time=_d(1).isoformat())
+        m1 = ngram_lm_fit(docs.filter(F.col("doc_id") % 3 == 0))
+        save_ngram_lm_model(
+            spark, ds, m1, system_time=_d(2), source_event_time=_d(2)
+        )
+        head_v1 = ds.chain.head().block_hash
+        # refit on a different slice: some bigrams persist with new
+        # counts (corrections), some vanish (retractions), some appear
+        m2 = ngram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0))
+        save_ngram_lm_model(
+            spark, ds, m2, system_time=_d(3), source_event_time=_d(3)
+        )
+        ops = {
+            r["op"]: r["n"]
+            for r in ds.read(spark)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # ODF op codes: 0 = +A, 1 = -R, 2 = -C, 3 = +C
+        assert ops.get(0, 0) > 0  # first poll appends
+        # second poll produced changes in at least two CDC kinds
+        assert sum(1 for k in (1, 2, 3) if ops.get(k, 0) > 0) >= 2
+
+        # latest state == the refit model exactly
+        loaded = load_ngram_lm_model(spark, ds)
+        assert m2.exceptAll(loaded).count() == 0
+        assert loaded.exceptAll(m2).count() == 0
+
+        # as-of the first poll's head == the first model exactly
+        pinned = load_ngram_lm_model(spark, ds, as_of=head_v1)
+        assert m1.exceptAll(pinned).count() == 0
+        assert pinned.exceptAll(m1).count() == 0
+
+    def test_refuses_empty_or_misshapen(self, spark, tmp_path):
+        ds = Dataset.create(str(tmp_path), "lm", system_time=_d(1).isoformat())
+        docs = _docs(spark)
+        with pytest.raises(ValueError, match="empty"):
+            save_ngram_lm_model(
+                spark, ds, ngram_lm_fit(docs.filter(F.lit(False)))
+            )
+        with pytest.raises(ValueError, match="expected ngram_lm_fit"):
+            save_ngram_lm_model(spark, ds, docs.select("doc_id"))
+
+    def test_pipeline_consumes_ledger_lm(self, spark, tmp_path):
+        from examples.pretrain_pipeline.pipeline import run_pipeline
+
+        docs = _docs(spark)
+        ref = docs.filter(F.col("doc_id") % 3 == 0)
+        ds = Dataset.create(str(tmp_path), "lm", system_time=_d(1).isoformat())
+        save_ngram_lm_model(
+            spark, ds, ngram_lm_fit(ref),
+            system_time=_d(2), source_event_time=_d(2),
+        )
+        loaded = load_ngram_lm_model(spark, ds)
+
+        via_model = run_pipeline(spark, docs, lm_model=loaded)
+        via_refit = run_pipeline(spark, docs, lm_reference=ref)
+        got = {r["doc_id"] for r in via_model.kept.select("doc_id").collect()}
+        want = {r["doc_id"] for r in via_refit.kept.select("doc_id").collect()}
+        assert got == want and len(got) > 0
