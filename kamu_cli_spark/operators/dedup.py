@@ -1486,6 +1486,83 @@ def strip_contaminated_spans(
     )
 
 
+def _span_keys_arrow(corpus: DataFrame, text_col: str, L: int) -> DataFrame:
+    """Per-batch-UNIQUE window keys (__kh, __kl) — the keys-only twin
+    of :func:`_span_occurrences_arrow`: same tokenization, token-md5
+    memo and polynomial window keys, but no (id, pos) payload and the
+    batch's keys dedup in-kernel (np.unique over the packed 16-byte
+    pair) before they ever reach Arrow — corpus windows repeat ~10× at
+    the graded SFs, so the downstream distinct's exchange shrinks by
+    that factor."""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
+    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
+    pw1 = np.empty(L, dtype=np.uint64)
+    pw2 = np.empty(L, dtype=np.uint64)
+    a = b = 1
+    for j in range(L - 1, -1, -1):
+        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
+        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
+        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
+        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            k1c, k2c = [], []
+            for txt in pdf[text_col]:
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n = len(toks) - L + 1
+                if n <= 0:
+                    continue
+                H = np.fromiter(
+                    (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                W = np.lib.stride_tricks.sliding_window_view(H, L)
+                k1c.append((W * pw1).sum(axis=1).view(np.int64))
+                k2c.append((W * pw2).sum(axis=1).view(np.int64))
+            if not k1c:
+                yield pd.DataFrame(
+                    {
+                        "__kh": np.array([], dtype=np.int64),
+                        "__kl": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            pair = np.ascontiguousarray(
+                np.column_stack((np.concatenate(k1c), np.concatenate(k2c)))
+            )
+            # byte-wise unique over the packed (kh, kl) pair — memcmp
+            # equality, safe for arbitrary int64 bit patterns
+            uniq = np.unique(pair.view([("h", np.int64), ("l", np.int64)]))
+            yield pd.DataFrame(
+                {"__kh": uniq["h"].ravel(), "__kl": uniq["l"].ravel()}
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    return spread(corpus.select(text_col)).mapInPandas(
+        run, "__kh long, __kl long"
+    )
+
+
 def corpus_window_keys(
     corpus: DataFrame,
     id_col: str,
@@ -1495,16 +1572,74 @@ def corpus_window_keys(
     """DISTINCT 128-bit window keys (__kh, __kl int64 pair) of every
     `min_len`-token window in a STATIC corpus — the fully distributed,
     unbounded counterpart of :func:`contaminated_spans`' capped
-    driver-side eval artifact. One Arrow shingling pass + one
+    driver-side eval artifact. One keys-only Arrow shingling pass with
+    in-kernel per-batch dedup (:func:`_span_keys_arrow`) + one
     map-side-combined distinct; never touches the driver, so the
     reference can be the whole curated corpus, not just an eval set."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
+    return _span_keys_arrow(corpus, text_col, min_len).distinct()
+
+
+def _blocked_bloom_cols(n_bits: int, n_hashes: int) -> tuple[Column, Column]:
+    """(word_idx, mask) for a (__kh, __kl) int64-pair key in a
+    REGISTER-BLOCKED Bloom filter: xxhash64(kh, kl) picks one of
+    ceil(n_bits/62) words, and all `n_hashes` bits land INSIDE that
+    word (xxhash64(kh, kl, i) picks the bit) — so membership is ONE
+    broadcast join + one (word & mask) == mask test, where the classic
+    layout needed k joins each copying the full occurrence row set
+    (~1.9 s of pure join row-copying at sf1).
+
+    ENGINE-INTERNAL (unlike :func:`_bloom_pos`, which stays
+    md5-over-string because the gram-novelty DuckDB oracle replicates
+    its exact bits): the against-corpus family's results are made
+    exact by the confirmation semi join, so this hash family only has
+    to be cheap and uniform. FP rate: with b average set bits per word
+    the per-probe pass rate is ~(b/62)^k — at the family's default
+    sizing (≥ 16 bits/key ⇒ b ≤ ~62·k/16 per loaded word) that is
+    well under 0.1%, and FP only moves the prefilter's selectivity,
+    never the result."""
+    n_words = max(1, (n_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS)
+    widx = F.pmod(F.xxhash64(F.col("__kh"), F.col("__kl")), F.lit(n_words))
+    mask = None
+    for i in range(n_hashes):
+        bit = F.expr(
+            f"shiftleft(1L, int(pmod(xxhash64(__kh, __kl, {i + 1}),"
+            f" {_BLOOM_WORD_BITS})))"
+        )
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    return widx.alias("word_idx"), mask.alias("__mask")
+
+
+def _long_bloom_words(
+    keys: DataFrame, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Blocked-Bloom bitmap over (__kh, __kl) int64-pair keys as
+    (word_idx, word) rows — one map-side-combined bit_or shuffle,
+    ≤ ceil(n_bits/62) rows regardless of key count."""
+    widx, mask = _blocked_bloom_cols(n_bits, n_hashes)
     return (
-        _span_occurrences_arrow(corpus, id_col, text_col, min_len)
-        .select("__kh", "__kl")
-        .distinct()
+        keys.select(widx, mask)
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("word"))
     )
+
+
+def _long_bloom_filter(
+    occ: DataFrame, words: DataFrame, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Keep only `occ` rows whose (__kh, __kl) key passes the bitmap —
+    ONE broadcast join on the word index; the occurrence side never
+    shuffles."""
+    widx, mask = _blocked_bloom_cols(n_bits, n_hashes)
+    out = occ.withColumns({"word_idx": widx, "__mask": mask}).join(
+        F.broadcast(words), "word_idx", "left"
+    )
+    hit = F.coalesce(
+        F.col("word").bitwiseAND(F.col("__mask")) == F.col("__mask"),
+        F.lit(False),
+    )
+    return out.filter(hit).drop("word_idx", "__mask", "word")
 
 
 def _confirmed_span_hits(
@@ -1519,35 +1654,20 @@ def _confirmed_span_hits(
 ) -> DataFrame:
     """(id, pos) of every `df` window whose key is in `keys` — exact.
     With `prefilter`, windows first pass the broadcast Bloom over the
-    key set (:func:`bloom_bit_words` / :func:`bloom_membership`, keyed
-    on the decimal '<kh>:<kl>' rendering): map-side joins only, so the
-    overwhelmingly-negative crawl windows exit BEFORE the confirmation
-    join's exchange — at 100 TB the crawl never ships, only
-    bloom-positive candidates do. Bloom false positives are removed by
-    the exact stream-static LEFT SEMI join; false negatives don't
-    exist, so the result is identical with prefilter on or off.
-    Everything here is stream-legal (maps, broadcast joins, and a
-    stream-static semi join with `df` on the left)."""
+    key set (long-native :func:`_long_bloom_words` /
+    :func:`_long_bloom_filter` on the (__kh, __kl) pair): map-side
+    joins only, so the overwhelmingly-negative crawl windows exit
+    BEFORE the confirmation join's exchange — at 100 TB the crawl
+    never ships, only bloom-positive candidates do. Bloom false
+    positives are removed by the exact stream-static LEFT SEMI join;
+    false negatives don't exist, so the result is identical with
+    prefilter on or off. Everything here is stream-legal (maps,
+    broadcast joins, and a stream-static semi join with `df` on the
+    left)."""
     occ = _span_occurrences_arrow(df, id_col, text_col, L)
-    kstr = F.concat_ws(":", F.col("__kh"), F.col("__kl"))
     if prefilter:
-        words = bloom_bit_words(
-            keys.withColumn("__ks", kstr),
-            n_bits=n_bits,
-            n_hashes=n_hashes,
-            key_col="__ks",
-        )
-        occ = (
-            bloom_membership(
-                occ.withColumn("__ks", kstr),
-                words,
-                n_bits=n_bits,
-                n_hashes=n_hashes,
-                key_col="__ks",
-            )
-            .filter(F.col("bloom_hit"))
-            .drop("__ks", "__fp", "bloom_hit")
-        )
+        words = _long_bloom_words(keys, n_bits, n_hashes)
+        occ = _long_bloom_filter(occ, words, n_bits, n_hashes)
     return occ.join(keys, ["__kh", "__kl"], "left_semi").select(id_col, "pos")
 
 
@@ -1723,14 +1843,25 @@ def strip_spans_against_corpus(
         "removed_tokens long"
     )
 
+    import numpy as np
+
     def strip_one(text, pos_list):
         toks = [t for t in ws.split((text or "").lower()) if t]
-        drop = [False] * len(toks)
-        for p in pos_list:
-            for j in range(int(p), min(int(p) + L, len(toks))):
-                drop[j] = True
-        kept = [t for t, d in zip(toks, drop) if not d]
-        return " ".join(kept), len(kept), len(toks) - len(kept)
+        n = len(toks)
+        if len(pos_list) == 0:
+            return " ".join(toks), n, 0
+        # covered positions via a diff array — the per-position Python
+        # loop (L appends per hit window) measured ~17 s at sf10 where
+        # the corpus-heavy overlap yields 15.7M hit windows; np.add.at
+        # is O(hits + n) in C
+        pos = np.asarray(pos_list, dtype=np.int64)
+        delta = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(delta, np.minimum(pos, n), 1)
+        np.add.at(delta, np.minimum(pos + L, n), -1)
+        covered = np.cumsum(delta[:n]) > 0
+        kept_arr = np.array(toks, dtype=object)[~covered]
+        kept = int(n - int(covered.sum()))
+        return " ".join(kept_arr), kept, n - kept
 
     if not df.isStreaming:
         pos_arr = hits.groupBy(id_col).agg(F.collect_list("pos").alias("__hp"))
@@ -1758,7 +1889,13 @@ def strip_spans_against_corpus(
                     }
                 )
 
-        return joined.mapInPandas(run, out_schema)
+        from kamu_cli_spark.operators.util import spread
+
+        # AQE coalesces the text⋈positions join output to ~64 MB
+        # partitions, which ran the rebuild kernel a handful wide on 32
+        # cores (the kmeans-fit / shingler lesson) — re-spread before
+        # the per-row-heavy Arrow pass
+        return spread(joined).mapInPandas(run, out_schema)
 
     docs = df.select(
         F.col(id_col),

@@ -55,6 +55,52 @@ def test_cap_respected(spark):
     assert n == 2
 
 
+def _edges_digraph(spark):
+    # second topology (round-11, VERDICT r10 #7): a DIRECTED asymmetric
+    # graph — hub fan-out, a feedback chain, and node 9 dangling (only
+    # ever a destination; no out-edges, so it absorbs rank without
+    # redistributing) — exercises the degree-join and the left-join
+    # inflow coalesce on shapes the symmetric triangle never hits
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (1, 5),      # hub fan-out
+        (2, 6), (6, 7), (7, 2),              # feedback cycle
+        (3, 9), (4, 9), (5, 1),              # dangling sink + return
+    ]
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_second_topology_converged_equals_fixed(spark):
+    # the 17/20 damping contracts deltas ~0.85×/step on this shape, so
+    # thresholds are sized for a small realized count (eps 20000 lands
+    # around n≈16); the PIN is the equality + tightness, not the eps
+    edges = _edges_digraph(spark)
+    eps = 20_000
+    ranks, n = pagerank_int_converged(edges, epsilon_e6=eps, max_iterations=40)
+    assert 1 <= n < 40
+    got = {r["id"]: r["rank_e6"] for r in ranks.collect()}
+    want = {
+        r["id"]: r["rank_e6"]
+        for r in pagerank_int(edges, iterations=n).collect()
+    }
+    assert got == want
+    # the realized count is tight on this topology too
+    assert _max_delta(spark, edges, n) <= eps
+    if n > 1:
+        assert _max_delta(spark, edges, n - 1) > eps
+
+
+def test_n_iters_monotone_in_epsilon(spark):
+    # a looser threshold can never need MORE iterations: the delta
+    # sequence is a pure function of the graph, and the exit condition
+    # is the first index where it dips under epsilon
+    edges = _edges_digraph(spark)
+    ns = [
+        pagerank_int_converged(edges, epsilon_e6=eps, max_iterations=40)[1]
+        for eps in (20_000, 80_000, 300_000)
+    ]
+    assert ns == sorted(ns, reverse=True)
+
+
 def test_validation(spark):
     edges = _edges(spark)
     with pytest.raises(ValueError):
