@@ -3222,6 +3222,157 @@ SELECT g.vec_id, g.cid AS cluster, (d.vec_id IS NULL) AS kept
 FROM asg g LEFT JOIN drops d ON g.vec_id = d.vec_id""")
 
 
+def q_documents_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer induction (operators/bpe.py:bpe_fit): the first 8
+    merges learned over the whole documents corpus — (rank, left,
+    right, pair_count), winner = (max corpus-weighted adjacency count,
+    lexicographic tie-break), greedy left-to-right application. One
+    corpus scan builds the word-frequency vocab; every iteration after
+    is vocabulary-bounded (Sennrich et al. 2016). The DuckDB oracle
+    replays the identical iterations as chained CTEs, expressing the
+    greedy non-overlap pass with run-grouped window functions."""
+    from kamu_cli_spark.operators.bpe import bpe_fit
+
+    return bpe_fit(load_table(spark, sf, "documents"), n_merges=8)
+
+
+def _o_bpe_apply_block(k: int, pfx: str) -> str:
+    """One greedy merge application of winner b{k} to symbol-list table
+    {pfx}{k-1}(word, cnt, syms) -> {pfx}{k}: mark matches m0, run-group
+    them (grp = i - row_number over match rows; within a run keep odd
+    row_numbers — overlapping matches only occur for l = r runs, where
+    BPE merges every other occurrence), concatenate kept matches and
+    drop the consumed follower."""
+    return f""",
+{pfx}a{k} AS (
+  SELECT v.word, v.cnt, t.i, v.syms[t.i] AS s,
+         (t.i < len(v.syms)
+          AND v.syms[t.i] = b.l AND v.syms[t.i + 1] = b.r) AS m0
+  FROM {pfx}{k - 1} v, b{k} b, UNNEST(range(1, len(v.syms) + 1)) AS t(i)
+),
+{pfx}g{k} AS (
+  SELECT *, CASE WHEN m0 THEN
+      (row_number() OVER (PARTITION BY word, grp ORDER BY i)) % 2 = 1
+    ELSE false END AS keepm
+  FROM (
+    SELECT *, CASE WHEN m0 THEN
+        i - row_number() OVER (PARTITION BY word, m0 ORDER BY i)
+      END AS grp
+    FROM {pfx}a{k}
+  )
+),
+{pfx}c{k} AS (
+  SELECT word, cnt, i,
+         CASE WHEN keepm THEN
+           s || lead(s) OVER (PARTITION BY word ORDER BY i)
+         ELSE s END AS sym,
+         coalesce(lag(keepm) OVER (PARTITION BY word ORDER BY i),
+                  false) AS prevm
+  FROM {pfx}g{k}
+),
+{pfx}{k} AS (
+  SELECT word, cnt, list(sym ORDER BY i) AS syms
+  FROM {pfx}c{k} WHERE NOT prevm
+  GROUP BY word, cnt
+)"""
+
+
+_O_BPE_WORDS = r"""list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')"""
+
+
+def _o_bpe_fit_chain(n_merges: int, fit_where: str = "TRUE") -> str:
+    """WITH-chain learning `n_merges` winners b1..bN from the word
+    vocab of documents rows matching `fit_where`: per iteration k —
+    pair-count p{k}, winner b{k} (ORDER BY w DESC, l, r LIMIT 1), then
+    the greedy application block rebuilding v{k}."""
+    parts = [f"""WITH v0 AS (
+  SELECT word, count(*) AS cnt, string_split_regex(word, '') AS syms
+  FROM (
+    SELECT unnest({_O_BPE_WORDS}) AS word
+    FROM documents WHERE {fit_where}
+  ) GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS w
+  FROM v{k - 1}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT l, r, w FROM p{k} ORDER BY w DESC, l, r LIMIT 1)""")
+        parts.append(_o_bpe_apply_block(k, "v"))
+    return "".join(parts)
+
+
+def _o_bpe(n_merges: int = 8) -> str:
+    """DuckDB twin of bpe_fit — the learned merge table."""
+    return (
+        _o_bpe_fit_chain(n_merges)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f'SELECT {k} AS "rank", l AS "left", r AS "right",'
+            f" CAST(w AS BIGINT) AS pair_count FROM b{k}"
+            for k in range(1, n_merges + 1)
+        )
+        + '\nORDER BY "rank"'
+    )
+
+
+def q_documents_bpe_tokenized(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token-cost audit with an INDUCED tokenizer
+    (operators/bpe.py:bpe_apply): learn 8 BPE merges on the curated
+    slice (doc_id % 3 == 0), tokenize the crawl slice with them —
+    (doc_id, n_words, n_chars, n_bpe_tokens, compression_e6). The
+    "how many tokens will this corpus cost" signal a pretraining
+    budget needs, from the corpus's own tokenizer instead of the
+    whitespace/BPE-ish proxies. Stream-legal (stateless Arrow map with
+    the bounded merge table broadcast)."""
+    from kamu_cli_spark.operators.bpe import bpe_apply, bpe_fit
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe_fit(d.filter(F.col("doc_id") % 3 == 0), n_merges=8)
+    return bpe_apply(d.filter(F.col("doc_id") % 3 != 0), merges)
+
+
+def _o_bpe_apply(n_merges: int = 8) -> str:
+    """DuckDB twin of bpe_fit(corpus) + bpe_apply(crawl): the fit chain
+    learns b1..bN from the curated slice, then a SECOND chain (cw*)
+    replays every merge in rank order over the crawl's word vocabulary
+    and per-doc totals fold from the word occurrences."""
+    parts = [_o_bpe_fit_chain(n_merges, fit_where="doc_id % 3 = 0")]
+    parts.append(f""",
+occ AS (
+  SELECT doc_id, unnest({_O_BPE_WORDS}) AS word
+  FROM documents WHERE doc_id % 3 != 0
+),
+cw0 AS (
+  SELECT word, CAST(0 AS BIGINT) AS cnt,
+         string_split_regex(word, '') AS syms
+  FROM (SELECT DISTINCT word FROM occ)
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(_o_bpe_apply_block(k, "cw"))
+    parts.append(f""",
+wn AS (
+  SELECT word, len(syms) AS nsym, len(word) AS nchr FROM cw{n_merges}
+),
+perdoc AS (
+  SELECT o.doc_id, count(*) AS nw, sum(wn.nchr) AS nc, sum(wn.nsym) AS nb
+  FROM occ o JOIN wn USING (word) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.nw, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(p.nc, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN coalesce(p.nc, 0) > 0
+                 THEN 1000000 * p.nb // p.nc ELSE 0 END
+            AS BIGINT) AS compression_e6
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
+LEFT JOIN perdoc p USING (doc_id)""")
+    return "".join(parts)
+
+
 def q_documents_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic corpus shuffle + sharding manifest (terasort
     shape, engine-reproducible; operators/sampling.py)."""
@@ -4289,6 +4440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "documents_global_shuffle": q_documents_global_shuffle,
+        "documents_bpe_merges": q_documents_bpe_merges,
+        "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "events_snapshot_cdc": q_events_snapshot_cdc,
         "tpch_q4": q_tpch_q4,
@@ -4403,6 +4556,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_image_decode": O_IMAGE_DECODE,
         "embeddings_centroid_stats": O_CENTROID_STATS,
         "documents_global_shuffle": O_GLOBAL_SHUFFLE,
+        "documents_bpe_merges": _o_bpe(),
+        "documents_bpe_tokenized": _o_bpe_apply(),
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---
         "tpch_q7": O_TPCH_Q7,

@@ -643,7 +643,65 @@ def ngram_lm_score(
     doc text never enters the join, and the corpus is tokenized ONCE:
     n_bigrams folds from Σc (= n_tokens − 1 for every doc that emitted
     rows; docs with < 2 tokens coalesce to 0, same as
-    greatest(size−1, 0))."""
+    greatest(size−1, 0)).
+
+    STREAMING `df` (the live-crawl LM gate — pipeline stage 1b on an
+    intake stream): the per-doc aggregate would need stateful
+    update-mode machinery, but a doc is ONE source row, so the whole
+    score is computable in a stateless map — the model collects to a
+    broadcast lookup (bounded by the reference VOCABULARY, never the
+    stream, the same boundedness as the k-means centroid collects) and
+    one mapInPandas emits one scored row per doc, append-mode legal.
+    Bit-identical to the batch path
+    (tests/test_ngram_lm.py::TestStreaming)."""
+    if df.isStreaming:
+        import re
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        lut = {
+            (r["w1"], r["w2"]): int(r["cond_e6"])
+            for r in model.select("w1", "w2", "cond_e6").collect()
+        }
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, nbs, seens, fams = [], [], [], []
+                for i, txt in zip(pdf[id_col], pdf[text_col]):
+                    s = (txt or "")
+                    if lowercase:
+                        s = s.lower()
+                    toks = [t for t in ws.split(s) if t]
+                    nb = max(len(toks) - 1, 0)
+                    seen = tot = 0
+                    if nb:
+                        get = lut.get
+                        for pair in zip(toks, toks[1:]):
+                            c = get(pair)
+                            if c is not None:
+                                seen += 1
+                                tot += c
+                    ids.append(int(i))
+                    nbs.append(nb)
+                    seens.append(seen)
+                    fams.append(tot // nb if nb else 0)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "n_bigrams": pd.Series(nbs, dtype="int64"),
+                        "seen_bigrams": pd.Series(seens, dtype="int64"),
+                        "familiarity_e6": pd.Series(fams, dtype="int64"),
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            run,
+            f"`{id_col}` long, n_bigrams long, seen_bigrams long, "
+            "familiarity_e6 long",
+        )
+
     occ = _bigram_counts_arrow(df, id_col, text_col, lowercase)
     scored = (
         occ.join(model.select("w1", "w2", "cond_e6"), ["w1", "w2"], "left")

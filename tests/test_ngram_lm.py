@@ -93,3 +93,52 @@ def test_pipeline_lm_gate_drops_gibberish(spark):
     assert 999_999 not in kept_gated
     # the gate only ever removes docs, never adds
     assert kept_gated <= kept_ungated
+
+
+class TestStreaming:
+    """Round-11: the live-crawl LM gate — ngram_lm_score on a streaming
+    DataFrame is a stateless map against the collected model (bounded
+    by the reference vocabulary) and must score bit-identically to the
+    batch path, emitting one row per input doc in append mode."""
+
+    def _run_stream(self, spark, tmp_path, docs, op):
+        src = tmp_path / "crawl"
+        src.mkdir()
+        docs.coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        out = op(stream)
+        assert out.isStreaming
+        name = f"lm_{abs(hash(str(tmp_path))) % 10**9}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        return {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        ref = _docs(spark, [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran to the mat"),
+        ])
+        crawl = _docs(spark, [
+            (10, "the cat sat"),        # fully in-domain
+            (11, "zx qv bn"),           # gibberish: 0 seen
+            (12, "the cat sat xx the"), # mixed
+            (13, ""),                   # zero-token doc still emitted
+            (14, "one"),                # single token: 0 bigrams
+        ])
+        model = ngram_lm_fit(ref)
+        got = self._run_stream(
+            spark, tmp_path, crawl, lambda s: ngram_lm_score(s, model)
+        )
+        want = {tuple(r) for r in ngram_lm_score(crawl, model).collect()}
+        assert got == want
+        assert {r[0] for r in got} == {10, 11, 12, 13, 14}
