@@ -200,6 +200,55 @@ def load_ngram_lm_model(
     return state.select(*NGRAM_LM_COLUMNS)
 
 
+BPE_COLUMNS = ["rank", "left", "right", "pair_count"]
+
+
+def save_bpe_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    merges: DataFrame,
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit a learned BPE merge table
+    (:func:`~kamu_cli_spark.operators.bpe.bpe_fit` output) as one
+    snapshot poll of `dataset` (PK = rank): re-inducing the tokenizer
+    on a revised corpus emits -C/+C corrections where a rank's winning
+    pair changed and -R/+A where the merge count changed — so "which
+    tokenizer counted these tokens" is as-of reproducible from the
+    ledger, like the k-means/Bloom/IVF/LM artifacts. Bounded by
+    n_merges rows; strings + exact ints round-trip bit-identically."""
+    if set(merges.columns) != set(BPE_COLUMNS):
+        raise ValueError(
+            f"expected bpe_fit output {BPE_COLUMNS}, got {merges.columns}"
+        )
+    if not merges.head(1):
+        raise ValueError("refusing to commit an empty BPE model")
+    w = DataWriter(dataset, MergeStrategySnapshot(["rank"]))
+    return w.write(
+        spark,
+        merges.select(*BPE_COLUMNS),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_bpe_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> DataFrame | None:
+    """The merge table's latest state (or as-of a pinned block) as the
+    (rank, left, right, pair_count) frame
+    :func:`~kamu_cli_spark.operators.bpe.bpe_apply` consumes. None if
+    absent."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None
+    state = project_changelog(df, ["rank"], dataset.vocab)
+    return state.select(*BPE_COLUMNS)
+
+
 IVF_SCHEMA = "level int, cid int, centroid array<double>"
 
 

@@ -114,3 +114,38 @@ class TestNgramLmModel:
         got = {r["doc_id"] for r in via_model.kept.select("doc_id").collect()}
         want = {r["doc_id"] for r in via_refit.kept.select("doc_id").collect()}
         assert got == want and len(got) > 0
+
+
+class TestBpeModel:
+    def test_round_trip_tokenizes_identically(self, spark, tmp_path):
+        from kamu_cli_spark.model_store import load_bpe_model, save_bpe_model
+        from kamu_cli_spark.operators.bpe import bpe_apply, bpe_fit
+
+        docs = _docs(spark)
+        ref = docs.filter(F.col("doc_id") % 3 == 0)
+        crawl = docs.filter(F.col("doc_id") % 3 != 0)
+        merges = bpe_fit(ref, n_merges=6)
+
+        ds = Dataset.create(str(tmp_path), "bpe", system_time=_d(1).isoformat())
+        save_bpe_model(
+            spark, ds, merges, system_time=_d(2), source_event_time=_d(2)
+        )
+        loaded = load_bpe_model(spark, ds)
+        assert loaded is not None
+        assert merges.exceptAll(loaded).count() == 0
+        assert loaded.exceptAll(merges).count() == 0
+
+        want = {tuple(r) for r in bpe_apply(crawl, merges).collect()}
+        got = {tuple(r) for r in bpe_apply(crawl, loaded).collect()}
+        assert got == want and len(got) > 0
+
+    def test_refuses_empty_or_misshapen(self, spark, tmp_path):
+        from kamu_cli_spark.model_store import save_bpe_model
+        from kamu_cli_spark.operators.bpe import bpe_fit
+
+        ds = Dataset.create(str(tmp_path), "bpe", system_time=_d(1).isoformat())
+        docs = _docs(spark)
+        with pytest.raises(ValueError, match="empty"):
+            save_bpe_model(spark, ds, bpe_fit(docs.filter(F.lit(False))))
+        with pytest.raises(ValueError, match="expected bpe_fit"):
+            save_bpe_model(spark, ds, docs.select("doc_id"))
