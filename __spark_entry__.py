@@ -3222,6 +3222,81 @@ SELECT g.vec_id, g.cid AS cluster, (d.vec_id IS NULL) AS kept
 FROM asg g LEFT JOIN drops d ON g.vec_id = d.vec_id""")
 
 
+def q_documents_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights (text.py:dsir_weights, Xie et al.
+    2023): crawl docs (doc_id % 3 != 0) scored under a TARGET bigram LM
+    (fit on the curated slice doc_id % 3 == 0) and under the RAW-pool
+    LM (fit on the crawl itself); weight = the exact-integer contrast
+    target_fam_e6 − raw_fam_e6 — the engine-portable stand-in for
+    log p_target − log p_raw. Selection composes with sampling ops."""
+    from kamu_cli_spark.operators.text import dsir_weights
+
+    d = load_table(spark, sf, "documents")
+    return dsir_weights(
+        d.filter(F.col("doc_id") % 3 != 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+    )
+
+
+O_DSIR_WEIGHTS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+),
+tp AS (
+  SELECT w1, w2, count(*) AS pn FROM bg WHERE doc_id % 3 = 0 GROUP BY 1, 2
+),
+tc AS (SELECT w1, sum(pn) AS cn FROM tp GROUP BY 1),
+tm AS (
+  SELECT p.w1, p.w2, (1000000 * p.pn) // c.cn AS cond
+  FROM tp p JOIN tc c USING (w1)
+),
+rp AS (
+  SELECT w1, w2, count(*) AS pn FROM bg WHERE doc_id % 3 != 0 GROUP BY 1, 2
+),
+rc AS (SELECT w1, sum(pn) AS cn FROM rp GROUP BY 1),
+rm AS (
+  SELECT p.w1, p.w2, (1000000 * p.pn) // c.cn AS cond
+  FROM rp p JOIN rc c USING (w1)
+),
+crawl AS (SELECT * FROM bg WHERE doc_id % 3 != 0),
+ts AS (
+  SELECT b.doc_id, sum(coalesce(m.cond, 0)) AS s
+  FROM crawl b LEFT JOIN tm m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY 1
+),
+rs AS (
+  SELECT b.doc_id, sum(coalesce(m.cond, 0)) AS s
+  FROM crawl b LEFT JOIN rm m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, greatest(len(w) - 1, 0) AS nb
+  FROM words WHERE doc_id % 3 != 0
+),
+f AS (
+  SELECT t.doc_id,
+         t.nb,
+         CASE WHEN t.nb > 0 THEN coalesce(ts.s, 0) // t.nb ELSE 0 END AS tf,
+         CASE WHEN t.nb > 0 THEN coalesce(rs.s, 0) // t.nb ELSE 0 END AS rf
+  FROM tot t
+  LEFT JOIN ts ON t.doc_id = ts.doc_id
+  LEFT JOIN rs ON t.doc_id = rs.doc_id
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bigrams,
+       CAST(tf AS BIGINT) AS target_fam_e6,
+       CAST(rf AS BIGINT) AS raw_fam_e6,
+       CAST(tf - rf AS BIGINT) AS dsir_weight_e6
+FROM f
+"""
+
+
 def q_documents_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer induction (operators/bpe.py:bpe_fit): the first 8
     merges learned over the whole documents corpus — (rank, left,
@@ -4442,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_global_shuffle": q_documents_global_shuffle,
         "documents_bpe_merges": q_documents_bpe_merges,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
+        "documents_dsir_weights": q_documents_dsir_weights,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "events_snapshot_cdc": q_events_snapshot_cdc,
         "tpch_q4": q_tpch_q4,
@@ -4558,6 +4634,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_global_shuffle": O_GLOBAL_SHUFFLE,
         "documents_bpe_merges": _o_bpe(),
         "documents_bpe_tokenized": _o_bpe_apply(),
+        "documents_dsir_weights": O_DSIR_WEIGHTS,
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---
         "tpch_q7": O_TPCH_Q7,

@@ -735,3 +735,56 @@ def ngram_lm_score(
         .cast("long")
         .alias("familiarity_e6"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_corpus: DataFrame,
+    raw_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via Importance
+    Resampling"): score every `df` document under a TARGET-domain
+    n-gram LM and under a RAW-pool LM, and weight by the contrast —
+    (id, n_bigrams, target_fam_e6, raw_fam_e6, dsir_weight_e6) with
+    ``dsir_weight_e6 = target_fam_e6 − raw_fam_e6``, the exact-integer
+    rational stand-in for the paper's log p_target(x) − log p_raw(x)
+    (the same ln()-free trade :func:`ngram_lm_fit` makes vs KenLM:
+    bit-identical across engines, same ordering intent). Positive
+    weight ≈ looks more like the target domain than like the pool;
+    selection (top-k, threshold, or salted-rank resampling) composes
+    with operators/sampling.py.
+
+    `raw_corpus` defaults to `df` itself — the usual DSIR setup where
+    the raw LM is fit on the pool being selected from.
+
+    Plan: two :func:`ngram_lm_fit` models (each one Arrow scan +
+    vocab-sized shuffles) + two :func:`ngram_lm_score` passes over
+    `df` + one id-equi-join — everything inherits the LM family's
+    scale shape; nothing new shuffles."""
+    raw = raw_corpus if raw_corpus is not None else df
+    t_lm = ngram_lm_fit(target_corpus, text_col=text_col, lowercase=lowercase)
+    r_lm = ngram_lm_fit(raw, text_col=text_col, lowercase=lowercase)
+    t_s = ngram_lm_score(df, t_lm, id_col=id_col, text_col=text_col,
+                         lowercase=lowercase).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("familiarity_e6").alias("target_fam_e6"),
+    )
+    r_s = ngram_lm_score(df, r_lm, id_col=id_col, text_col=text_col,
+                         lowercase=lowercase).select(
+        F.col(id_col),
+        F.col("familiarity_e6").alias("raw_fam_e6"),
+    )
+    return t_s.join(r_s, id_col).select(
+        id_col,
+        "n_bigrams",
+        "target_fam_e6",
+        "raw_fam_e6",
+        (F.col("target_fam_e6") - F.col("raw_fam_e6")).alias(
+            "dsir_weight_e6"
+        ),
+    )

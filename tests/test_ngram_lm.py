@@ -142,3 +142,51 @@ class TestStreaming:
         want = {tuple(r) for r in ngram_lm_score(crawl, model).collect()}
         assert got == want
         assert {r[0] for r in got} == {10, 11, 12, 13, 14}
+
+
+class TestDsirWeights:
+    """Round-11: DSIR-style importance weights — the target/raw LM
+    contrast must rank target-domain docs above pool-typical docs, and
+    the arithmetic is the exact familiarity difference."""
+
+    def test_contrast_ranks_target_domain_up(self, spark):
+        from kamu_cli_spark.operators.text import dsir_weights
+
+        target = _docs(spark, [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran on the mat"),
+        ])
+        # crawl pool: one target-ish doc, several pool-typical docs
+        crawl = _docs(spark, [
+            (10, "the cat sat on the mat"),
+            (11, "buy pills now cheap deal"),
+            (12, "buy pills now cheap deal"),
+            (13, "buy pills now cheap deal"),
+            (14, ""),
+        ])
+        rows = {r["doc_id"]: r for r in dsir_weights(crawl, target).collect()}
+        # every input doc emitted, weight = target - raw exactly
+        assert set(rows) == {10, 11, 12, 13, 14}
+        for r in rows.values():
+            assert r["dsir_weight_e6"] == r["target_fam_e6"] - r["raw_fam_e6"]
+        # the target-domain doc outranks the pool-typical spam
+        assert rows[10]["dsir_weight_e6"] > rows[11]["dsir_weight_e6"]
+        # spam is POOL-typical: raw familiarity high, target zero
+        assert rows[11]["target_fam_e6"] == 0
+        assert rows[11]["raw_fam_e6"] > 0
+        # zero-bigram doc scores zeros
+        assert tuple(rows[14])[1:] == (0, 0, 0, 0)
+
+    def test_raw_corpus_override(self, spark):
+        from kamu_cli_spark.operators.text import dsir_weights
+
+        target = _docs(spark, [(1, "a b a b")])
+        crawl = _docs(spark, [(10, "a b"), (11, "c d")])
+        other = _docs(spark, [(20, "c d c d")])
+        rows = {
+            r["doc_id"]: r
+            for r in dsir_weights(crawl, target, raw_corpus=other).collect()
+        }
+        # raw LM from `other`: (c,d) familiar, (a,b) not
+        assert rows[10]["raw_fam_e6"] == 0 and rows[10]["target_fam_e6"] > 0
+        assert rows[11]["raw_fam_e6"] > 0 and rows[11]["target_fam_e6"] == 0
