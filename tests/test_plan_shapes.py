@@ -74,7 +74,12 @@ class TestJoinStrategy:
          "documents_spans_against_corpus",
          "documents_strip_against_corpus",
          # bigram LM: model join is an equi join on (w1, w2)
-         "documents_ngram_lm"],
+         "documents_ngram_lm",
+         # round-11: DSIR = two LM score passes + id equi-joins;
+         # BPE apply = bounded-broadcast stateless Arrow map (the fit
+         # loop runs at plan-BUILD time, so bpe_tokenized's plan is the
+         # apply map over the crawl)
+         "documents_dsir_weights", "documents_bpe_tokenized"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
