@@ -3297,6 +3297,73 @@ FROM f
 """
 
 
+def q_documents_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets
+    (text.py:lm_familiarity_buckets): crawl docs (doc_id % 3 != 0)
+    scored against the curated-slice LM and partitioned into EXACT
+    familiarity terciles via the bounded-domain CDF (histogram over
+    ≤ 1e6+1 e6-values — never a global sort; ties share a bucket)."""
+    from kamu_cli_spark.operators.text import (
+        lm_familiarity_buckets,
+        ngram_lm_fit,
+    )
+
+    d = load_table(spark, sf, "documents")
+    model = ngram_lm_fit(d.filter(F.col("doc_id") % 3 == 0))
+    return lm_familiarity_buckets(d.filter(F.col("doc_id") % 3 != 0), model)
+
+
+O_LM_BUCKETS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+),
+pair_n AS (
+  SELECT w1, w2, count(*) AS pn FROM bg WHERE doc_id % 3 = 0 GROUP BY 1, 2
+),
+ctx_n AS (SELECT w1, sum(pn) AS cn FROM pair_n GROUP BY 1),
+model AS (
+  SELECT p.w1, p.w2, (1000000 * p.pn) // c.cn AS cond
+  FROM pair_n p JOIN ctx_n c USING (w1)
+),
+crawl AS (SELECT * FROM bg WHERE doc_id % 3 != 0),
+ss AS (
+  SELECT b.doc_id, sum(coalesce(m.cond, 0)) AS s
+  FROM crawl b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(t.nb AS BIGINT) AS n_bigrams,
+         CAST(CASE WHEN t.nb > 0 THEN coalesce(ss.s, 0) // t.nb
+              ELSE 0 END AS BIGINT) AS familiarity_e6
+  FROM (SELECT doc_id, greatest(len(w) - 1, 0) AS nb
+        FROM words WHERE doc_id % 3 != 0) t
+  LEFT JOIN ss ON t.doc_id = ss.doc_id
+),
+hist AS (
+  SELECT familiarity_e6, count(*) AS c FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT familiarity_e6,
+         coalesce(sum(c) OVER (ORDER BY familiarity_e6
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS n_less
+  FROM hist
+),
+tot AS (SELECT sum(c) AS n FROM hist)
+SELECT s.doc_id, s.n_bigrams, s.familiarity_e6,
+       CAST((3 * cum.n_less) // tot.n + 1 AS INT) AS bucket
+FROM scored s, tot
+JOIN cum ON s.familiarity_e6 = cum.familiarity_e6
+"""
+
+
 def q_documents_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer induction (operators/bpe.py:bpe_fit): the first 8
     merges learned over the whole documents corpus — (rank, left,
@@ -4518,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bpe_merges": q_documents_bpe_merges,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_dsir_weights": q_documents_dsir_weights,
+        "documents_lm_buckets": q_documents_lm_buckets,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "events_snapshot_cdc": q_events_snapshot_cdc,
         "tpch_q4": q_tpch_q4,
@@ -4635,6 +4703,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_bpe_merges": _o_bpe(),
         "documents_bpe_tokenized": _o_bpe_apply(),
         "documents_dsir_weights": O_DSIR_WEIGHTS,
+        "documents_lm_buckets": O_LM_BUCKETS,
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---
         "tpch_q7": O_TPCH_Q7,

@@ -788,3 +788,55 @@ def dsir_weights(
             "dsir_weight_e6"
         ),
     )
+
+
+def lm_familiarity_buckets(
+    df: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity buckets (Wenzek et al. 2020,
+    arXiv:1911.00359 partition crawl text into head/middle/tail by
+    reference-LM perplexity terciles): score docs with
+    :func:`ngram_lm_score` and assign EXACT quantile buckets over
+    familiarity — (id, n_bigrams, familiarity_e6, bucket) with
+    ``bucket = div(n_buckets · |{docs with lower familiarity}|, N) + 1``
+    (1 = least familiar = highest perplexity = "tail"; ties share a
+    bucket, so the assignment is a pure function of the corpus).
+
+    Scale design: a global ntile/row_number would range-sort the corpus
+    into ONE window partition — the hot-key cliff. Instead the exact
+    CDF is computed on the VALUE HISTOGRAM: familiarity_e6 lives in
+    [0, 1e6], so groupBy(familiarity) is a map-side-combined shuffle to
+    ≤ 1e6+1 rows, the cumulative count is a window over that BOUNDED
+    frame (single-partition is fine — bounded by the domain, never the
+    data), and buckets join back on the familiarity value (AQE
+    broadcasts the ≤1e6-row map). Exact at any corpus size."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+    scored = ngram_lm_score(
+        df, model, id_col=id_col, text_col=text_col, lowercase=lowercase
+    )
+    hist = scored.groupBy("familiarity_e6").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy("familiarity_e6").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "familiarity_e6",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__n_less"),
+    )
+    total = hist.agg(F.sum("__c").alias("__n"))
+    buckets = cum.crossJoin(F.broadcast(total)).select(
+        "familiarity_e6",
+        (
+            F.expr(f"div({n_buckets} * __n_less, __n)") + F.lit(1)
+        ).cast("int").alias("bucket"),
+    )
+    return scored.join(buckets, "familiarity_e6").select(
+        id_col, "n_bigrams", "familiarity_e6", "bucket"
+    )

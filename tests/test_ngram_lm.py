@@ -6,6 +6,8 @@ gibberish)."""
 
 from __future__ import annotations
 
+import pytest
+
 from kamu_cli_spark.operators.text import ngram_lm_fit, ngram_lm_score
 
 
@@ -190,3 +192,56 @@ class TestDsirWeights:
         # raw LM from `other`: (c,d) familiar, (a,b) not
         assert rows[10]["raw_fam_e6"] == 0 and rows[10]["target_fam_e6"] > 0
         assert rows[11]["raw_fam_e6"] > 0 and rows[11]["target_fam_e6"] == 0
+
+
+class TestFamiliarityBuckets:
+    """Round-11: CCNet head/middle/tail buckets — exact bounded-domain
+    quantiles (value-histogram CDF, never a global sort)."""
+
+    def test_terciles_exact_and_tie_stable(self, spark):
+        from kamu_cli_spark.operators.text import (
+            lm_familiarity_buckets,
+            ngram_lm_fit,
+        )
+
+        ref = _docs(spark, [(1, "the cat sat on the mat")])
+        model = ngram_lm_fit(ref)
+        # engineered familiarity spread: exact-copy docs (high), partial
+        # (middle), gibberish (zero) — plus a tie pair
+        crawl = _docs(spark, [
+            (10, "the cat sat on the mat"),   # all bigrams seen
+            (11, "the cat sat on the mat"),   # tie with 10
+            (12, "the cat sat xx yy zz"),     # partial
+            (13, "aa bb cc dd"),              # zero
+            (14, "ee ff gg hh"),              # zero
+            (15, "ii jj kk ll"),              # zero
+        ])
+        rows = {
+            r["doc_id"]: r
+            for r in lm_familiarity_buckets(crawl, model).collect()
+        }
+        assert set(rows) == {10, 11, 12, 13, 14, 15}
+        # every bucket in range; ties share a bucket
+        for r in rows.values():
+            assert 1 <= r["bucket"] <= 3
+        assert rows[10]["bucket"] == rows[11]["bucket"] == 3
+        # zero-familiarity docs: n_less=0 -> bucket 1
+        assert rows[13]["bucket"] == rows[14]["bucket"] == rows[15]["bucket"] == 1
+        # the partial doc sits strictly between: n_less=3, N=6 -> 2
+        assert rows[12]["bucket"] == 2
+        # monotone: higher familiarity never gets a lower bucket
+        fam_bucket = sorted(
+            (r["familiarity_e6"], r["bucket"]) for r in rows.values()
+        )
+        for (f1, b1), (f2, b2) in zip(fam_bucket, fam_bucket[1:]):
+            assert b1 <= b2
+
+    def test_validation(self, spark):
+        from kamu_cli_spark.operators.text import (
+            lm_familiarity_buckets,
+            ngram_lm_fit,
+        )
+
+        docs = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError):
+            lm_familiarity_buckets(docs, ngram_lm_fit(docs), n_buckets=0)
