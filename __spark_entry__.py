@@ -4485,7 +4485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documents_ngram_jaccard ~ graded minhash_lsh + simhash_pairs
     # fingerprints; documents_contamination ~ graded contaminated_spans
     # + gram_novelty audits; embeddings_centroid_stats ~ graded
-    # array_battery vector transforms (VERDICT r10 next-round #2). The
+    # array_battery vector transforms (VERDICT r10 next-round #2).
+    # Also r11: documents_bpe_merges (tokenizer induction — a brand-new
+    # family with no same-family sibling anywhere) IN for
+    # documents_quality_filter, whose quality/metrics family stays
+    # graded via documents_text_metrics; the other r11 additions
+    # (bpe_tokenized ⊂ bpe_merges machinery; dsir_weights and
+    # lm_buckets = compositions of the graded ngram_lm family) sit in
+    # the tail with graded siblings. The
     # r10 six swapped to the tail each leave a graded same-family
     # sibling:
     # events_salted_agg ~ scalar/window/percentile/regex batteries;
@@ -4563,7 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_substring_dedup": q_documents_substring_dedup,
         "documents_contaminated_spans": q_documents_contaminated_spans,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
-        "documents_quality_filter": q_documents_quality_filter,
+        "documents_bpe_merges": q_documents_bpe_merges,
         "documents_pii_scrub": q_documents_pii_scrub,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
@@ -4584,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_global_shuffle": q_documents_global_shuffle,
         "documents_bpe_merges": q_documents_bpe_merges,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
+        "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
         "documents_lm_buckets": q_documents_lm_buckets,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,

@@ -114,3 +114,55 @@ def test_validation(spark):
     docs = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         bpe_fit(docs, n_merges=0)
+
+
+# ---------------------------------------------------------------------
+# Property: the distributed loop is bit-identical to a pure-Python
+# reference BPE trainer on arbitrary small corpora (hypothesis).
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=12
+)
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Driver-side reference: same total order (max weight, then
+    lexicographic pair), same greedy L2R application."""
+    vocab = Counter(words)
+    syms = {w: list(w) for w in vocab}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += c
+        if not counts:
+            break
+        (l, r), wgt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, l, r, wgt))
+        ap = _merge_syms(l, r)
+        syms = {w: ap(s) for w, s in syms.items()}
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=WORDS)
+def test_property_matches_reference_trainer(spark, words):
+    docs = _docs(spark, [(1, " ".join(words))])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_fit(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe(words, 4)
