@@ -81,6 +81,12 @@ EXTRA = [
     "purchase_graph_pagerank",
     "documents_spans_against_corpus",
     "documents_strip_against_corpus",
+    # round-11 families — same rationale (BASELINE.md round-11 gate)
+    "documents_ngram_lm",
+    "documents_bpe_merges",
+    "documents_bpe_tokenized",
+    "documents_dsir_weights",
+    "documents_lm_buckets",
 ]
 
 
