@@ -4469,6 +4469,209 @@ r{it} AS (
     return "".join(parts)
 
 
+# BM25 query set: a small trusted eval suite over the corpus vocabulary
+# — a bounded offline artifact (broadcast literal in the Spark plan,
+# VALUES literal in the oracle).
+_BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "vector"]),
+    (1, ["hash", "join"]),
+    (2, ["stream", "window", "batch"]),
+    (3, ["slow", "dup"]),
+]
+
+
+def q_documents_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer BM25 top-5 docs per query
+    (retrieval.py:bm25_topk) — retrieval-based data selection: rank
+    the corpus against a trusted query set with k1=6/5, b=3/4 and the
+    rational idf surrogate (ln-free, bit-identical across engines).
+    Per-term tf is an array filter (NO explode shuffle); the only
+    data-sized exchange is the (query, doc) score aggregation."""
+    from kamu_cli_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf, "documents"), _BM25_QUERIES, k=5
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+        "n_terms_hit",
+        "score_e9",
+    )
+
+
+def _o_bm25() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    return rf"""
+WITH q(query_id, term) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
+),
+tf AS (
+  SELECT dl.doc_id, dl.dl, v.term,
+         CAST(len(list_filter(dl.w, x -> x = v.term)) AS BIGINT) AS tf
+  FROM dl CROSS JOIN (SELECT DISTINCT term FROM q) v
+),
+tfp AS (SELECT * FROM tf WHERE tf > 0),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+sc AS (
+  SELECT qq.query_id, p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(
+           ((1000 * (2 * st.n - 2 * c.df + 1)) // (2 * c.df + 1))
+           * ((22 * p.tf * 1000000)
+              // (10 * p.tf + 3 + (9 * p.dl * st.n) // st.s))
+         ) AS BIGINT) AS score_e9
+  FROM tfp p JOIN dfc c USING (term) JOIN q qq USING (term)
+  CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rn AS BIGINT) AS rank, n_terms_hit, score_e9
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_e9 DESC, doc_id
+  ) AS rn FROM sc
+)
+WHERE rn <= 5
+"""
+
+
+O_BM25 = _o_bm25()
+
+
+def q_embeddings_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer second-moment (covariance) matrix of the
+    embedding corpus (vector_stats.py:covariance_moments) — the PCA /
+    whitening primitive. One Arrow scan accumulates the 64x64 Gram
+    matrix per batch; the only shuffle merges |batches| x 2080
+    upper-triangle partial rows (KB at any corpus size)."""
+    from kamu_cli_spark.operators.vector_stats import covariance_moments
+
+    return covariance_moments(load_table(spark, sf, "embeddings")).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        "sum_i",
+        "sum_j",
+        "sxy_e12",
+    )
+
+
+O_EMB_COVARIANCE = r"""
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+)
+SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qe[i.i]) AS BIGINT) AS sum_i,
+       CAST(sum(qe[j.j]) AS BIGINT) AS sum_j,
+       CAST(sum(qe[i.i] * qe[j.j]) AS BIGINT) AS sxy_e12
+FROM q, UNNEST(range(1, 65)) AS i(i), UNNEST(range(1, 65)) AS j(j)
+WHERE j.j >= i.i
+GROUP BY 1, 2
+"""
+
+
+def q_documents_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR selection stage (text.py:dsir_select, Xie et al. 2023
+    §3.2): keep the top-1/4 of crawl docs by importance weight, ties
+    inclusive at the exact n_keep-th largest weight. The threshold
+    comes from the bounded value histogram (weight domain
+    [-1e6, 1e6]) — never a global sort."""
+    from kamu_cli_spark.operators.text import dsir_select
+
+    d = load_table(spark, sf, "documents")
+    return dsir_select(
+        d.filter(F.col("doc_id") % 3 != 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        keep_num=1,
+        keep_den=4,
+    )
+
+
+O_DSIR_SELECT = rf"""
+WITH base AS ({O_DSIR_WEIGHTS}),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+cum AS (
+  SELECT dsir_weight_e6 AS w,
+         count(*) OVER (ORDER BY dsir_weight_e6 DESC) AS cge
+  FROM base
+),
+th AS (
+  SELECT CAST(max(w) AS BIGINT) AS t
+  FROM cum, cnt WHERE cge >= (n * 1 + 4 - 1) // 4
+)
+SELECT b.doc_id, b.n_bigrams, b.dsir_weight_e6,
+       th.t AS threshold_e6
+FROM base b, th WHERE b.dsir_weight_e6 >= th.t
+"""
+
+
+# mixture weights for the graded query: upweight src0/src1, keep the
+# rest at 1 — exercises both the all-kept and the boundary-bucket path
+_MIX_WEIGHTS: dict[str, int] = {
+    f"src{i}": (3 if i == 0 else (2 if i == 1 else 1)) for i in range(20)
+}
+
+
+def q_documents_mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture rebalancing
+    (sampling.py:mixture_rebalance): per-source salted-md5 greedy
+    prefixes under exact integer budgets (half the corpus tokens,
+    split by mixture weight). Two-phase at scale: only the ONE
+    boundary md5-bucket per source is exactly sorted."""
+    from kamu_cli_spark.operators.sampling import mixture_rebalance
+
+    return mixture_rebalance(
+        load_table(spark, sf, "documents"),
+        _MIX_WEIGHTS,
+        budget_num=1,
+        budget_den=2,
+    )
+
+
+def _o_mixture_rebalance() -> str:
+    w_total = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return rf"""
+WITH wm(source, wt) AS (VALUES {vals}),
+t AS (
+  SELECT d.doc_id, d.source, wm.wt,
+         CAST(len(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x <> ''
+         )) AS BIGINT) AS n_tokens,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN wm USING (source)
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM t),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS cb FROM t
+)
+SELECT doc_id, source, n_tokens
+FROM c, tot
+WHERE cb < (((tt * 1) // 2) * wt) // {w_total}
+"""
+
+
+O_MIXTURE_REBALANCE = _o_mixture_rebalance()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -4492,7 +4695,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded via documents_text_metrics; the other r11 additions
     # (bpe_tokenized ⊂ bpe_merges machinery; dsir_weights and
     # lm_buckets = compositions of the graded ngram_lm family) sit in
-    # the tail with graded siblings. The
+    # the tail with graded siblings. Late r11: two more brand-new
+    # families IN — documents_bm25 (exact-integer retrieval scoring,
+    # no sibling anywhere) for documents_cross_dedup (cross-corpus
+    # anti-join stays graded via orders_ledger_merge's anti-join +
+    # the spans/strip against-corpus pair), and embeddings_covariance
+    # (linear-algebra moments, no sibling) for embeddings_ivf_ann
+    # (strict-hash ANN stays graded via embeddings_ann_lsh; IVF keeps
+    # tail oracles ivf_seeded/ivf_ann3). documents_dsir_select and
+    # documents_mixture_rebalance tail with graded siblings
+    # (ngram_lm-family compositions; train_split sampling). The
     # r10 six swapped to the tail each leave a graded same-family
     # sibling:
     # events_salted_agg ~ scalar/window/percentile/regex batteries;
@@ -4550,7 +4762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_upsert_merge": q_events_upsert_merge,
         "documents_dedup_exact": q_documents_dedup_exact,
         "documents_minhash_lsh": q_documents_minhash_lsh,
-        "documents_cross_dedup": q_documents_cross_dedup,
+        "documents_bm25": q_documents_bm25,
         "documents_spans_against_corpus": q_documents_spans_against_corpus,
         "documents_dup_clusters": q_documents_dup_clusters,
         "documents_strip_against_corpus": q_documents_strip_against_corpus,
@@ -4561,7 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_array_battery": q_embeddings_array_battery,
         "documents_ngram_lm": q_documents_ngram_lm,
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
-        "embeddings_ivf_ann": q_embeddings_ivf_ann,
+        "embeddings_covariance": q_embeddings_covariance,
         "documents_train_split": q_documents_train_split,
         "tpch_q21": q_tpch_q21,
         "documents_gram_novelty": q_documents_gram_novelty,
@@ -4589,7 +4801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
         "documents_global_shuffle": q_documents_global_shuffle,
-        "documents_bpe_merges": q_documents_bpe_merges,
+        "documents_cross_dedup": q_documents_cross_dedup,
+        "embeddings_ivf_ann": q_embeddings_ivf_ann,
+        "documents_dsir_select": q_documents_dsir_select,
+        "documents_mixture_rebalance": q_documents_mixture_rebalance,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
@@ -4711,6 +4926,10 @@ def oracle_sql() -> dict[str, str]:
         "documents_bpe_merges": _o_bpe(),
         "documents_bpe_tokenized": _o_bpe_apply(),
         "documents_dsir_weights": O_DSIR_WEIGHTS,
+        "documents_dsir_select": O_DSIR_SELECT,
+        "documents_bm25": O_BM25,
+        "embeddings_covariance": O_EMB_COVARIANCE,
+        "documents_mixture_rebalance": O_MIXTURE_REBALANCE,
         "documents_lm_buckets": O_LM_BUCKETS,
         # --- not driver-graded (position > 50 in queries()); graded
         # same-family siblings above ---

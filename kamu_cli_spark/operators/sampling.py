@@ -22,7 +22,7 @@ alongside operators/dedup.py and operators/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Width of the hex prefix used for bucketing: 4 hex chars = 65536
@@ -217,3 +217,111 @@ def global_shuffle_manifest(
             F.row_number().over(w).alias("pos_in_shard"),
         )
     )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_num: int = 1,
+    budget_den: int = 2,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture rebalancing — the data-mixing stage of a
+    pretraining pipeline: given integer mixture weights per stratum
+    (e.g. {"wiki": 3, "web": 1}) and a global token budget
+    ``B = div(T * budget_num, budget_den)`` (T = total tokens across
+    the in-mix strata), keep each stratum's greedy salted-md5-ordered
+    prefix of documents while the cumulative token count BEFORE the
+    doc is < ``B_s = div(B * w_s, sum(w))``. Deterministic: the same
+    rows are picked by any md5-capable engine, adding docs to one
+    stratum never changes another's selection, and the boundary doc
+    overshoots by < one document (the only order-free greedy).
+
+    Scale design — NO data-sized sort: a naive per-stratum cumulative
+    window would range-sort every stratum into one task each. Instead
+    the md5 keyspace is bucketed on the first 4 hex chars (the module's
+    _HEX_WIDTH convention): per-(stratum, bucket) token sums are a
+    map-side-combined shuffle to <= |strata| * 65536 rows, the bucket
+    cutoff comes from a cumulative window over that BOUNDED frame, all
+    docs in buckets strictly inside the budget pass through with no
+    sort at all, and only the ONE boundary bucket per stratum
+    (~1/65536 of its docs) is exactly sorted. Returns the kept rows as
+    (id, stratum, n_tokens).
+    """
+    if budget_num < 1 or budget_den < budget_num:
+        raise ValueError("budget fraction must satisfy 0 < num/den <= 1")
+    if not weights or any(w < 1 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of ints >= 1")
+    from kamu_cli_spark.operators.text import token_count
+
+    spark = df.sparkSession
+    w_total = sum(weights.values())
+    wmap = spark.createDataFrame(
+        sorted(weights.items()), f"{strata_col} string, __w long"
+    )
+
+    h = _salted_key(F.col(id_col), salt)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(wmap), strata_col)  # drops out-of-mix strata
+        .withColumn("__h", h)
+        .withColumn("__b", F.substring("__h", 1, _HEX_WIDTH))
+    )
+
+    # bounded histogram: per-(stratum, bucket) token sums
+    hist = base.groupBy(strata_col, "__w", "__b").agg(
+        F.sum("n_tokens").alias("__bt")
+    )
+    total = hist.agg(F.sum("__bt").alias("__t"))
+    win = Window.partitionBy(strata_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per-stratum budget and per-bucket cumulative-before, all exact
+    classified = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__bs",
+            F.expr(
+                f"div(div(__t * {budget_num}, {budget_den}) * __w, {w_total})"
+            ),
+        )
+        .withColumn(
+            "__cb", F.coalesce(F.sum("__bt").over(win), F.lit(0))
+        )
+        .withColumn(
+            "__cls",
+            F.when(F.col("__cb") >= F.col("__bs"), F.lit("drop"))
+            .when(F.col("__cb") + F.col("__bt") < F.col("__bs"), F.lit("keep"))
+            .otherwise(F.lit("edge")),
+        )
+    )
+    cls_map = F.broadcast(
+        classified.select(strata_col, "__b", "__cls", "__cb", "__bs")
+    )
+    tagged = base.join(cls_map, [strata_col, "__b"])
+
+    kept_whole = tagged.filter(F.col("__cls") == "keep").select(
+        F.col(id_col), F.col(strata_col), F.col("n_tokens")
+    )
+    # exact per-doc cumulative ONLY inside the boundary bucket
+    edge_w = Window.partitionBy(strata_col).orderBy(
+        "__h", F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    edge = (
+        tagged.filter(F.col("__cls") == "edge")
+        .withColumn(
+            "__doc_cb",
+            F.col("__cb")
+            + F.coalesce(F.sum("n_tokens").over(edge_w), F.lit(0)),
+        )
+        .filter(F.col("__doc_cb") < F.col("__bs"))
+        .select(F.col(id_col), F.col(strata_col), F.col("n_tokens"))
+    )
+    return kept_whole.unionByName(edge)

@@ -840,3 +840,58 @@ def lm_familiarity_buckets(
     return scored.join(buckets, "familiarity_e6").select(
         id_col, "n_bigrams", "familiarity_e6", "bucket"
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_corpus: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    raw_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """The selection stage DSIR exists for (Xie et al. 2023 §3.2):
+    keep the top ``keep_num/keep_den`` fraction of `df` by
+    :func:`dsir_weights` contrast, ties INCLUSIVE — the kept set is
+    "every doc whose weight >= the exact n_keep-th largest weight"
+    with ``n_keep = ceil(N * keep_num / keep_den)``, so the output is
+    a pure function of the corpus (no float quantiles, no sampler
+    state; a tie at the threshold admits all its members, which is the
+    only order-free definition).
+
+    Scale design: the threshold comes from the VALUE HISTOGRAM, never
+    a global sort — dsir_weight_e6 lives in [-1e6, 1e6] by
+    construction, so groupBy(weight) map-side-combines to <= 2e6+1
+    rows, the descending cumulative count runs over that BOUNDED frame
+    (same contract as :func:`lm_familiarity_buckets`), and the 1-row
+    threshold broadcast-joins back. Returns the kept docs as
+    (id, n_bigrams, dsir_weight_e6, threshold_e6)."""
+    if keep_num < 1 or keep_den < keep_num:
+        raise ValueError("keep fraction must satisfy 0 < num/den <= 1")
+    wdf = dsir_weights(
+        df, target_corpus, raw_corpus=raw_corpus,
+        id_col=id_col, text_col=text_col, lowercase=lowercase,
+    )
+    hist = wdf.groupBy("dsir_weight_e6").agg(F.count(F.lit(1)).alias("__c"))
+    total = hist.agg(F.sum("__c").alias("__n"))
+    win = Window.orderBy(F.desc("dsir_weight_e6")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "dsir_weight_e6", F.sum("__c").over(win).alias("__cum_ge")
+    )
+    th = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__cum_ge")
+            >= F.expr(f"div(__n * {keep_num} + {keep_den} - 1, {keep_den})")
+        )
+        .agg(F.max("dsir_weight_e6").alias("threshold_e6"))
+    )
+    return (
+        wdf.crossJoin(F.broadcast(th))
+        .filter(F.col("dsir_weight_e6") >= F.col("threshold_e6"))
+        .select(id_col, "n_bigrams", "dsir_weight_e6", "threshold_e6")
+    )

@@ -144,3 +144,157 @@ def label_centroid_stats(
         .cast("long")
         .alias("avg_sq_norm_e12"),
     )
+
+
+def covariance_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer second-moment matrix of an embedding column — the
+    distributed primitive behind PCA / whitening / decorrelation in an
+    embedding-curation pipeline (the reference exposes no linear
+    algebra at all; this is Spark-first new ground like k-means).
+
+    One corpus scan. Each Arrow batch snaps vectors to micro-units
+    (``floor(x * 1e6 + 0.5)``, the shared determinism contract) and
+    accumulates the d x d Gram matrix ``Ve6.T @ Ve6`` plus component
+    sums IN NUMPY INT64 (exact: |e6| <= ~2e6 so pair products <= 4e12,
+    a 10k-row batch stays ~20x under int64 overflow), then emits the
+    d(d+1)/2 upper-triangle rows. The only shuffle merges
+    |batches| x d(d+1)/2 partial rows — KB at any corpus size; the
+    merge runs over DECIMAL(38,0) so even a 100 TB corpus cannot
+    overflow mid-sum, and the final values are cast back to BIGINT
+    (valid while n * max|e6|^2 < 2^63 — ~2.5e6 vectors per 1e12 pair
+    magnitude; raise the output to decimal if a corpus exceeds it).
+
+    Output: one row per (i, j), i <= j, 0-based — ``n``, ``sum_i``,
+    ``sum_j`` (micro-units), ``sxy_e12`` (micro^2-units). Covariance
+    and correlation derive exactly: cov = sxy/n - (sum_i/n)(sum_j/n).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from kamu_cli_spark.operators.util import spread
+
+    part_schema = (
+        "i int, j int, n_part long, si_part long, sj_part long, sxy_part long"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        sums = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Ve6 = np.floor(V * _SCALE + 0.5).astype(np.int64)
+            g = Ve6.T @ Ve6  # int64-exact (no BLAS dispatch on ints)
+            s = Ve6.sum(axis=0)
+            if gram is None:
+                gram, sums = g, s
+            else:
+                gram += g
+                sums += s
+            n += len(pdf)
+        if gram is None:
+            return
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "n_part": np.full(len(iu), n, dtype=np.int64),
+                "si_part": sums[iu],
+                "sj_part": sums[ju],
+                "sxy_part": gram[iu, ju],
+            }
+        )
+
+    p = spread(df.select(F.col(vec_col))).mapInPandas(partials, part_schema)
+    return (
+        p.groupBy("i", "j")
+        .agg(
+            F.sum("n_part").alias("n"),
+            F.sum("si_part").alias("sum_i"),
+            F.sum("sj_part").alias("sum_j"),
+            F.sum(F.col("sxy_part").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sxy_e12"),
+        )
+        .select("i", "j", "n", "sum_i", "sum_j", "sxy_e12")
+    )
+
+
+def pca_components(moments: DataFrame, k: int) -> "list[list[float]]":
+    """Top-k principal axes from a :func:`covariance_moments` frame.
+
+    The moments frame is d(d+1)/2 rows BY CONSTRUCTION (never
+    data-sized), so collecting it is a bounded driver artifact — the
+    same contract as k-means centroid collection. Eigendecomposition of
+    the d x d covariance runs in numpy on the driver; ties in the
+    (float) eigenvalues are broken by fixing each eigenvector's sign so
+    its largest-|.|-component is positive, making the output stable
+    across LAPACK builds up to genuine eigenvalue degeneracy.
+    """
+    import numpy as np
+
+    rows = moments.collect()  # bounded: d(d+1)/2 rows
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    cov = np.zeros((d, d))
+    for r in rows:
+        c = r["sxy_e12"] / n / _SCALE**2 - (
+            r["sum_i"] / n / _SCALE
+        ) * (r["sum_j"] / n / _SCALE)
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+    return comps
+
+
+def pca_project(
+    df: DataFrame,
+    components: "list[list[float]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project vectors onto fixed principal axes (from
+    :func:`pca_components` — an offline model artifact broadcast in the
+    closure, so this is a stateless Arrow map: zero shuffles, streams
+    unchanged)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    C = [list(map(float, c)) for c in components]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = np.asarray(C, dtype=np.float64).T  # d x k
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            P = V @ M
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [list(r) for r in P]}
+            )
+
+    schema = f"{id_col} long, {out_col} array<double>"
+    return df.select(id_col, vec_col).mapInPandas(run, schema)

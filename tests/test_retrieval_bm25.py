@@ -1,0 +1,98 @@
+"""BM25 retrieval (operators/retrieval.py): exact-integer scoring
+pinned against a pure-Python reference, edge validation, and the
+plan-shape contract (no cartesian product, no per-doc explode for tf,
+no Python row UDF)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kamu_cli_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (0, "spark fast spark join table"),
+    (1, "hash join hash join hash"),
+    (2, "window stream batch window"),
+    (3, "slow table scan slow slow"),
+    (4, "spark spark spark spark spark"),
+    (5, "the a the a the"),
+    (6, ""),
+    (7, "join"),
+]
+QUERIES = [(0, ["spark", "join"]), (1, ["slow"]), (2, ["window", "batch"])]
+
+
+def _ref_bm25(docs, queries, k):
+    toks = {i: t.lower().split() for i, t in docs}
+    dls = {i: len(w) for i, w in toks.items()}
+    n = len(docs)
+    s = sum(dls.values())
+    vocab = sorted({t for _, ts in queries for t in ts})
+    tf = {
+        (i, t): sum(1 for x in w if x == t)
+        for i, w in toks.items()
+        for t in vocab
+    }
+    df = {t: sum(1 for i, _ in docs if tf[(i, t)] > 0) for t in vocab}
+    out = []
+    for qid, terms in queries:
+        scores = {}
+        hits = {}
+        for i, _ in docs:
+            sc = 0
+            h = 0
+            for t in terms:
+                f = tf[(i, t)]
+                if f == 0:
+                    continue
+                h += 1
+                idf = (1000 * (2 * n - 2 * df[t] + 1)) // (2 * df[t] + 1)
+                t2 = (9 * dls[i] * n) // s
+                sc += idf * ((22 * f * 1000000) // (10 * f + 3 + t2))
+            if h:
+                scores[i] = sc
+                hits[i] = h
+        ranked = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+        out.extend(
+            (qid, i, r + 1, hits[i], scores[i]) for r, i in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+def test_bm25_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in bm25_topk(df, QUERIES, k=3).collect()
+    )
+    assert got == _ref_bm25(DOCS, QUERIES, 3)
+
+
+def test_bm25_rank_ties_break_by_doc_id(spark):
+    # identical docs -> identical scores; ranks must follow doc_id
+    df = spark.createDataFrame(
+        [(i, "spark table") for i in range(5)], "doc_id long, text string"
+    )
+    got = bm25_topk(df, [(0, ["spark"])], k=5).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]
+    assert len({r["score_e9"] for r in got}) == 1
+
+
+def test_bm25_empty_queries_raises(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_bm25_plan_shape(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        bm25_topk(df, QUERIES, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # per-term tf is an array filter, not an exploded token stream
+    assert "Generate explode" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
