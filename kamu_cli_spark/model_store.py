@@ -312,3 +312,64 @@ def load_ivf_model(
         [vec for _, vec in sorted(out[lvl], key=lambda t: t[0])]
         for lvl in sorted(out)
     ]
+
+
+PCA_SCHEMA = "axis int, component array<double>"
+
+
+def pca_model_df(
+    spark: SparkSession, components: list[list[float]]
+) -> DataFrame:
+    """Principal-axis list -> (axis, component) frame, axis = rank
+    order (0 = largest eigenvalue)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in enumerate(components)],
+        PCA_SCHEMA,
+    )
+
+
+def save_pca_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    components: list[list[float]],
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit fitted principal axes
+    (:func:`~kamu_cli_spark.operators.vector_stats.pca_components`
+    output) as one snapshot poll of `dataset` (PK = axis): a refit on
+    new data emits -C/+C corrections per rotated axis, so "which
+    projection produced these features" is as-of reproducible from the
+    ledger like the k-means/Bloom/IVF/LM/BPE artifacts. Bounded by
+    k·dim doubles; float64 round-trips bit-identically through
+    parquet, so a loaded model projects bit-identically (asserted in
+    tests/test_model_store_r11.py)."""
+    if not components:
+        raise ValueError("refusing to commit an empty PCA model")
+    w = DataWriter(dataset, MergeStrategySnapshot(["axis"]))
+    return w.write(
+        spark,
+        pca_model_df(spark, components),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_pca_model(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> list[list[float]]:
+    """The axes at the latest state (or as-of a pinned block), ordered
+    by rank — exactly what
+    :func:`~kamu_cli_spark.operators.vector_stats.pca_project`
+    consumes. The collect is k rows, bounded by the model."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return []
+    state = project_changelog(df, ["axis"], dataset.vocab)
+    rows = state.select("axis", "component").collect()  # bounded: k rows
+    return [
+        list(r["component"])
+        for r in sorted(rows, key=lambda r: int(r["axis"]))
+    ]

@@ -149,3 +149,76 @@ class TestBpeModel:
             save_bpe_model(spark, ds, bpe_fit(docs.filter(F.lit(False))))
         with pytest.raises(ValueError, match="expected bpe_fit"):
             save_bpe_model(spark, ds, docs.select("doc_id"))
+
+
+class TestPcaModel:
+    """PCA axes as a ledger artifact (late round 11): save/load must
+    project bit-identically, refits emit CDC corrections per rotated
+    axis, and an empty model is refused like the other stores."""
+
+    def _fit(self, spark, n=80, d=5, seed=3):
+        import numpy as np
+
+        from kamu_cli_spark.operators.vector_stats import (
+            covariance_moments,
+            pca_components,
+        )
+
+        rng = np.random.default_rng(seed)
+        V = rng.normal(0, 0.3, size=(n, d))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        return df, pca_components(covariance_moments(df), 3)
+
+    def test_round_trip_projects_identically(self, spark, tmp_path):
+        from kamu_cli_spark.model_store import load_pca_model, save_pca_model
+        from kamu_cli_spark.operators.vector_stats import pca_project
+
+        df, comps = self._fit(spark)
+        ds = Dataset.create(
+            str(tmp_path), "pca", system_time=_d(1).isoformat()
+        )
+        save_pca_model(spark, ds, comps, system_time=_d(2), source_event_time=_d(2))
+        loaded = load_pca_model(spark, ds)
+        assert loaded == comps  # float64 exact through parquet
+
+        want = {
+            (r["vec_id"], tuple(r["proj"]))
+            for r in pca_project(df, comps).collect()
+        }
+        got = {
+            (r["vec_id"], tuple(r["proj"]))
+            for r in pca_project(df, loaded).collect()
+        }
+        assert got == want
+
+    def test_refit_emits_corrections(self, spark, tmp_path):
+        from kamu_cli_spark.model_store import save_pca_model
+
+        _, comps = self._fit(spark, seed=3)
+        _, comps2 = self._fit(spark, seed=4)
+        ds = Dataset.create(
+            str(tmp_path), "pca", system_time=_d(1).isoformat()
+        )
+        save_pca_model(spark, ds, comps, system_time=_d(2), source_event_time=_d(2))
+        save_pca_model(spark, ds, comps2, system_time=_d(3), source_event_time=_d(3))
+        from kamu_cli_spark.vocab import OperationType
+
+        ops = {
+            r["op"]
+            for r in ds.read(spark).select("op").distinct().collect()
+        }
+        # axes rotated, keys kept -> -C/+C corrections
+        assert OperationType.CORRECT_TO in ops
+        assert OperationType.CORRECT_FROM in ops
+
+    def test_empty_model_refused(self, spark, tmp_path):
+        from kamu_cli_spark.model_store import save_pca_model
+
+        ds = Dataset.create(
+            str(tmp_path), "pca", system_time=_d(1).isoformat()
+        )
+        with pytest.raises(ValueError):
+            save_pca_model(spark, ds, [])
