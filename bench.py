@@ -87,6 +87,11 @@ EXTRA = [
     "documents_bpe_tokenized",
     "documents_dsir_weights",
     "documents_lm_buckets",
+    # late round-11 families (BASELINE.md re-baselined bound)
+    "documents_bm25",
+    "embeddings_covariance",
+    "documents_dsir_select",
+    "documents_mixture_rebalance",
 ]
 
 

@@ -228,6 +228,7 @@ def mixture_rebalance(
     strata_col: str = "source",
     text_col: str = "text",
     salt: str = "",
+    materialize: bool = True,
 ) -> DataFrame:
     """Token-budget mixture rebalancing — the data-mixing stage of a
     pretraining pipeline: given integer mixture weights per stratum
@@ -240,16 +241,28 @@ def mixture_rebalance(
     stratum never changes another's selection, and the boundary doc
     overshoots by < one document (the only order-free greedy).
 
-    Scale design — NO data-sized sort: a naive per-stratum cumulative
-    window would range-sort every stratum into one task each. Instead
-    the md5 keyspace is bucketed on the first 4 hex chars (the module's
-    _HEX_WIDTH convention): per-(stratum, bucket) token sums are a
-    map-side-combined shuffle to <= |strata| * 65536 rows, the bucket
-    cutoff comes from a cumulative window over that BOUNDED frame, all
-    docs in buckets strictly inside the budget pass through with no
-    sort at all, and only the ONE boundary bucket per stratum
-    (~1/65536 of its docs) is exactly sorted. Returns the kept rows as
-    (id, stratum, n_tokens).
+    Scale design — NO stratum-sized sort: a naive per-stratum
+    cumulative window would range-sort every stratum into one task
+    each. Instead the md5 keyspace is bucketed on the first 4 hex
+    chars (the module's _HEX_WIDTH convention): per-(stratum, bucket)
+    token sums are a map-side-combined shuffle to <= |strata| * 65536
+    rows, the bucket-level cumulative runs over that BOUNDED frame and
+    broadcasts back, and the exact per-doc cumulative is ONE window
+    partitioned by (stratum, bucket) — each partition is ~1/65536 of
+    its stratum, so the sort is local and parallel at any corpus size
+    (the global per-stratum order (md5, id) decomposes exactly into
+    bucket order + within-bucket order because the bucket is a prefix
+    of the md5). One corpus scan, one tokenize, one data-sized
+    shuffle. Returns the kept rows as (id, stratum, n_tokens).
+
+    The histogram pass and the selection pass both read the tokenized
+    (id, stratum, n_tokens, md5) projection; ``materialize`` (default)
+    localCheckpoints it DISK_ONLY — ~60 B/doc serialized, the
+    materialize_occurrences trade from dedup.duplicate_spans — so the
+    corpus is scanned and tokenized ONCE instead of once per pass
+    (measured 11.2 s → 7 s at sf10). The checkpoint is released by the
+    ContextCleaner when the returned plan is dropped; pass False for a
+    pure-lazy plan (streaming composition, plan-shape tests).
     """
     if budget_num < 1 or budget_den < budget_num:
         raise ValueError("budget fraction must satisfy 0 < num/den <= 1")
@@ -274,6 +287,12 @@ def mixture_rebalance(
         .withColumn("__h", h)
         .withColumn("__b", F.substring("__h", 1, _HEX_WIDTH))
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        base = base.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
 
     # bounded histogram: per-(stratum, bucket) token sums
     hist = base.groupBy(strata_col, "__w", "__b").agg(
@@ -284,7 +303,7 @@ def mixture_rebalance(
         Window.unboundedPreceding, -1
     )
     # per-stratum budget and per-bucket cumulative-before, all exact
-    classified = (
+    buckets = (
         hist.crossJoin(F.broadcast(total))
         .withColumn(
             "__bs",
@@ -295,33 +314,23 @@ def mixture_rebalance(
         .withColumn(
             "__cb", F.coalesce(F.sum("__bt").over(win), F.lit(0))
         )
-        .withColumn(
-            "__cls",
-            F.when(F.col("__cb") >= F.col("__bs"), F.lit("drop"))
-            .when(F.col("__cb") + F.col("__bt") < F.col("__bs"), F.lit("keep"))
-            .otherwise(F.lit("edge")),
-        )
+        # buckets fully past the budget never ship their docs at all
+        .filter(F.col("__cb") < F.col("__bs"))
+        .select(strata_col, "__b", "__cb", "__bs")
     )
-    cls_map = F.broadcast(
-        classified.select(strata_col, "__b", "__cls", "__cb", "__bs")
-    )
-    tagged = base.join(cls_map, [strata_col, "__b"])
-
-    kept_whole = tagged.filter(F.col("__cls") == "keep").select(
-        F.col(id_col), F.col(strata_col), F.col("n_tokens")
-    )
-    # exact per-doc cumulative ONLY inside the boundary bucket
-    edge_w = Window.partitionBy(strata_col).orderBy(
+    # exact per-doc cumulative: bucket base + within-bucket prefix sum;
+    # the window partitions on (stratum, BUCKET), so each sort task
+    # holds ~1/65536 of a stratum — never the stratum itself
+    doc_w = Window.partitionBy(strata_col, "__b").orderBy(
         "__h", F.col(id_col)
     ).rowsBetween(Window.unboundedPreceding, -1)
-    edge = (
-        tagged.filter(F.col("__cls") == "edge")
+    return (
+        base.join(F.broadcast(buckets), [strata_col, "__b"])
         .withColumn(
             "__doc_cb",
             F.col("__cb")
-            + F.coalesce(F.sum("n_tokens").over(edge_w), F.lit(0)),
+            + F.coalesce(F.sum("n_tokens").over(doc_w), F.lit(0)),
         )
         .filter(F.col("__doc_cb") < F.col("__bs"))
         .select(F.col(id_col), F.col(strata_col), F.col("n_tokens"))
     )
-    return kept_whole.unionByName(edge)

@@ -144,11 +144,19 @@ def test_mixture_edge_bucket_only_sort(spark):
     # bucket; the kept-whole path has no Window at all
     docs = _mix_docs(200, sources=2)
     df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    # materialize=False keeps the full lineage visible to the asserts
     plan = (
-        mixture_rebalance(df, {"s0": 1, "s1": 1}, 1, 2)
+        mixture_rebalance(df, {"s0": 1, "s1": 1}, 1, 2, materialize=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # the per-doc window partitions on (stratum, BUCKET) — the local
+    # 1/65536-of-a-stratum sort, never a stratum-sized one
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert any("source#" in s and "__b#" in s for s in specs), specs

@@ -92,7 +92,9 @@ def test_bm25_plan_shape(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-    # per-term tf is an array filter, not an exploded token stream
+    assert "BatchEvalPython" not in plan  # Arrow kernel, not a row UDF
+    # scoring is closure-side: no exploded token stream, no data-sized
+    # join, no score shuffle — the only exchange feeds the top-k window
     assert "Generate explode" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange") <= 2  # window partition (+AQE read)
