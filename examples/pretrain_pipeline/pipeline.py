@@ -9,6 +9,10 @@ runs, in the canonical order:
       └─ 1b. LM quality gate  (optional: CCNet-style bigram-LM
                               familiarity vs a curated reference;
                               drops gibberish the rules can't see)
+      └─ 1c. DSIR selection  (optional: keep the top fraction by
+                              target-vs-pool LM contrast — Xie et al.
+                              importance resampling, tie-inclusive
+                              exact threshold)
       └─ 2. PII scrub audit  (emails/IPs/phones counted + fingerprint)
       └─ 3. exact dedup      (normalized-text fingerprint, min-id wins)
       └─ 3b. substring dedup (optional: Lee et al. ExactSubstr —
@@ -23,6 +27,9 @@ runs, in the canonical order:
                               clusters → within-cluster cosine
                               near-dups dropped, SemDeDup-style)
       └─ 5. vocabulary + OOV coverage (corpus-fit quality signal)
+      └─ 5b. mixture rebalance (optional: per-source token budgets in
+                               mixture-weight proportion — greedy
+                               salted-md5 prefixes, bucket-local sorts)
       └─ 6. train/val/test split (deterministic md5 thresholds)
       └─ 7. sequence packing  (train split only; bucketed
                                contiguous-fill manifest)
@@ -61,10 +68,12 @@ from kamu_cli_spark.operators.dedup import (
 from kamu_cli_spark.operators.clustering import semantic_dedup
 from kamu_cli_spark.operators.sampling import (
     global_shuffle_manifest,
+    mixture_rebalance,
     pack_sequences,
     split_assignment,
 )
 from kamu_cli_spark.operators.text import (
+    dsir_select,
     ngram_lm_fit,
     ngram_lm_score,
     vocab_coverage,
@@ -80,6 +89,8 @@ class PipelineResult:
     exact_groups: DataFrame    # exact-dup groups
     near_clusters: DataFrame   # near-dup components (id, component)
     semantic: DataFrame | None  # SemDeDup audit (id, cluster, kept), if embeddings given
+    dsir: DataFrame | None     # DSIR-kept docs (id, weight, threshold), if target given
+    mixture: DataFrame | None  # mixture-kept rows (id, stratum, tokens), if weights given
     vocab: DataFrame           # induced vocabulary
     coverage: DataFrame        # per-doc OOV coverage
     split_sizes: DataFrame     # (split, n_docs)
@@ -109,6 +120,11 @@ def run_pipeline(
     substring_min_len: int | None = None,
     eval_set: DataFrame | None = None,
     decontam_min_len: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: tuple[int, int] = (1, 4),
+    mixture_weights: dict[str, int] | None = None,
+    mixture_budget: tuple[int, int] = (1, 2),
+    strata_col: str = "source",
 ) -> PipelineResult:
     """Run the full curation pipeline over `docs`; outputs are
     unmaterialized DataFrames so a caller can sink each stage into a
@@ -151,6 +167,19 @@ def run_pipeline(
             id_col,
             "left_semi",
         )
+
+    # 1c. optional DSIR selection: keep the top dsir_keep fraction by
+    # target-vs-pool LM contrast (tie-inclusive exact threshold via
+    # the bounded weight histogram) — the importance-resampling cousin
+    # of the 1b absolute-familiarity gate
+    dsir = None
+    if dsir_target is not None:
+        dsir = dsir_select(
+            good, dsir_target,
+            keep_num=dsir_keep[0], keep_den=dsir_keep[1],
+            id_col=id_col, text_col=text_col,
+        )
+        good = good.join(dsir.select(id_col), id_col, "left_semi")
 
     # 2. PII audit rides alongside (the scrubbed corpus is derivable;
     # the audit is what reviewers consume)
@@ -226,6 +255,19 @@ def run_pipeline(
         kept_docs, vocab, id_col=id_col, text_col=text_col
     )
 
+    # 5b. optional mixture rebalance: trim each stratum to its
+    # mixture-weighted share of the token budget (greedy salted-md5
+    # prefixes; the vocab/coverage signals above are computed on the
+    # PRE-mix corpus, the export stages below on the mixed one)
+    mixture = None
+    if mixture_weights is not None:
+        mixture = mixture_rebalance(
+            kept_docs, mixture_weights,
+            budget_num=mixture_budget[0], budget_den=mixture_budget[1],
+            id_col=id_col, strata_col=strata_col, text_col=text_col,
+        )
+        kept_docs = kept_docs.join(mixture.select(id_col), id_col, "left_semi")
+
     # 6. deterministic split
     kept = kept_docs.withColumn(
         "split", split_assignment(F.col(id_col), fractions)
@@ -246,6 +288,8 @@ def run_pipeline(
         exact_groups=exact,
         near_clusters=clusters,
         semantic=semantic,
+        dsir=dsir,
+        mixture=mixture,
         vocab=vocab,
         coverage=coverage,
         split_sizes=split_sizes,

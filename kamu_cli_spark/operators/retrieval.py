@@ -54,37 +54,24 @@ from pyspark.sql import functions as F
 from kamu_cli_spark.operators.text import tokens
 
 
-def bm25_topk(
+def bm25_corpus_stats(
     df: DataFrame,
     queries: list[tuple[int, list[str]]],
-    k: int = 5,
-    id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Top-k documents per query by exact-integer BM25.
-
-    `queries`: [(query_id, [term, ...]), ...] — a small trusted query
-    set (an eval suite, a seed corpus's characteristic terms); it is a
-    bounded offline artifact shipped in the kernel closure, never
-    data-sized.
-
-    Returns (query_id, doc_id, rank, n_terms_hit, score_e9), rank 1..k
-    per query, ties broken by doc_id ascending.
-    """
+) -> dict:
+    """The bounded corpus artifact BM25 scoring needs — N, total
+    tokens S, and per-query-term document frequencies — from ONE
+    aggregate scan (array_contains sums; 2 + |vocab| values to the
+    driver, the same bounded-artifact contract as tfidf_topk's
+    cached_count). Fit offline on the corpus snapshot, persist or
+    broadcast, and a live crawl scores against it statelessly."""
     if not queries:
-        raise ValueError("bm25_topk: queries list is empty")
-
+        raise ValueError("bm25: queries list is empty")
     toks = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        tokens(F.lower(F.col(text_col))).alias("__toks"),
+        tokens(F.lower(F.col(text_col))).alias("__toks")
     ).withColumn("dl", F.size("__toks"))
-
     vocab = sorted({t for _, ts in queries for t in ts})
-    # pass 1: corpus scalars AND per-term document frequencies in ONE
-    # aggregate scan — 2 + |vocab| bounded values to the driver (the
-    # same bounded-artifact contract as tfidf_topk's cached_count)
-    stats = toks.agg(
+    row = toks.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("s"),
         *[
@@ -94,28 +81,43 @@ def bm25_topk(
             for i, term in enumerate(vocab)
         ],
     ).collect()[0]
-    n_docs, s_tokens = int(stats["n"]), int(stats["s"] or 0)
+    n_docs, s_tokens = int(row["n"]), int(row["s"] or 0)
     if n_docs == 0 or s_tokens == 0:
-        raise ValueError("bm25_topk: empty corpus")
-    dfreq = {t: int(stats[f"__df_{i}"]) for i, t in enumerate(vocab)}
-    idf_e3 = {
-        t: (1000 * (2 * n_docs - 2 * d + 1)) // (2 * d + 1)
-        for t, d in dfreq.items()
+        raise ValueError("bm25: empty corpus")
+    return {
+        "n_docs": n_docs,
+        "s_tokens": s_tokens,
+        "dfreq": {t: int(row[f"__df_{i}"]) for i, t in enumerate(vocab)},
     }
 
-    # pass 2: stateless Arrow kernel — tokenize once, emit the final
-    # per-(query, doc) score row. Exact Python-int arithmetic, and the
-    # tokenizer mirrors tokens(): split on \s+ runs, drop empties,
-    # ASCII lowercase (the corpus contract shared with the oracles).
+
+def bm25_score(
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    stats: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(query, doc) exact-integer BM25 scores as ONE stateless
+    Arrow kernel with the :func:`bm25_corpus_stats` artifact in the
+    closure — no data-sized join or aggregation, so it runs UNCHANGED
+    on a streaming DataFrame (the live-crawl relevance gate; stream ==
+    batch pinned in tests/test_retrieval_bm25.py). Exact Python-int
+    arithmetic; the tokenizer mirrors tokens() (split on \\s+ runs,
+    drop empties, ASCII lowercase — the corpus contract shared with
+    the oracles). Docs matching no query term emit nothing."""
     import re
 
     from collections.abc import Iterator
 
     import pandas as pd
 
+    n_docs, s_tokens = int(stats["n_docs"]), int(stats["s_tokens"])
+    idf = {
+        t: (1000 * (2 * n_docs - 2 * d + 1)) // (2 * d + 1)
+        for t, d in stats["dfreq"].items()
+    }
     qlist = [(int(qid), list(ts)) for qid, ts in queries]
-    idf = dict(idf_e3)
-    NN, SS = n_docs, s_tokens
     ws = re.compile(r"\s+")
 
     out_schema = (
@@ -136,7 +138,7 @@ def bm25_topk(
                         counts[x] = counts.get(x, 0) + 1
                 if not counts:
                     continue
-                t2 = (9 * dl * NN) // SS
+                t2 = (9 * dl * n_docs) // s_tokens
                 for qid, ts in qlist:
                     sc = 0
                     hits = 0
@@ -156,8 +158,33 @@ def bm25_topk(
                     columns=["query_id", "doc_id", "n_terms_hit", "score_e9"],
                 )
 
-    scored = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, out_schema
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query by exact-integer BM25:
+    :func:`bm25_corpus_stats` (pass 1) + :func:`bm25_score` (pass 2) +
+    a WindowGroupLimit rank.
+
+    `queries`: [(query_id, [term, ...]), ...] — a small trusted query
+    set (an eval suite, a seed corpus's characteristic terms); it is a
+    bounded offline artifact shipped in the kernel closure, never
+    data-sized.
+
+    Returns (query_id, doc_id, rank, n_terms_hit, score_e9), rank 1..k
+    per query, ties broken by doc_id ascending.
+    """
+    stats = bm25_corpus_stats(df, queries, text_col=text_col)
+    scored = bm25_score(
+        df, queries, stats, id_col=id_col, text_col=text_col
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_e9"), F.asc("doc_id")

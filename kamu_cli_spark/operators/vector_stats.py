@@ -275,7 +275,16 @@ def pca_project(
     """Project vectors onto fixed principal axes (from
     :func:`pca_components` — an offline model artifact broadcast in the
     closure, so this is a stateless Arrow map: zero shuffles, streams
-    unchanged)."""
+    unchanged).
+
+    The dot products accumulate dimension-by-dimension in a FIXED
+    order rather than via ``V @ M``: BLAS dgemm picks its SIMD
+    accumulation order from the operands' memory layout, and the same
+    vectors arriving via an Arrow scan vs an in-memory relation
+    project with last-ulp drift — which breaks the stream == batch
+    bit-identity contract every stateless kernel here carries. The
+    sequential form is layout-independent and still vectorized over
+    the batch (d elementwise fused-multiply passes)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -285,13 +294,16 @@ def pca_project(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         M = np.asarray(C, dtype=np.float64).T  # d x k
+        d, k = M.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            P = V @ M
+            P = np.zeros((len(V), k))
+            for i in range(d):  # fixed-order accumulation, see above
+                P += V[:, i : i + 1] * M[i]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], out_col: [list(r) for r in P]}
             )

@@ -97,3 +97,39 @@ def test_moments_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the merge aggregates partial rows (map-side combine present)
     assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_pca_project_streams_match_batch(spark, tmp_path):
+    """pca_project against fixed axes is a stateless Arrow map — a
+    live embedding stream projects bit-identically to the batch path."""
+    df, _ = _mk(spark, n=30, d=4)
+    comps = pca_components(covariance_moments(df), 2)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = pca_project(stream, comps)
+    assert out.isStreaming
+    name = f"pca_{abs(hash(str(tmp_path))) % 10**9}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["vec_id"], tuple(r["proj"]))
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r["vec_id"], tuple(r["proj"]))
+        for r in pca_project(df, comps).collect()
+    }
+    assert got == want

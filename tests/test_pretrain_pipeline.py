@@ -202,3 +202,40 @@ def test_decontamination_stage_scrubs_eval_spans(spark):
     assert set(kept) == {1, 2}
     assert "capital" not in kept[1] and kept[1] == body
     assert kept[2] == body.replace("tok", "oth")
+
+
+def test_dsir_and_mixture_stages(spark):
+    """Stage 1c keeps exactly the tie-inclusive DSIR top fraction of
+    the quality-surviving pool; stage 5b trims each source to its
+    budgeted token prefix — both audits must agree with the kept set."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    weights = {f"src{i}": 1 for i in range(20)}
+    r = run_pipeline(
+        spark,
+        docs,
+        seq_len=256,
+        dsir_target=target,
+        dsir_keep=(1, 2),
+        mixture_weights=weights,
+        mixture_budget=(3, 4),
+    )
+    assert r.dsir is not None and r.mixture is not None
+
+    kept = r.kept.cache()
+    # every kept doc passed the DSIR gate and the mixture budget
+    assert kept.join(r.dsir.select("doc_id"), "doc_id", "left_anti").count() == 0
+    assert (
+        kept.join(r.mixture.select("doc_id"), "doc_id", "left_anti").count()
+        == 0
+    )
+    # the DSIR audit carries one global tie-inclusive threshold
+    th = r.dsir.select("threshold_e6").distinct().collect()
+    assert len(th) == 1
+    assert r.dsir.filter(
+        F.col("dsir_weight_e6") < th[0]["threshold_e6"]
+    ).count() == 0
+    # mixture only ever removes; at 3/4 budget something must go
+    n_mix = r.mixture.count()
+    assert 0 < n_mix
+    assert kept.count() <= n_mix

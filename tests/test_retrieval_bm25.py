@@ -98,3 +98,51 @@ def test_bm25_plan_shape(spark):
     assert "Generate explode" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange") <= 2  # window partition (+AQE read)
+
+
+def _run_stream(spark, tmp_path, docs, op, name):
+    src = tmp_path / "crawl"
+    src.mkdir()
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    out = op(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    return {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+
+
+def test_bm25_score_streams_match_batch(spark, tmp_path):
+    """The live-crawl relevance gate: bm25_score against a FIXED
+    corpus-stats artifact is a stateless Arrow map and must score a
+    streaming crawl bit-identically to the batch path."""
+    from kamu_cli_spark.operators.retrieval import (
+        bm25_corpus_stats,
+        bm25_score,
+    )
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    stats = bm25_corpus_stats(corpus, QUERIES)
+    crawl = spark.createDataFrame(
+        [(100, "spark join window"), (101, "slow batch"), (102, "the a")],
+        "doc_id long, text string",
+    )
+    got = _run_stream(
+        spark,
+        tmp_path,
+        crawl,
+        lambda s: bm25_score(s, QUERIES, stats),
+        f"bm25_{abs(hash(str(tmp_path))) % 10**9}",
+    )
+    want = {tuple(r) for r in bm25_score(crawl, QUERIES, stats).collect()}
+    assert got == want and len(got) > 0
