@@ -4672,6 +4672,63 @@ WHERE cb < (((tt * 1) // 2) * wt) // {w_total}
 O_MIXTURE_REBALANCE = _o_mixture_rebalance()
 
 
+def q_documents_source_influence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source leave-one-out LM influence
+    (text.py:source_lm_influence): each source's bigrams scored under
+    the model fit on every OTHER source (LOO counts = global − own,
+    pure arithmetic on the one bounded count table) and under its own
+    model; influence = self − loo. One Arrow bigram scan; everything
+    downstream is |sources| x vocab rows."""
+    from kamu_cli_spark.operators.text import source_lm_influence
+
+    return source_lm_influence(load_table(spark, sf, "documents"))
+
+
+O_SOURCE_INFLUENCE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT d.source, w[i] AS w1, w[i + 1] AS w2
+  FROM words JOIN documents d USING (doc_id),
+       UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+),
+bs AS (SELECT source, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+tot AS (SELECT w1, w2, sum(c) AS ct FROM bs GROUP BY 1, 2),
+tsrc AS (SELECT source, w1, sum(c) AS ts FROM bs GROUP BY 1, 2),
+tglob AS (SELECT w1, sum(ts) AS tg FROM tsrc GROUP BY 1),
+j AS (
+  SELECT bs.source, bs.c,
+         (1000000 * bs.c) // t.ts AS cself,
+         CASE WHEN g.tg > t.ts
+              THEN (1000000 * (o.ct - bs.c)) // (g.tg - t.ts)
+              ELSE 0 END AS cloo
+  FROM bs
+  JOIN tot o ON bs.w1 = o.w1 AND bs.w2 = o.w2
+  JOIN tsrc t ON bs.source = t.source AND bs.w1 = t.w1
+  JOIN tglob g ON bs.w1 = g.w1
+),
+ag AS (
+  SELECT source, sum(c) AS nb, sum(c * cself) AS ws, sum(c * cloo) AS wl
+  FROM j GROUP BY 1
+),
+nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT nd.source,
+       CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(ag.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN coalesce(ag.nb, 0) > 0 THEN ag.ws // ag.nb
+                 ELSE 0 END AS BIGINT) AS self_fam_e6,
+       CAST(CASE WHEN coalesce(ag.nb, 0) > 0 THEN ag.wl // ag.nb
+                 ELSE 0 END AS BIGINT) AS loo_fam_e6,
+       CAST(CASE WHEN coalesce(ag.nb, 0) > 0
+                 THEN ag.ws // ag.nb - ag.wl // ag.nb
+                 ELSE 0 END AS BIGINT) AS influence_e6
+FROM nd LEFT JOIN ag USING (source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -4805,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_ivf_ann": q_embeddings_ivf_ann,
         "documents_dsir_select": q_documents_dsir_select,
         "documents_mixture_rebalance": q_documents_mixture_rebalance,
+        "documents_source_influence": q_documents_source_influence,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
@@ -4927,6 +4985,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_bpe_tokenized": _o_bpe_apply(),
         "documents_dsir_weights": O_DSIR_WEIGHTS,
         "documents_dsir_select": O_DSIR_SELECT,
+        "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_bm25": O_BM25,
         "embeddings_covariance": O_EMB_COVARIANCE,
         "documents_mixture_rebalance": O_MIXTURE_REBALANCE,

@@ -555,20 +555,24 @@ def _bigram_counts_arrow(
                 )
                 continue
             drep = doc_rep[:-1][pair_ok]
-            g = (
-                pd.DataFrame({"d": drep, "p": pc})
-                .groupby(["d", "p"], sort=False)
-                .size()
-                .reset_index(name="c")
-            )
+            # pure-numpy (doc, pair) count: factorize pairs to dense
+            # codes, fold the (already-dense) doc index in, and unique
+            # the combined key — ~3x faster per batch than the pandas
+            # groupby it replaces (measured on the keyed LM family at
+            # sf10). Headroom: batch docs (<= 10k) x batch-distinct
+            # pairs (< batch tokens) stays far under 2^63.
+            pvals, pinv = np.unique(pc, return_inverse=True)
+            combined = drep * np.int64(len(pvals)) + pinv
+            ckeys, cnt = np.unique(combined, return_counts=True)
+            d_idx = (ckeys // len(pvals)).astype(np.int64)
+            upc = pvals[ckeys % len(pvals)]
             id_arr = np.asarray(ids, dtype=np.int64)
-            upc = g["p"].to_numpy()
             yield pd.DataFrame(
                 {
-                    id_col: id_arr[g["d"].to_numpy()],
+                    id_col: id_arr[d_idx],
                     "w1": uniq[(upc >> 32)],
                     "w2": uniq[(upc & mask32)],
-                    "c": g["c"].to_numpy(dtype=np.int64),
+                    "c": cnt.astype(np.int64),
                 }
             )
 
@@ -894,4 +898,95 @@ def dsir_select(
         wdf.crossJoin(F.broadcast(th))
         .filter(F.col("dsir_weight_e6") >= F.col("threshold_e6"))
         .select(id_col, "n_bigrams", "dsir_weight_e6", "threshold_e6")
+    )
+
+
+def source_lm_influence(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-source leave-one-out LM influence — the data-attribution
+    axis of mixture design: for each stratum, score its own bigrams
+    under the model fit on EVERYTHING ELSE (leave-one-out) and under
+    its own model, all exact-integer. A low ``loo_fam_e6`` means the
+    rest of the corpus cannot predict this source's text (the source
+    contributes unique idiom — dropping it loses coverage); a high one
+    means the source is redundant with the pool. ``influence_e6 =
+    self_fam_e6 − loo_fam_e6`` is the self-vs-rest contrast (the
+    leave-one-out cousin of :func:`dsir_weights`' target-vs-pool).
+
+    Everything is derived from ONE Arrow bigram scan keyed by a dense
+    stratum code: per-(stratum, w1, w2) counts are
+    |strata| x |bigram vocab| rows BY CONSTRUCTION, so every join and
+    aggregate after the scan is vocabulary-bounded, never data-sized —
+    the leave-one-out models are never materialized (LOO counts =
+    global − own, computed per pair by arithmetic). Headroom: the
+    weighted sums are ≤ 1e6 x total corpus bigrams < 2^63 up to ~9e12
+    bigrams. Output: (stratum, n_docs, n_bigrams, self_fam_e6,
+    loo_fam_e6, influence_e6), one row per stratum."""
+    spark = df.sparkSession
+    sources = sorted(
+        r[0] for r in df.select(strata_col).distinct().collect()
+        if r[0] is not None
+    )  # bounded: stratum cardinality, the mixture-weights contract
+    cmap = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(sources)],
+        f"{strata_col} string, __sc long",
+    )
+    # dense code via a literal map PROJECTION, not a broadcast join: a
+    # join ahead of the kernel hides the scan's size stats from
+    # spread(), which then skips the repartition and the Arrow pass
+    # runs on the handful of scan partitions (measured 15.3 s -> 4.4 s
+    # at sf10 on 32 cores)
+    code_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for s, i in zip(sources, range(len(sources)))
+              for x in (s, i)]
+        ),
+        F.col(strata_col),
+    ).cast("long")
+    coded = df.withColumn("__sc", code_expr)
+    counts = _bigram_counts_arrow(
+        coded.select("__sc", text_col), "__sc", text_col, lowercase
+    )
+    sc = counts.groupBy("__sc", "w1", "w2").agg(F.sum("c").alias("c"))
+    tot = sc.groupBy("w1", "w2").agg(F.sum("c").alias("ct"))
+    ts = sc.groupBy("__sc", "w1").agg(F.sum("c").alias("ts"))
+    tg = ts.groupBy("w1").agg(F.sum("ts").alias("tg"))
+    j = (
+        sc.join(tot, ["w1", "w2"])
+        .join(ts, ["__sc", "w1"])
+        .join(tg, "w1")
+        .withColumn("cself", F.expr("div(1000000 * c, ts)"))
+        .withColumn(
+            "cloo",
+            F.when(
+                F.col("tg") > F.col("ts"),
+                F.expr("div(1000000 * (ct - c), tg - ts)"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    ag = j.groupBy("__sc").agg(
+        F.sum("c").alias("nb"),
+        F.sum(F.col("c") * F.col("cself")).alias("ws"),
+        F.sum(F.col("c") * F.col("cloo")).alias("wl"),
+    )
+    nd = coded.groupBy("__sc").agg(F.count(F.lit(1)).alias("n_docs"))
+    fam = lambda col: F.when(  # noqa: E731
+        F.coalesce(F.col("nb"), F.lit(0)) > 0,
+        F.expr(f"div({col}, nb)"),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        nd.join(ag, "__sc", "left")
+        .join(F.broadcast(cmap), "__sc")
+        .select(
+            strata_col,
+            F.col("n_docs"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            fam("ws").alias("self_fam_e6"),
+            fam("wl").alias("loo_fam_e6"),
+            (fam("ws") - fam("wl")).cast("long").alias("influence_e6"),
+        )
     )

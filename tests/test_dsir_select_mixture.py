@@ -160,3 +160,71 @@ def test_mixture_edge_bucket_only_sort(spark):
         for seg in plan.split("windowspecdefinition(")[1:]
     ]
     assert any("source#" in s and "__b#" in s for s in specs), specs
+
+
+def _ref_influence(docs):
+    from collections import Counter
+
+    bs = Counter()
+    nd = Counter()
+    for _i, s, t in docs:
+        nd[s] += 1
+        w = t.lower().split()
+        for a, b in zip(w, w[1:]):
+            bs[(s, a, b)] += 1
+    tot = Counter()
+    tsrc = Counter()
+    for (s, a, b), c in bs.items():
+        tot[(a, b)] += c
+        tsrc[(s, a)] += c
+    tglob = Counter()
+    for (s, a), c in tsrc.items():
+        tglob[a] += c
+    out = {}
+    for s in nd:
+        nb = ws = wl = 0
+        for (s2, a, b), c in bs.items():
+            if s2 != s:
+                continue
+            nb += c
+            ws += c * ((1000000 * c) // tsrc[(s, a)])
+            loo_t = tglob[a] - tsrc[(s, a)]
+            if loo_t > 0:
+                wl += c * ((1000000 * (tot[(a, b)] - c)) // loo_t)
+        out[s] = (
+            nd[s],
+            nb,
+            ws // nb if nb else 0,
+            wl // nb if nb else 0,
+            (ws // nb - wl // nb) if nb else 0,
+        )
+    return out
+
+
+def test_source_influence_matches_reference_and_ranks_unique_idiom(spark):
+    from kamu_cli_spark.operators.text import source_lm_influence
+
+    docs = (
+        # sA and sB share idiom; sC is unique gibberish
+        [(i, "sA", "the cat sat on the mat again and again") for i in range(4)]
+        + [(10 + i, "sB", "the cat sat on the red mat") for i in range(4)]
+        + [(20 + i, "sC", f"zq{i} xv{i} qq{i} zq{i} xv{i}") for i in range(3)]
+        + [(30, "sD", "one")]  # no bigrams at all
+    )
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_bigrams"],
+            r["self_fam_e6"],
+            r["loo_fam_e6"],
+            r["influence_e6"],
+        )
+        for r in source_lm_influence(df).collect()
+    }
+    assert got == _ref_influence(docs)
+    # the rest of the corpus predicts shared idiom, not unique idiom
+    assert got["sC"][3] < got["sA"][3]
+    assert got["sC"][3] < got["sB"][3]
+    # zero-bigram source still emits a row with zeroed LM columns
+    assert got["sD"] == (1, 0, 0, 0, 0)
