@@ -92,6 +92,7 @@ EXTRA = [
     "embeddings_covariance",
     "documents_dsir_select",
     "documents_mixture_rebalance",
+    "documents_source_influence",
 ]
 
 

@@ -79,7 +79,15 @@ class TestJoinStrategy:
          # BPE apply = bounded-broadcast stateless Arrow map (the fit
          # loop runs at plan-BUILD time, so bpe_tokenized's plan is the
          # apply map over the crawl)
-         "documents_dsir_weights", "documents_bpe_tokenized"],
+         "documents_dsir_weights", "documents_bpe_tokenized",
+         # late round-11: bm25 scores inside one Arrow kernel (stats
+         # are closure constants — no data-sized join anywhere);
+         # covariance merges bounded upper-triangle partials;
+         # dsir_select/mixture/influence thresholds come from bounded
+         # histograms / literal maps, never a cross join
+         "documents_bm25", "embeddings_covariance",
+         "documents_dsir_select", "documents_mixture_rebalance",
+         "documents_source_influence"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
@@ -119,6 +127,22 @@ class TestShuffleBudget:
     def test_partial_aggregation_before_exchange(self, spark):
         # map-side combine on the headline aggregate
         p = plan(spark, "tpch_q1")
+        assert "partial_sum" in p
+
+    def test_bm25_has_no_data_sized_join_or_agg(self, spark):
+        # the scoring kernel carries the corpus constants in its
+        # closure: the graded plan is scan -> kernel -> top-k window;
+        # a join or aggregate here means the twice-evaluated tf
+        # regression came back
+        p = plan(spark, "documents_bm25")
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+        assert "MapInPandas" in p
+
+    def test_covariance_merge_is_partial_agg(self, spark):
+        # the only shuffle merges bounded upper-triangle partials with
+        # map-side combine
+        p = plan(spark, "embeddings_covariance")
+        assert "MapInPandas" in p
         assert "partial_sum" in p
 
 
