@@ -4729,6 +4729,45 @@ FROM nd LEFT JOIN ag USING (source)
 """
 
 
+def q_documents_gram_saturation(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus diversity / dedup-saturation curve
+    (dedup.py:gram_saturation): every distinct 3-gram attributed to
+    the id-decile of its first-seen doc; per decile, occurrences vs
+    first-seen grams. One Arrow shingle pass + a gram-keyed min(id)
+    (the substring family's shuffle key) + bucket-sized folds."""
+    from kamu_cli_spark.operators.dedup import gram_saturation
+
+    return gram_saturation(load_table(spark, sf, "documents"))
+
+
+O_GRAM_SATURATION = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i + 2], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+mx AS (SELECT max(doc_id) + 1 AS denom FROM documents),
+wins AS (
+  SELECT (doc_id * 10) // denom AS bucket, count(*) AS nw
+  FROM g, mx GROUP BY 1
+),
+firstg AS (SELECT gram, min(doc_id) AS fid FROM g GROUP BY 1),
+news AS (
+  SELECT (fid * 10) // denom AS bucket, count(*) AS ng
+  FROM firstg, mx GROUP BY 1
+)
+SELECT CAST(w.bucket AS BIGINT) AS bucket,
+       CAST(w.nw AS BIGINT) AS n_windows,
+       CAST(coalesce(n.ng, 0) AS BIGINT) AS n_new_grams,
+       CAST((1000000 * coalesce(n.ng, 0)) // w.nw AS BIGINT) AS novelty_e6
+FROM wins w LEFT JOIN news n USING (bucket)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades the first 50 entries against the
     # DuckDB oracle. Every distinct operator family must have a graded
@@ -4863,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dsir_select": q_documents_dsir_select,
         "documents_mixture_rebalance": q_documents_mixture_rebalance,
         "documents_source_influence": q_documents_source_influence,
+        "documents_gram_saturation": q_documents_gram_saturation,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
@@ -4986,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_dsir_weights": O_DSIR_WEIGHTS,
         "documents_dsir_select": O_DSIR_SELECT,
         "documents_source_influence": O_SOURCE_INFLUENCE,
+        "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_bm25": O_BM25,
         "embeddings_covariance": O_EMB_COVARIANCE,
         "documents_mixture_rebalance": O_MIXTURE_REBALANCE,

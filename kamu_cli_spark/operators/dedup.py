@@ -1936,3 +1936,71 @@ def strip_spans_against_corpus(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def gram_saturation(
+    df: DataFrame,
+    n_buckets: int = 10,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus diversity / dedup-saturation curve: attribute every
+    DISTINCT n-gram to the bucket of its FIRST-seen document (buckets
+    = id-range deciles, ``div(id * n_buckets, max_id + 1)``) and
+    report per bucket how many of its gram occurrences were NEW to
+    the corpus — the curve data-scaling work reads to decide when a
+    source stops contributing novel text (novelty falling toward 0 =
+    the crawl is saturating; budget is better spent elsewhere). Exact
+    and deterministic: first-seen is min(id) per distinct gram, ties
+    impossible by keying on the id itself.
+
+    Output: (bucket, n_windows, n_new_grams, novelty_e6) with
+    ``novelty_e6 = div(1e6 * n_new_grams, n_windows)``, one row per
+    bucket that has at least one window.
+
+    Scale shape: ONE Arrow shingling pass
+    (:func:`_span_occurrences_arrow` — the 128-bit rolling-polynomial
+    window keys; a cross-gram collision would under-count novelty and
+    fail the strict oracle) feeding two map-side-combined aggregates:
+    gram-keyed min(id) (the honest data-sized shuffle, same key the
+    substring-dedup family shuffles on) and a bucket-keyed count
+    (n_buckets rows). Everything after is bucket-sized. The only
+    driver traffic is the 1-row max(id) (bounded-artifact contract).
+    Valid while max_id * n_buckets < 2^63."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+    if shingle_n < 2:
+        raise ValueError("shingle_n must be >= 2")
+    mx_row = df.agg(F.max(F.col(id_col)).alias("m")).collect()[0]
+    if mx_row["m"] is None:
+        raise ValueError("gram_saturation: empty corpus")
+    denom = int(mx_row["m"]) + 1
+
+    occ = _span_occurrences_arrow(df, id_col, text_col, shingle_n)
+
+    def bucket(col: str):
+        return F.expr(f"div({col} * {n_buckets}, {denom})")
+
+    wins = occ.groupBy(bucket(id_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    firsts = occ.groupBy("__kh", "__kl").agg(
+        F.min(F.col(id_col)).alias("__fid")
+    )
+    news = firsts.groupBy(bucket("__fid").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new_grams")
+    )
+    return (
+        wins.join(news, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_windows",
+            F.coalesce(F.col("n_new_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_new_grams"),
+            F.expr(
+                "div(1000000 * coalesce(n_new_grams, 0), n_windows)"
+            ).alias("novelty_e6"),
+        )
+    )

@@ -228,3 +228,49 @@ def test_source_influence_matches_reference_and_ranks_unique_idiom(spark):
     assert got["sC"][3] < got["sB"][3]
     # zero-bigram source still emits a row with zeroed LM columns
     assert got["sD"] == (1, 0, 0, 0, 0)
+
+
+def test_gram_saturation_matches_reference_and_decays(spark):
+    """gram_saturation: first-seen attribution per id-decile pinned
+    against a pure-Python replay; a corpus whose tail repeats the
+    head's text must show novelty collapsing toward zero."""
+    from kamu_cli_spark.operators.dedup import gram_saturation
+
+    import pytest as _pytest
+
+    # 40 docs: ids 0-9 unique text, 10-39 repeat doc (id%10)'s text
+    base = [f"u{i}a u{i}b u{i}c u{i}d u{i}e" for i in range(10)]
+    docs = [(i, base[i % 10]) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["n_windows"], r["n_new_grams"], r["novelty_e6"])
+        for r in gram_saturation(df, n_buckets=4, shingle_n=3).collect()
+    }
+
+    # pure-Python replay
+    first = {}
+    wins = {}
+    news = {}
+    denom = 40
+    for i, t in docs:
+        w = t.lower().split()
+        b = (i * 4) // denom
+        for j in range(len(w) - 2):
+            gram = " ".join(w[j : j + 3])
+            wins[b] = wins.get(b, 0) + 1
+            if gram not in first:
+                first[gram] = i
+    for gram, fid in first.items():
+        b = (fid * 4) // denom
+        news[b] = news.get(b, 0) + 1
+    want = {
+        b: (wins[b], news.get(b, 0), (1000000 * news.get(b, 0)) // wins[b])
+        for b in wins
+    }
+    assert got == want
+    # all grams first-seen in bucket 0; later buckets pure repeats
+    assert got[0][2] == 1_000_000
+    assert got[1][2] == got[2][2] == got[3][2] == 0
+
+    with _pytest.raises(ValueError):
+        gram_saturation(df.filter("doc_id < 0"))
