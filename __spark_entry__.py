@@ -4729,6 +4729,38 @@ FROM nd LEFT JOIN ag USING (source)
 """
 
 
+def q_embeddings_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster quality audit (clustering.py:cluster_quality):
+    radius (max within-cluster dist), nearest-other-centroid
+    separation, and the Dunn-style div(1000*sep, radius) ratio over
+    the family's exact k=8/2-update fit. Max/min aggregates only —
+    no distance sum to overflow at scale."""
+    from kamu_cli_spark.operators.clustering import cluster_quality
+
+    return cluster_quality(
+        load_table(spark, sf, "embeddings"), k=8, n_updates=2
+    )
+
+
+O_CLUSTER_QUALITY = _o_kmeans(tail=r""", per AS (
+  SELECT cid AS cluster, count(*) AS n_vecs, max(dist) AS radius
+  FROM {last} GROUP BY 1
+), seps AS (
+  SELECT a.cid AS cluster,
+         min(list_sum(list_transform(range(1, 65),
+             i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))) AS sep
+  FROM c2 a JOIN c2 b ON a.cid <> b.cid GROUP BY 1
+)
+SELECT CAST(p.cluster AS BIGINT) AS cluster,
+       CAST(p.n_vecs AS BIGINT) AS n_vecs,
+       CAST(p.radius AS BIGINT) AS radius_e12,
+       CAST(coalesce(s.sep, 0) AS BIGINT) AS sep_e12,
+       CAST(CASE WHEN p.radius > 0
+                 THEN (1000 * coalesce(s.sep, 0)) // p.radius
+                 ELSE 0 END AS BIGINT) AS dunn_e3
+FROM per p LEFT JOIN seps s ON p.cluster = s.cluster""")
+
+
 def q_documents_gram_saturation(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus diversity / dedup-saturation curve
     (dedup.py:gram_saturation): every distinct 3-gram attributed to
@@ -4903,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_mixture_rebalance": q_documents_mixture_rebalance,
         "documents_source_influence": q_documents_source_influence,
         "documents_gram_saturation": q_documents_gram_saturation,
+        "embeddings_cluster_quality": q_embeddings_cluster_quality,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
@@ -5027,6 +5060,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_dsir_select": O_DSIR_SELECT,
         "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_gram_saturation": O_GRAM_SATURATION,
+        "embeddings_cluster_quality": O_CLUSTER_QUALITY,
         "documents_bm25": O_BM25,
         "embeddings_covariance": O_EMB_COVARIANCE,
         "documents_mixture_rebalance": O_MIXTURE_REBALANCE,

@@ -799,3 +799,72 @@ def semantic_dedup_against(
         >= threshold
     )
     return assigned.join(cstat, cond, "left_anti").drop("__dv", "__dn")
+
+
+def cluster_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_updates: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Per-cluster quality audit — the "is k right / which clusters
+    are mush" signal read before trusting SemDeDup/IVF stages built on
+    a fit: for every non-empty cluster,
+
+    - ``n_vecs``
+    - ``radius_e12``: max within-cluster squared distance to the
+      centroid (exact int, the assignment's own dist_e12)
+    - ``sep_e12``: squared distance to the NEAREST other centroid
+      (exact, computed from the bounded model — k^2·dim driver ints)
+    - ``dunn_e3 = div(1000 * sep_e12, radius_e12)`` (0 for singleton
+      clusters with radius 0) — the Dunn-style separation/compactness
+      ratio; higher = tighter and better separated.
+
+    Max/min aggregates everywhere, never a distance SUM — a sum of
+    e12 squared distances overflows int64 around 1e5 vectors, while
+    radius/separation stay bounded by one pair's distance at ANY
+    corpus size. Pass `centroids` (a model_store load) to audit a
+    ledger artifact as-of reproducibly; otherwise fits in-run with
+    the family's exact seeds-and-updates procedure."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(df, vec_col, id_col, k=k, n_updates=n_updates)
+    )
+    if not cents:
+        raise ValueError("cluster_quality: centroids list is empty")
+    asg = kmeans_apply(df, cents, vec_col, id_col)
+    per = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("dist_e12").alias("radius_e12"),
+    )
+    # nearest-other-centroid separation: exact ints on the bounded model
+    sep_rows = []
+    for cid, vec in cents:
+        best = None
+        for cid2, vec2 in cents:
+            if cid2 == cid:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(vec, vec2))
+            best = d if best is None else min(best, d)
+        sep_rows.append((int(cid), int(best) if best is not None else 0))
+    spark = df.sparkSession
+    sep = spark.createDataFrame(sep_rows, "cluster int, sep_e12 long")
+    return (
+        per.join(F.broadcast(sep), "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vecs",
+            "radius_e12",
+            "sep_e12",
+            F.when(
+                F.col("radius_e12") > 0,
+                F.expr("div(1000 * sep_e12, radius_e12)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dunn_e3"),
+        )
+    )

@@ -266,3 +266,66 @@ class TestSemDeDupDeskew:
             for r in tasks.groupBy("cluster").agg(FF.count("*").alias("n")).collect()
         }
         assert max(per_cluster.values()) > 1
+
+
+class TestClusterQuality:
+    """cluster_quality (late round 11): radius/separation/Dunn on a
+    designed two-blob fixture, model-artifact path, empty guard."""
+
+    def _blobs(self, spark):
+        # two tight blobs far apart: cluster radius tiny vs separation
+        rows = []
+        for i in range(10):
+            rows.append((i, [0.001 * i, 0.0]))
+        for i in range(10):
+            rows.append((100 + i, [1.0 + 0.001 * i, 0.0]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_two_blobs_are_tight_and_separated(self, spark):
+        from kamu_cli_spark.operators.clustering import (
+            cluster_quality,
+            kmeans_fit,
+        )
+
+        df = self._blobs(spark)
+        out = {
+            r["cluster"]: r
+            for r in cluster_quality(df, k=2, n_updates=3).collect()
+        }
+        assert len(out) == 2
+        for r in out.values():
+            assert r["n_vecs"] == 10
+            # blob spread ~0.009 => radius ~ (4500e6/1e6)^2-scale; the
+            # inter-blob gap ~1.0 dominates by orders of magnitude
+            assert r["sep_e12"] > 100 * r["radius_e12"] > 0
+            assert r["dunn_e3"] > 100_000
+
+        # auditing the fitted model as an artifact gives the same rows
+        cents = kmeans_fit(df, k=2, n_updates=3)
+        via_model = {
+            r["cluster"]: tuple(r)
+            for r in cluster_quality(df, centroids=cents).collect()
+        }
+        assert via_model == {c: tuple(r) for c, r in out.items()}
+
+    def test_empty_model_refused(self, spark):
+        from kamu_cli_spark.operators.clustering import cluster_quality
+
+        df = self._blobs(spark)
+        with pytest.raises(ValueError):
+            cluster_quality(df, centroids=[])
+
+    def test_singleton_cluster_radius_zero_dunn_zero(self, spark):
+        from kamu_cli_spark.operators.clustering import cluster_quality
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["cluster"]: r for r in cluster_quality(df, k=2, n_updates=1).collect()}
+        for r in out.values():
+            assert r["n_vecs"] == 1
+            assert r["radius_e12"] == 0 and r["dunn_e3"] == 0
+            assert r["sep_e12"] > 0
