@@ -93,6 +93,8 @@ EXTRA = [
     "documents_dsir_select",
     "documents_mixture_rebalance",
     "documents_source_influence",
+    "documents_gram_saturation",
+    "embeddings_cluster_quality",
 ]
 
 
