@@ -3477,11 +3477,14 @@ def q_documents_bpe_tokenized(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_apply(d.filter(F.col("doc_id") % 3 != 0), merges)
 
 
-def _o_bpe_apply(n_merges: int = 8) -> str:
+def _o_bpe_apply(n_merges: int = 8, tail: str | None = None) -> str:
     """DuckDB twin of bpe_fit(corpus) + bpe_apply(crawl): the fit chain
     learns b1..bN from the curated slice, then a SECOND chain (cw*)
     replays every merge in rank order over the crawl's word vocabulary
-    and per-doc totals fold from the word occurrences."""
+    and per-doc totals fold from the word occurrences. `tail` replaces
+    the final per-doc SELECT for oracles composing on the tokenized
+    vocabulary ({last} = the last crawl-vocab CTE's name; `occ` = the
+    (doc_id, word) occurrence CTE stays in scope)."""
     parts = [_o_bpe_fit_chain(n_merges, fit_where="doc_id % 3 = 0")]
     parts.append(f""",
 occ AS (
@@ -3495,6 +3498,9 @@ cw0 AS (
 )""")
     for k in range(1, n_merges + 1):
         parts.append(_o_bpe_apply_block(k, "cw"))
+    if tail is not None:
+        parts.append(tail.format(last=f"cw{n_merges}"))
+        return "".join(parts)
     parts.append(f""",
 wn AS (
   SELECT word, len(syms) AS nsym, len(word) AS nchr FROM cw{n_merges}
@@ -4761,6 +4767,44 @@ SELECT CAST(p.cluster AS BIGINT) AS cluster,
 FROM per p LEFT JOIN seps s ON p.cluster = s.cluster""")
 
 
+def q_documents_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source tokenizer-fertility audit (bpe.py:bpe_fertility):
+    the crawl tokenized with the curated-slice-induced BPE merges,
+    folded to tokens-per-word / tokens-per-char by source — the
+    fairness check before committing a tokenizer to a multi-domain
+    corpus. bpe_apply's stateless Arrow map + one |sources|-row fold."""
+    from kamu_cli_spark.operators.bpe import bpe_fertility, bpe_fit
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe_fit(d.filter(F.col("doc_id") % 3 == 0), n_merges=8)
+    return bpe_fertility(d.filter(F.col("doc_id") % 3 != 0), merges)
+
+
+O_BPE_FERTILITY = _o_bpe_apply(tail=r""",
+wn AS (
+  SELECT word, len(syms) AS nsym, len(word) AS nchr FROM {last}
+),
+pd2 AS (
+  SELECT o.doc_id, count(*) AS nw, sum(wn.nchr) AS nc, sum(wn.nsym) AS nb
+  FROM occ o JOIN wn USING (word) GROUP BY 1
+),
+crawl AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 3 != 0
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(p.nw), 0) AS BIGINT) AS n_words,
+       CAST(coalesce(sum(p.nb), 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN coalesce(sum(p.nw), 0) > 0
+                 THEN (1000000 * sum(p.nb)) // sum(p.nw)
+                 ELSE 0 END AS BIGINT) AS fertility_e6,
+       CAST(CASE WHEN coalesce(sum(p.nc), 0) > 0
+                 THEN (1000000 * sum(p.nb)) // sum(p.nc)
+                 ELSE 0 END AS BIGINT) AS compression_e6
+FROM crawl c LEFT JOIN pd2 p USING (doc_id)
+GROUP BY 1""")
+
+
 def q_documents_gram_saturation(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus diversity / dedup-saturation curve
     (dedup.py:gram_saturation): every distinct 3-gram attributed to
@@ -4936,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_source_influence": q_documents_source_influence,
         "documents_gram_saturation": q_documents_gram_saturation,
         "embeddings_cluster_quality": q_embeddings_cluster_quality,
+        "documents_bpe_fertility": q_documents_bpe_fertility,
         "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
@@ -5061,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_gram_saturation": O_GRAM_SATURATION,
         "embeddings_cluster_quality": O_CLUSTER_QUALITY,
+        "documents_bpe_fertility": O_BPE_FERTILITY,
         "documents_bm25": O_BM25,
         "embeddings_covariance": O_EMB_COVARIANCE,
         "documents_mixture_rebalance": O_MIXTURE_REBALANCE,

@@ -95,6 +95,7 @@ EXTRA = [
     "documents_source_influence",
     "documents_gram_saturation",
     "embeddings_cluster_quality",
+    "documents_bpe_fertility",
 ]
 
 

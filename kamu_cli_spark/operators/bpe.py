@@ -226,3 +226,54 @@ def bpe_apply(
         f"`{id_col}` long, n_words long, n_chars long, n_bpe_tokens long, "
         "compression_e6 long",
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-stratum tokenizer-fertility audit — the fairness signal a
+    multi-domain (or multi-lingual) corpus needs before committing to
+    an induced tokenizer: a stratum whose text costs many more BPE
+    tokens per word than the rest is under-served by the merge table
+    (its idiom never won merges), which silently taxes its effective
+    context length at training time.
+
+    Output per stratum: n_docs, n_words, n_bpe_tokens,
+    ``fertility_e6 = div(1e6 * n_bpe_tokens, n_words)`` (tokens per
+    word; 0 for a wordless stratum) and ``compression_e6 =
+    div(1e6 * n_bpe_tokens, n_chars)``. Exact integers throughout
+    (< 2^63 while the corpus stays under ~9e12 BPE tokens).
+
+    Plan: :func:`bpe_apply`'s stateless Arrow map (merge table in the
+    closure) + one map-side-combined groupBy(stratum) — |strata| rows
+    out; the id-equi-join attaches the stratum before the fold."""
+    per = bpe_apply(
+        df, merges, id_col=id_col, text_col=text_col, lowercase=lowercase
+    )
+    j = df.select(F.col(id_col), F.col(strata_col)).join(per, id_col)
+    return (
+        j.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("nw"),
+            F.sum("n_bpe_tokens").alias("nb"),
+            F.sum("n_chars").alias("nc"),
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            F.col("nw").cast("long").alias("n_words"),
+            F.col("nb").cast("long").alias("n_bpe_tokens"),
+            F.expr(
+                "CASE WHEN nw > 0 THEN div(1000000 * nb, nw) ELSE 0 END"
+            ).cast("long").alias("fertility_e6"),
+            F.expr(
+                "CASE WHEN nc > 0 THEN div(1000000 * nb, nc) ELSE 0 END"
+            ).cast("long").alias("compression_e6"),
+        )
+    )

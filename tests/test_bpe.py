@@ -166,3 +166,55 @@ def test_property_matches_reference_trainer(spark, words):
         for r in bpe_fit(docs, n_merges=4).orderBy("rank").collect()
     ]
     assert got == _ref_bpe(words, 4)
+
+
+class TestFertility:
+    """bpe_fertility (late round 11): per-stratum token-cost audit —
+    a stratum the tokenizer never learned merges for must show higher
+    fertility than the stratum the merges were induced on."""
+
+    def test_unserved_stratum_has_higher_fertility(self, spark):
+        from kamu_cli_spark.operators.bpe import bpe_fertility, bpe_fit
+
+        served = [(i, "srvd", "abab abab cdcd abab") for i in range(6)]
+        foreign = [(100 + i, "frgn", "xyqz wvut xyqz qqpp") for i in range(6)]
+        df = spark.createDataFrame(
+            served + foreign, "doc_id long, source string, text string"
+        )
+        # induce merges ONLY on the served stratum's idiom
+        merges = bpe_fit(
+            spark.createDataFrame(served, "doc_id long, source string, text string"),
+            n_merges=4,
+        )
+        out = {r["source"]: r for r in bpe_fertility(df, merges).collect()}
+        assert set(out) == {"srvd", "frgn"}
+        assert out["srvd"]["n_docs"] == out["frgn"]["n_docs"] == 6
+        # foreign words never merge: fertility stays at chars/word
+        assert out["frgn"]["fertility_e6"] > out["srvd"]["fertility_e6"]
+        assert (
+            out["frgn"]["n_bpe_tokens"]
+            == sum(len(w) for w in "xyqz wvut xyqz qqpp".split()) * 6
+        )
+
+    def test_totals_fold_from_per_doc_apply(self, spark):
+        from kamu_cli_spark.operators.bpe import (
+            bpe_apply,
+            bpe_fertility,
+            bpe_fit,
+        )
+
+        docs = [
+            (i, f"s{i % 2}", "abab baba abab" if i % 3 else "zz qq")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        merges = bpe_fit(df, n_merges=3)
+        per = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+        out = {r["source"]: r for r in bpe_fertility(df, merges).collect()}
+        for s in ("s0", "s1"):
+            ids = [i for i, src, _ in docs if src == s]
+            nw = sum(per[i]["n_words"] for i in ids)
+            nb = sum(per[i]["n_bpe_tokens"] for i in ids)
+            assert out[s]["n_words"] == nw
+            assert out[s]["n_bpe_tokens"] == nb
+            assert out[s]["fertility_e6"] == (1_000_000 * nb) // nw
