@@ -4700,6 +4700,7 @@ bg AS (
   SELECT d.source, w[i] AS w1, w[i + 1] AS w2
   FROM words JOIN documents d USING (doc_id),
        UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+  WHERE d.source IS NOT NULL
 ),
 bs AS (SELECT source, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
 tot AS (SELECT w1, w2, sum(c) AS ct FROM bs GROUP BY 1, 2),
@@ -4720,7 +4721,8 @@ ag AS (
   SELECT source, sum(c) AS nb, sum(c * cself) AS ws, sum(c * cloo) AS wl
   FROM j GROUP BY 1
 ),
-nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+nd AS (SELECT source, count(*) AS n_docs FROM documents
+       WHERE source IS NOT NULL GROUP BY 1)
 SELECT nd.source,
        CAST(nd.n_docs AS BIGINT) AS n_docs,
        CAST(coalesce(ag.nb, 0) AS BIGINT) AS n_bigrams,

@@ -150,19 +150,40 @@ def main() -> None:
     extra = run_group(EXTRA)
 
     total = round(sum(times.values()), 3)
+    extra_total = round(sum(extra.values()), 3)
+    # Full record first (for humans / BENCH_NOTES), then a compact
+    # summary line LAST: the driver captures only the final 2000 chars
+    # of stdout and json-parses the last line it finds.  Round 11's
+    # single ever-growing line outgrew that window once EXTRA hit 43
+    # queries (BENCH_r11.json parsed: null), so the parseable line must
+    # stay small.  The headline per-query map (~850 chars at 22
+    # queries) is included while it fits; totals always are.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_full",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "extra_queries": extra,
-                "extra_total": round(sum(extra.values()), 3),
+                "extra_total": extra_total,
                 "sf": sf,
             }
         )
     )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extra_total": extra_total,
+        "sf": sf,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1500:
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -118,7 +118,12 @@ def bm25_score(
         for t, d in stats["dfreq"].items()
     }
     qlist = [(int(qid), list(ts)) for qid, ts in queries]
-    ws = re.compile(r"\s+")
+    # re.ASCII for Java/RE2 parity (same as bpe_apply and the dedup
+    # shinglers): Python \s otherwise matches Unicode whitespace
+    # (\xa0,  , ...), diverging from pass-1 bm25_corpus_stats
+    # (Spark split) and the DuckDB oracle on such text — tf>0 with
+    # df=0 would maximally inflate idf.
+    ws = re.compile(r"\s+", re.ASCII)
 
     out_schema = (
         "query_id long, doc_id long, n_terms_hit long, score_e9 long"
@@ -181,6 +186,15 @@ def bm25_topk(
 
     Returns (query_id, doc_id, rank, n_terms_hit, score_e9), rank 1..k
     per query, ties broken by doc_id ascending.
+
+    CAVEAT — BM25 surrogate, not ln-BM25-equivalent for multi-term
+    queries: the rational idf substitute is monotone in df, so
+    SINGLE-term rankings match true BM25 exactly, but the sum over
+    terms reweights rare terms ~exponentially vs ``ln`` idf, and
+    multi-term top-k can differ materially from standard BM25. It is
+    internally consistent, deterministic across engines, and
+    oracle-matched — choose it for reproducibility, not for
+    drop-in BM25 score parity.
     """
     stats = bm25_corpus_stats(df, queries, text_col=text_col)
     scored = bm25_score(

@@ -925,7 +925,13 @@ def source_lm_influence(
     global − own, computed per pair by arithmetic). Headroom: the
     weighted sums are ≤ 1e6 x total corpus bigrams < 2^63 up to ~9e12
     bigrams. Output: (stratum, n_docs, n_bigrams, self_fam_e6,
-    loo_fam_e6, influence_e6), one row per stratum."""
+    loo_fam_e6, influence_e6), one row per stratum.
+
+    Null strata are EXCLUDED up front (docs with a null ``strata_col``
+    contribute to no model and emit no row) — the oracle SQL filters
+    identically, so both engines agree by construction; map nulls to a
+    sentinel stratum upstream if they should participate."""
+    df = df.filter(F.col(strata_col).isNotNull())
     spark = df.sparkSession
     sources = sorted(
         r[0] for r in df.select(strata_col).distinct().collect()

@@ -158,10 +158,11 @@ def covariance_moments(
     One corpus scan. Each Arrow batch snaps vectors to micro-units
     (``floor(x * 1e6 + 0.5)``, the shared determinism contract) and
     accumulates the d x d Gram matrix ``Ve6.T @ Ve6`` plus component
-    sums IN NUMPY INT64 (exact: |e6| <= ~2e6 so pair products <= 4e12,
-    a 10k-row batch stays ~20x under int64 overflow), then emits the
-    d(d+1)/2 upper-triangle rows. The only shuffle merges
-    |batches| x d(d+1)/2 partial rows — KB at any corpus size; the
+    sums IN NUMPY INT64 (exact: |e6| <= ~2e6 so pair products <= 4e12),
+    flushing the partial every 1e6 accumulated rows so a partition of
+    ANY size stays >=2x under int64 wrap before handing the unbounded
+    summation to the shuffle merge. The only shuffle merges
+    d(d+1)/2 rows per flush — KB at any corpus size; the
     merge runs over DECIMAL(38,0) so even a 100 TB corpus cannot
     overflow mid-sum, and the final values are cast back to BIGINT
     (valid while n * max|e6|^2 < 2^63 — ~2.5e6 vectors per 1e12 pair
@@ -182,10 +183,33 @@ def covariance_moments(
         "i int, j int, n_part long, si_part long, sj_part long, sxy_part long"
     )
 
+    # int64 Gram entries grow ~1e12 per max-magnitude row, so a single
+    # partition accumulating >~2.3e6 such rows would wrap SILENTLY in
+    # numpy. Flush the partial every _FLUSH_ROWS accumulated rows —
+    # the unbounded summing then happens in the widened DECIMAL(38,0)
+    # shuffle merge, never in int64. The flush costs d(d+1)/2 extra
+    # shuffle rows per _FLUSH_ROWS inputs (KB-sized; negligible).
+    _FLUSH_ROWS = 1_000_000
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gram = None
         sums = None
         n = 0
+
+        def flush():
+            d = gram.shape[0]
+            iu, ju = np.triu_indices(d)
+            return pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n_part": np.full(len(iu), n, dtype=np.int64),
+                    "si_part": sums[iu],
+                    "sj_part": sums[ju],
+                    "sxy_part": gram[iu, ju],
+                }
+            )
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -201,20 +225,14 @@ def covariance_moments(
                 gram += g
                 sums += s
             n += len(pdf)
+            if n >= _FLUSH_ROWS:
+                yield flush()
+                gram = None
+                sums = None
+                n = 0
         if gram is None:
             return
-        d = gram.shape[0]
-        iu, ju = np.triu_indices(d)
-        yield pd.DataFrame(
-            {
-                "i": iu.astype(np.int32),
-                "j": ju.astype(np.int32),
-                "n_part": np.full(len(iu), n, dtype=np.int64),
-                "si_part": sums[iu],
-                "sj_part": sums[ju],
-                "sxy_part": gram[iu, ju],
-            }
-        )
+        yield flush()
 
     p = spread(df.select(F.col(vec_col))).mapInPandas(partials, part_schema)
     return (

@@ -55,6 +55,27 @@ def test_moments_partitioning_invariant(spark):
     assert a == b
 
 
+def test_moments_flush_invariant(spark):
+    # the per-partition int64 accumulator flushes every _FLUSH_ROWS so
+    # arbitrarily large partitions cannot wrap before the DECIMAL
+    # merge; a tiny flush threshold (many flushes per partition) must
+    # be bit-identical to the default single-flush path
+    import inspect
+
+    import kamu_cli_spark.operators.vector_stats as m
+
+    df, _ = _mk(spark, n=97)
+    src = inspect.getsource(m.covariance_moments).replace(
+        "_FLUSH_ROWS = 1_000_000", "_FLUSH_ROWS = 10"
+    )
+    assert src != inspect.getsource(m.covariance_moments)
+    ns = dict(m.__dict__)
+    exec(src, ns)  # noqa: S102 — re-exec our own source with tiny flush
+    a = sorted(tuple(r) for r in covariance_moments(df).collect())
+    b = sorted(tuple(r) for r in ns["covariance_moments"](df).collect())
+    assert a == b
+
+
 def test_pca_components_match_numpy(spark):
     df, V = _mk(spark, n=200, d=6)
     m = covariance_moments(df)
