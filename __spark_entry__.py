@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kamu_cli_spark.operators.asof import asof_join
+from kamu_cli_spark.operators.asof import asof_join, asof_join_broadcast
 from kamu_cli_spark.operators.dedup import (
     connected_components,
     dedup_against,
@@ -1542,7 +1542,12 @@ def q_currency_asof(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
     )
-    joined = asof_join(
+    # broadcast variant: the rate table is |currencies| x |days| —
+    # a bounded dim — and the 15-value key caps the union+window
+    # plan at 15 tasks (the low-cardinality-key wall); the
+    # searchsorted kernel is shuffle-free and scan-parallel
+    # (bit-identical to asof_join, pinned in tests/test_asof_broadcast.py)
+    joined = asof_join_broadcast(
         o,
         rates,
         on=["currency"],

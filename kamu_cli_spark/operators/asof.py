@@ -128,3 +128,129 @@ def asof_join(
         ],
     )
     return out
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_values: list[str] | None = None,
+    suffix: str = "",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join for a BOUNDED right side (a dimension-like
+    table: currency rates, config versions, slowly-changing lookup) —
+    same semantics and output layout as :func:`asof_join`.
+
+    The union+window plan partitions by the join key, so a
+    low-cardinality key (15 currencies) caps parallelism at
+    |keys| tasks no matter how many executors exist — the classic
+    skew wall. When the right side is driver-bounded, the scalable
+    plan is the opposite shape: collect the right side ONCE (one Arrow
+    transfer of a dim-sized artifact, the same bounded-artifact
+    contract as bm25_corpus_stats), ship per-key time-sorted arrays in
+    the kernel closure, and resolve every left row with a vectorized
+    ``np.searchsorted`` inside ONE stateless mapInPandas pass — zero
+    shuffle, parallelism = scan partitions, and stream-legal (the left
+    side may be a streaming DataFrame; the right side is the fitted
+    artifact).
+
+    Tie behavior matches :func:`asof_join`: among right rows with an
+    identical (key, time) the last one in time-sorted order wins.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from kamu_cli_spark.operators.util import spread, sql_ident as q
+
+    if right_values is None:
+        right_values = [
+            c for c in right.columns if c not in on and c != right_time
+        ]
+    left_extra = [c for c in left.columns if c not in on and c != left_time]
+
+    rp = (
+        right.select(*on, right_time, *right_values)
+        .toPandas()
+        .sort_values(right_time, kind="stable")
+    )
+    def _times64(series: pd.Series) -> "np.ndarray":
+        # datetime columns compare as int64 ns; numeric/other event
+        # times pass through as-is (searchsorted only needs a total
+        # order shared by both sides)
+        arr = series.to_numpy()
+        if arr.dtype.kind == "M":
+            return arr.astype("datetime64[ns]").astype("int64")
+        return arr
+
+    def _tup(key) -> tuple:
+        # pandas yields scalars or tuples depending on version/arity
+        return key if isinstance(key, tuple) else (key,)
+
+    # per-key: int64-ns time array (np.searchsorted-ready) + payload
+    # column arrays in the same order
+    lookup: dict = {}
+    for key, g in rp.groupby(list(on), dropna=False, sort=False):
+        lookup[_tup(key)] = (
+            _times64(g[right_time]),
+            {c: g[c].to_numpy() for c in right_values},
+        )
+
+    taken = set(on) | {left_time} | set(left_extra)
+    out_names = (
+        list(on)
+        + [left_time]
+        + left_extra
+        + [(c + suffix) if c in taken else c for c in right_values]
+    )
+    ltypes = {f.name: f for f in left.schema.fields}
+    rtypes = {f.name: f for f in right.schema.fields}
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [ltypes[c] for c in on]
+        + [ltypes[left_time]]
+        + [ltypes[c] for c in left_extra]
+        + [
+            StructField(
+                (c + suffix) if c in taken else c,
+                rtypes[c].dataType,
+                True,  # no-match rows carry null
+            )
+            for c in right_values
+        ]
+    )
+    side = "left" if strict else "right"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            t64 = _times64(pdf[left_time])
+            res = {c: np.empty(len(pdf), dtype=object) for c in right_values}
+            for key, gidx in pdf.groupby(list(on), dropna=False).indices.items():
+                hit = lookup.get(_tup(key))
+                if hit is None:
+                    for c in right_values:
+                        res[c][gidx] = None
+                    continue
+                times, payload = hit
+                pos = np.searchsorted(times, t64[gidx], side=side) - 1
+                miss = pos < 0
+                pos = np.where(miss, 0, pos)
+                for c in right_values:
+                    vals = payload[c][pos].astype(object)
+                    vals[miss] = None
+                    res[c][gidx] = vals
+            out = pdf[list(on) + [left_time] + left_extra].copy()
+            for c in right_values:
+                out[(c + suffix) if c in taken else c] = res[c]
+            out.columns = out_names
+            yield out
+
+    src = left.select(*on, left_time, *left_extra)
+    return spread(src).mapInPandas(kernel, out_schema)

@@ -649,28 +649,34 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, component)
     where component = min id reachable.
 
     Adaptive: candidate-pair graphs are usually MUCH smaller than the
     corpus (that's the point of LSH), so when the edge list fits under
-    `driver_threshold` we run union-find on the driver — one job to
-    collect, zero iterations. Above the threshold, distributed min-label
-    propagation with pointer jumping: each round (a) proposes each
-    neighbor's label across the edges, (b) adopts the label OF the
-    current label (path halving), which doubles the effective
-    propagation distance — convergence in O(log diameter) rounds rather
-    than O(diameter). Each round ends in `localCheckpoint` so the
-    logical plan stays O(1) deep instead of growing per iteration
-    (unbounded lineage both slows planning quadratically and can
-    overflow the analyzer stack). On a real cluster swap
-    localCheckpoint for a reliable `checkpoint` dir to survive executor
-    loss; the algorithm is unchanged.
+    `driver_threshold` we run union-find on the driver — one Arrow
+    transfer each way, zero shuffle iterations. 2M edges is ~32 MB on
+    the driver and <2 s of union-find; each distributed round below
+    costs 2 shuffles + a localCheckpoint, so the driver path wins by
+    an order of magnitude anywhere it fits (sf1: 5.9 s distributed vs
+    0.6 s driver on the same 250k-edge graph). Above the threshold,
+    distributed min-label propagation with pointer jumping: each round
+    (a) proposes each neighbor's label across the edges, (b) adopts
+    the label OF the current label (path halving), which doubles the
+    effective propagation distance — convergence in O(log diameter)
+    rounds rather than O(diameter). Each round ends in
+    `localCheckpoint` so the logical plan stays O(1) deep instead of
+    growing per iteration (unbounded lineage both slows planning
+    quadratically and can overflow the analyzer stack). On a real
+    cluster swap localCheckpoint for a reliable `checkpoint` dir to
+    survive executor loss; the algorithm is unchanged.
     """
     n_pairs = pairs.persist().count()
     if n_pairs <= driver_threshold:
+        import pandas as pd
+
         parent: dict = {}
 
         def find(x):
@@ -679,21 +685,26 @@ def connected_components(
                 x = parent[x]
             return x
 
-        rows = pairs.select(a_col, b_col).collect()
-        for r in rows:
-            a, b = r[0], r[1]
+        # Arrow both directions: collect()'s Py4J row decode and the
+        # row-list createDataFrame were ~5x the cost of the union-find
+        # itself at 250k edges
+        pdf = pairs.select(a_col, b_col).toPandas()
+        for a, b in zip(pdf[a_col].tolist(), pdf[b_col].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        labels = [(x, find(x)) for x in parent]
+        keys = list(parent)
+        out = pd.DataFrame(
+            {"id": keys, "component": [find(x) for x in keys]}
+        )
         spark = pairs.sparkSession
         schema = pairs.select(
             pairs[a_col].alias("id"), pairs[a_col].alias("component")
         ).schema
         pairs.unpersist()
-        return spark.createDataFrame(labels, schema)
+        return spark.createDataFrame(out, schema)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

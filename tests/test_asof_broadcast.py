@@ -1,0 +1,142 @@
+"""asof_join_broadcast (operators/asof.py): the bounded-right-side
+as-of variant must be bit-identical to the union+window asof_join on
+every semantic axis — inclusive/strict, no-match nulls, suffixing,
+multi-column keys, keys present on only one side — plus numeric time
+columns and streaming legality (the window path is batch-only)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.asof import asof_join, asof_join_broadcast
+
+
+def _t(d, h=0):
+    return datetime(2024, 1, d, h, tzinfo=timezone.utc)
+
+
+def _both_equal(left, right, **kw):
+    a = asof_join(left, right, **kw)
+    b = asof_join_broadcast(left, right, **kw)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    return b
+
+
+def test_matches_window_path_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _t(5), "a"), (1, _t(2), "b"), (2, _t(4), "c"), (3, _t(9), "d")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(1), 10), (1, _t(5), 50), (2, _t(6), 60), (9, _t(1), 90)],
+        "k int, rt timestamp, v int",
+    )
+    out = _both_equal(left, right, on=["k"], left_time="t", right_time="rt")
+    got = {(r["k"], r["t"].day): r["v"] for r in out.collect()}
+    # k=1 @5 matches rt==5 inclusively; k=1 @2 falls back to rt=1;
+    # k=2 @4 precedes every right row; k=3 has no right rows at all
+    assert got == {(1, 5): 50, (1, 2): 10, (2, 4): None, (3, 9): None}
+
+
+def test_strict_excludes_equal_time(spark):
+    left = spark.createDataFrame([(1, _t(5))], "k int, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(5), 100), (1, _t(3), 50)], "k int, rt timestamp, v int"
+    )
+    _both_equal(left, right, on=["k"], left_time="t", right_time="rt")
+    s = asof_join_broadcast(
+        left, right, on=["k"], left_time="t", right_time="rt", strict=True
+    )
+    assert s.collect()[0]["v"] == 50
+    ws = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt", strict=True
+    )
+    assert ws.collect()[0]["v"] == 50
+
+
+def test_suffix_on_name_clash(spark):
+    left = spark.createDataFrame(
+        [(1, _t(2), "L")], "k int, t timestamp, v string"
+    )
+    right = spark.createDataFrame([(1, _t(1), 7)], "k int, rt timestamp, v int")
+    out = asof_join_broadcast(
+        left, right, on=["k"], left_time="t", right_time="rt", suffix="_r"
+    )
+    row = out.collect()[0]
+    assert row["v"] == "L" and row["v_r"] == 7
+
+
+def test_multi_column_key(spark):
+    left = spark.createDataFrame(
+        [(1, "x", _t(5)), (1, "y", _t(5))], "k int, s string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", _t(3), 30), (1, "y", _t(4), 40), (1, "x", _t(9), 90)],
+        "k int, s string, rt timestamp, v int",
+    )
+    out = _both_equal(
+        left, right, on=["k", "s"], left_time="t", right_time="rt"
+    )
+    got = {(r["k"], r["s"]): r["v"] for r in out.collect()}
+    assert got == {(1, "x"): 30, (1, "y"): 40}
+
+
+def test_numeric_time_column(spark):
+    left = spark.createDataFrame([(1, 50), (1, 5)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 49, "b")], "k int, rt long, v string"
+    )
+    out = asof_join_broadcast(
+        left, right, on=["k"], left_time="t", right_time="rt"
+    )
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got == {50: "b", 5: None}
+
+
+def test_streaming_left_side(spark, tmp_path):
+    # the broadcast variant's left scan may be a stream — the right
+    # side is a fitted bounded artifact (the window path cannot do
+    # this: its union+window is not stream-legal without watermarks)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, _t(5)), (2, _t(2))], "k int, t timestamp"
+    ).write.parquet(src)
+    right = spark.createDataFrame(
+        [(1, _t(3), 30), (2, _t(3), 99)], "k int, rt timestamp, v int"
+    )
+    stream = spark.readStream.schema("k int, t timestamp").parquet(src)
+    out = asof_join_broadcast(
+        stream, right, on=["k"], left_time="t", right_time="rt"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_bcast_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["v"] for r in spark.sql(
+        "SELECT * FROM asof_bcast_stream"
+    ).collect()}
+    assert rows == {1: 30, 2: None}
+
+
+def test_plan_is_shuffle_free(spark):
+    left = spark.createDataFrame(
+        [(i % 3, _t(1 + i % 20)) for i in range(200)], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(0, _t(1), 1), (1, _t(2), 2)], "k int, rt timestamp, v int"
+    )
+    out = asof_join_broadcast(
+        left, right, on=["k"], left_time="t", right_time="rt"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no join, no aggregate, no sort — one Arrow map over the left
+    for forbidden in ("Join", "HashAggregate", "Sort "):
+        assert forbidden not in plan, plan

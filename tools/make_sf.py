@@ -51,6 +51,12 @@ FK_BASE: dict[tuple[str, str], tuple[str, str]] = {
 
 def main() -> None:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # "scaled" (default): hash-repartition fact tables into ~2 MB
+    # files so scans parallelize in any engine — the realistic layout.
+    # "legacy": preserve the source's partitioning (historically ONE
+    # file = ONE row group per table) — regenerates the exact dataset
+    # the round-7 sf1 crossover gate was measured on (BASELINE.md).
+    layout = sys.argv[4] if len(sys.argv) > 4 else "scaled"
     spark = get_spark(app_name="make-sf")
     os.makedirs(dst, exist_ok=True)
 
@@ -67,6 +73,13 @@ def main() -> None:
     )
     for t in TABLES:
         df = load_table(spark, src, t)
+        src_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(src, f"{t}.parquet"))
+            for f in fs
+        ) if os.path.isdir(os.path.join(src, f"{t}.parquet")) else (
+            os.path.getsize(os.path.join(src, f"{t}.parquet"))
+        )
         if t in SHIFT_KEYS and factor > 1:
             df = df.crossJoin(reps)
             for c in SHIFT_KEYS[t]:
@@ -75,6 +88,18 @@ def main() -> None:
                     c, F.col(c) + F.col("__rep") * F.lit(bases[(base_t, base_c)])
                 )
             df = df.select([c for c in df.columns if c != "__rep"])
+            # Without this the broadcast cross join inherits the
+            # source's (usually 1-file) partitioning, so a 10x table
+            # lands as ONE parquet file with ONE row group — and every
+            # downstream scan, in Spark AND DuckDB, decodes it on one
+            # thread. Hash-repartition on the first shifted key
+            # (deterministic row->file assignment) targeting ~2 MB
+            # files, floor 8 / cap 64: scan parallelism at every
+            # factor, the layout any real writer would produce at
+            # scale (never one giant row group).
+            n_files = min(64, max(8, int(src_bytes * factor / (2 << 20))))
+            if n_files > 1 and layout != "legacy":
+                df = df.repartition(n_files, F.col(SHIFT_KEYS[t][0]))
         out = os.path.join(dst, f"{t}.parquet")
         df.write.mode("overwrite").parquet(out, compression="snappy")
         print(f"{t}: written to {out}")
