@@ -1542,11 +1542,12 @@ def q_currency_asof(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
     )
-    # broadcast variant: the rate table is |currencies| x |days| —
-    # a bounded dim — and the 15-value key caps the union+window
-    # plan at 15 tasks (the low-cardinality-key wall); the
-    # searchsorted kernel is shuffle-free and scan-parallel
-    # (bit-identical to asof_join, pinned in tests/test_asof_broadcast.py)
+    # broadcast variant: the 15-value key caps the union+window plan
+    # at 15 tasks (the low-cardinality-key wall); the searchsorted
+    # kernel is shuffle-free and scan-parallel (bit-identical to
+    # asof_join, pinned in tests/test_asof_broadcast.py). The rates
+    # side is keyed by EVERY user (data-sized), so prune it to the 15
+    # currencies the left actually uses before the bounded collect.
     joined = asof_join_broadcast(
         o,
         rates,
@@ -1554,6 +1555,7 @@ def q_currency_asof(spark: SparkSession, sf: str) -> DataFrame:
         left_time="o_orderdate",
         right_time="rate_day",
         right_values=["rate"],
+        prune_right_by_left_keys=True,
     )
     return joined.select(
         "o_orderkey",
@@ -4893,6 +4895,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quality_filter; embeddings_quantize ~ array_battery +
     # centroid_stats vector transforms; documents_pack_sequences ~
     # train_split sampling (chunk/stratified/global_shuffle also tail).
+    # Round 12 rotated IN the six never-driver-graded r11 families
+    # (VERDICT r11 next-round #3): documents_dsir_select,
+    # documents_mixture_rebalance, documents_source_influence,
+    # documents_gram_saturation, embeddings_cluster_quality,
+    # documents_bpe_fertility. OUT six entries whose families keep a
+    # graded representative: orders_above_cust_avg ~ correlated
+    # subqueries graded via suppliers_with_large_orders + tpch_q21;
+    # lineitem_percentiles ~ customer_window_battery +
+    # cumulative_revenue window/percentile frames; region_string_agg ~
+    # part_scalar_battery + lineitem_rollup agg batteries;
+    # documents_simhash_pairs ~ minhash_lsh + dup_clusters near-dup
+    # fingerprints; documents_train_split ~ incoming mixture_rebalance
+    # (same md5-bucketed sampling family, richer semantics);
+    # documents_pii_scrub ~ orders_regex_battery regex transforms +
+    # strip_against_corpus destructive rewrite.
     # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
     # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
@@ -4925,15 +4942,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "lineitem_rollup": q_lineitem_rollup,
         "customer_set_ops": q_customer_set_ops,
-        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "documents_dsir_select": q_documents_dsir_select,
         "cumulative_revenue": q_cumulative_revenue,
         "events_json_props": q_events_json_props,
         "part_scalar_battery": q_part_scalar_battery,
         "multi_step_harmonize": q_multi_step_harmonize,
         "suppliers_with_large_orders": q_suppliers_with_large_orders,
         "customer_window_battery": q_customer_window_battery,
-        "lineitem_percentiles": q_lineitem_percentiles,
-        "region_string_agg": q_region_string_agg,
+        "documents_mixture_rebalance": q_documents_mixture_rebalance,
+        "documents_source_influence": q_documents_source_influence,
         "orders_regex_battery": q_orders_regex_battery,
         "customer_snapshot_cdc": q_customer_snapshot_cdc,
         "orders_ledger_merge": q_orders_ledger_merge,
@@ -4945,7 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_spans_against_corpus": q_documents_spans_against_corpus,
         "documents_dup_clusters": q_documents_dup_clusters,
         "documents_strip_against_corpus": q_documents_strip_against_corpus,
-        "documents_simhash_pairs": q_documents_simhash_pairs,
+        "documents_gram_saturation": q_documents_gram_saturation,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
         "documents_multimodal_features": q_documents_multimodal_features,
@@ -4953,7 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_ngram_lm": q_documents_ngram_lm,
         "embeddings_ann_lsh": q_embeddings_ann_lsh,
         "embeddings_covariance": q_embeddings_covariance,
-        "documents_train_split": q_documents_train_split,
+        "embeddings_cluster_quality": q_embeddings_cluster_quality,
         "tpch_q21": q_tpch_q21,
         "documents_gram_novelty": q_documents_gram_novelty,
         "embeddings_kmeans_hier": q_embeddings_kmeans_hier,
@@ -4962,7 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_contaminated_spans": q_documents_contaminated_spans,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "documents_bpe_merges": q_documents_bpe_merges,
-        "documents_pii_scrub": q_documents_pii_scrub,
+        "documents_bpe_fertility": q_documents_bpe_fertility,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
         "documents_chunk": q_documents_chunk,
@@ -4979,16 +4996,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_centroid_stats": q_embeddings_centroid_stats,
         # --- entries below are NOT driver-graded (position > 50); each
         # has a graded same-family sibling above ---
+        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "lineitem_percentiles": q_lineitem_percentiles,
+        "region_string_agg": q_region_string_agg,
+        "documents_simhash_pairs": q_documents_simhash_pairs,
+        "documents_train_split": q_documents_train_split,
+        "documents_pii_scrub": q_documents_pii_scrub,
         "documents_global_shuffle": q_documents_global_shuffle,
         "documents_cross_dedup": q_documents_cross_dedup,
         "embeddings_ivf_ann": q_embeddings_ivf_ann,
-        "documents_dsir_select": q_documents_dsir_select,
-        "documents_mixture_rebalance": q_documents_mixture_rebalance,
-        "documents_source_influence": q_documents_source_influence,
-        "documents_gram_saturation": q_documents_gram_saturation,
-        "embeddings_cluster_quality": q_embeddings_cluster_quality,
-        "documents_bpe_fertility": q_documents_bpe_fertility,
-        "documents_bpe_tokenized": q_documents_bpe_tokenized,
+                                                        "documents_bpe_tokenized": q_documents_bpe_tokenized,
         "documents_quality_filter": q_documents_quality_filter,
         "documents_dsir_weights": q_documents_dsir_weights,
         "documents_lm_buckets": q_documents_lm_buckets,

@@ -139,6 +139,8 @@ def asof_join_broadcast(
     right_values: list[str] | None = None,
     suffix: str = "",
     strict: bool = False,
+    prune_right_by_left_keys: bool = False,
+    max_right_rows: int = 2_000_000,
 ) -> DataFrame:
     """Backward as-of join for a BOUNDED right side (a dimension-like
     table: currency rates, config versions, slowly-changing lookup) —
@@ -159,6 +161,17 @@ def asof_join_broadcast(
 
     Tie behavior matches :func:`asof_join`: among right rows with an
     identical (key, time) the last one in time-sorted order wins.
+
+    The bounded-right contract is the caller's responsibility and is
+    GUARDED: a cheap ``limit(max_right_rows + 1).count()`` probe
+    raises before any unbounded driver collect can start. When the
+    right side is only bounded AFTER restricting to the keys the left
+    actually uses (e.g. a rate table keyed by every entity but joined
+    on a 15-value bucket), pass ``prune_right_by_left_keys=True``: one
+    map-side-combined distinct over the left's keys, broadcast into a
+    semi join, shrinks the right side before the probe. (Not
+    stream-legal on the left when enabled — the prune aggregates the
+    left; leave it off for streaming lefts.)
     """
     from collections.abc import Iterator
 
@@ -173,11 +186,23 @@ def asof_join_broadcast(
         ]
     left_extra = [c for c in left.columns if c not in on and c != left_time]
 
-    rp = (
-        right.select(*on, right_time, *right_values)
-        .toPandas()
-        .sort_values(right_time, kind="stable")
-    )
+    if prune_right_by_left_keys:
+        keys = F.broadcast(left.select(*on).distinct())
+        right = right.join(keys, on, "left_semi")
+    # persist so the guard probe and the collect evaluate the right
+    # side's pipeline once, not twice
+    rdim = right.select(*on, right_time, *right_values).persist()
+    try:
+        probe = rdim.limit(max_right_rows + 1).count()
+        if probe > max_right_rows:
+            raise ValueError(
+                f"asof_join_broadcast: right side exceeds max_right_rows="
+                f"{max_right_rows} — it is not a bounded dimension; use "
+                f"asof_join (union+window) or prune_right_by_left_keys=True"
+            )
+        rp = rdim.toPandas().sort_values(right_time, kind="stable")
+    finally:
+        rdim.unpersist()
     def _times64(series: pd.Series) -> "np.ndarray":
         # datetime columns compare as int64 ns; numeric/other event
         # times pass through as-is (searchsorted only needs a total

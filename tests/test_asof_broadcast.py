@@ -126,6 +126,49 @@ def test_streaming_left_side(spark, tmp_path):
     assert rows == {1: 30, 2: None}
 
 
+def test_prune_right_by_left_keys_equivalent(spark):
+    # right side keyed by many entities, left uses only two keys: the
+    # prune must not change results, only shrink the collected artifact
+    left = spark.createDataFrame(
+        [(0, _t(5)), (1, _t(7))], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, _t(1 + k % 9), k * 10) for k in range(500)],
+        "k int, rt timestamp, v int",
+    )
+    a = asof_join_broadcast(
+        left, right, on=["k"], left_time="t", right_time="rt"
+    )
+    b = asof_join_broadcast(
+        left,
+        right,
+        on=["k"],
+        left_time="t",
+        right_time="rt",
+        prune_right_by_left_keys=True,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_unbounded_right_guard_raises(spark):
+    left = spark.createDataFrame([(1, _t(5))], "k int, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(1 + i % 20), i) for i in range(50)],
+        "k int, rt timestamp, v int",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="max_right_rows"):
+        asof_join_broadcast(
+            left,
+            right,
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            max_right_rows=10,
+        )
+
+
 def test_plan_is_shuffle_free(spark):
     left = spark.createDataFrame(
         [(i % 3, _t(1 + i % 20)) for i in range(200)], "k int, t timestamp"
