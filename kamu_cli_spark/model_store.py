@@ -373,3 +373,70 @@ def load_pca_model(
         list(r["component"])
         for r in sorted(rows, key=lambda r: int(r["axis"]))
     ]
+
+
+BM25_SCHEMA = "term string, dfreq bigint, n_docs bigint, s_tokens bigint"
+
+
+def bm25_stats_df(spark: SparkSession, stats: dict) -> DataFrame:
+    """:func:`~kamu_cli_spark.operators.retrieval.bm25_corpus_stats`
+    dict -> (term, dfreq, n_docs, s_tokens) frame. The corpus-wide
+    scalars ride along as constant columns (parquet RLE makes them
+    free) because scoring REQUIRES the same N/S the df counts were
+    measured against — the Bloom model's n_bits/n_hashes pattern."""
+    n, s = int(stats["n_docs"]), int(stats["s_tokens"])
+    return spark.createDataFrame(
+        [(t, int(d), n, s) for t, d in sorted(stats["dfreq"].items())],
+        BM25_SCHEMA,
+    )
+
+
+def save_bm25_stats(
+    spark: SparkSession,
+    dataset: Dataset,
+    stats: dict,
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit BM25 corpus statistics
+    (:func:`~kamu_cli_spark.operators.retrieval.bm25_corpus_stats`
+    output — the one fitted artifact that was still a transient Python
+    dict) as one snapshot poll of `dataset` (PK = term): a re-fit on a
+    fresh corpus snapshot appends new query terms, re-counted document
+    frequencies emit -C/+C corrections, dropped terms emit -R — so
+    "which corpus statistics scored this crawl batch" is as-of
+    reproducible from the ledger like the k-means/Bloom/IVF/LM/BPE/PCA
+    artifacts. Everything is exact integers; the round trip scores
+    bit-identically (tests/test_model_store_bm25.py)."""
+    if not stats.get("dfreq"):
+        raise ValueError("refusing to commit empty BM25 stats")
+    w = DataWriter(dataset, MergeStrategySnapshot(["term"]))
+    return w.write(
+        spark,
+        bm25_stats_df(spark, stats),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_bm25_stats(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> dict | None:
+    """The stats at the latest state (or as-of a pinned block) as the
+    dict :func:`~kamu_cli_spark.operators.retrieval.bm25_score`
+    consumes. The collect is |query vocabulary| rows, bounded by the
+    query set, never the corpus. None if absent."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None
+    state = project_changelog(df, ["term"], dataset.vocab)
+    rows = state.select("term", "dfreq", "n_docs", "s_tokens").collect()
+    if not rows:
+        return None
+    return {
+        "n_docs": int(rows[0]["n_docs"]),
+        "s_tokens": int(rows[0]["s_tokens"]),
+        "dfreq": {r["term"]: int(r["dfreq"]) for r in rows},
+    }
