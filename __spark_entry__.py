@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kamu_cli_spark.operators.asof import asof_join, asof_join_broadcast
+from kamu_cli_spark.operators.asof import asof_join, asof_join_adaptive
 from kamu_cli_spark.operators.dedup import (
     connected_components,
     dedup_against,
@@ -1542,13 +1542,14 @@ def q_currency_asof(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
     )
-    # broadcast variant: the 15-value key caps the union+window plan
-    # at 15 tasks (the low-cardinality-key wall); the searchsorted
-    # kernel is shuffle-free and scan-parallel (bit-identical to
-    # asof_join, pinned in tests/test_asof_broadcast.py). The rates
-    # side is keyed by EVERY user (data-sized), so prune it to the 15
+    # adaptive: the 15-value key caps the union+window plan at 15
+    # tasks (the low-cardinality-key wall), so past the size where job
+    # launches dominate the planner switches to the shuffle-free
+    # searchsorted kernel (bit-identical either way, pinned in
+    # tests/test_asof_broadcast.py). The rates side is keyed by EVERY
+    # user (data-sized), so the kernel path prunes it to the 15
     # currencies the left actually uses before the bounded collect.
-    joined = asof_join_broadcast(
+    joined = asof_join_adaptive(
         o,
         rates,
         on=["currency"],

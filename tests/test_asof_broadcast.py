@@ -169,6 +169,38 @@ def test_unbounded_right_guard_raises(spark):
         )
 
 
+def test_adaptive_picks_by_size_and_matches(spark, tmp_path):
+    from kamu_cli_spark.operators import asof as asof_mod
+    from kamu_cli_spark.operators.asof import asof_join_adaptive
+
+    # parquet-backed left: the file source carries a REAL (KB-sized)
+    # stats estimate, unlike in-memory relations whose unknown (huge)
+    # estimate always selects the kernel path
+    src = str(tmp_path / "left")
+    spark.createDataFrame(
+        [(i % 3, _t(1 + i % 20)) for i in range(300)], "k int, t timestamp"
+    ).write.parquet(src)
+    left = spark.read.parquet(src)
+    right = spark.createDataFrame(
+        [(0, _t(1), 1), (1, _t(2), 2), (2, _t(3), 3)],
+        "k int, rt timestamp, v int",
+    )
+    kw = dict(on=["k"], left_time="t", right_time="rt")
+    small = asof_join_adaptive(left, right, **kw)
+    # KB-sized left -> window path
+    assert "Window" in small._jdf.queryExecution().executedPlan().toString()
+    old = asof_mod._ADAPTIVE_LEFT_BYTES
+    try:
+        asof_mod._ADAPTIVE_LEFT_BYTES = 1  # force the kernel path
+        big = asof_join_adaptive(left, right, **kw)
+        assert "Window" not in big._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        asof_mod._ADAPTIVE_LEFT_BYTES = old
+
+
 def test_plan_is_shuffle_free(spark):
     left = spark.createDataFrame(
         [(i % 3, _t(1 + i % 20)) for i in range(200)], "k int, t timestamp"
