@@ -4815,6 +4815,56 @@ FROM crawl c LEFT JOIN pd2 p USING (doc_id)
 GROUP BY 1""")
 
 
+def q_documents_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality via a KMV sketch
+    (sketches.py:kmv_shingle_sketch) — the mergeable telemetry a
+    100 TB pipeline runs instead of a per-question count-distinct
+    shuffle: ONE Arrow pass fusing tokenize/shingle/hash/top-k (the
+    corpus never materializes a gram table), a KB-sized exchange, and
+    an exact-integer estimator both engines compute identically.
+    k=256 -> ~6% relative error, deterministic to the bit."""
+    from kamu_cli_spark.operators.sketches import kmv_estimate, kmv_shingle_sketch
+
+    d = load_table(spark, sf, "documents")
+    sk = kmv_shingle_sketch(d, "source", "text", k=256, shingle_n=3)
+    return kmv_estimate(sk, "source", k=256)
+
+
+O_KMV_DISTINCT = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents WHERE source IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words WHERE len(w) >= 3
+  )
+),
+u AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u
+  FROM sh
+),
+rk AS (
+  SELECT source, u,
+         row_number() OVER (PARTITION BY source ORDER BY u) AS r
+  FROM u
+),
+sk AS (SELECT source, u FROM rk WHERE r <= 256)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(max(u) AS BIGINT) AS kth_u,
+       CAST(CASE WHEN count(*) < 256 THEN count(*)
+                 ELSE CAST(255 AS HUGEINT) * 1152921504606846976
+                      // (max(u) + 1) END AS BIGINT) AS distinct_est
+FROM sk GROUP BY source
+"""
+
+
 def q_documents_gram_saturation(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus diversity / dedup-saturation curve
     (dedup.py:gram_saturation): every distinct 3-gram attributed to
@@ -4911,6 +4961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (same md5-bucketed sampling family, richer semantics);
     # documents_pii_scrub ~ orders_regex_battery regex transforms +
     # strip_against_corpus destructive rewrite.
+    # documents_kmv_distinct (NEW r12: mergeable KMV cardinality
+    # sketch — no sibling anywhere) tails this round and is the first
+    # round-13 rotation candidate.
     # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
     # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
@@ -5034,6 +5087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_vocab_coverage": q_documents_vocab_coverage,
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
+        "documents_kmv_distinct": q_documents_kmv_distinct,
         "embeddings_kmeans": q_embeddings_kmeans,
         "documents_stratified_sample": q_documents_stratified_sample,
         "documents_strip_spans": q_documents_strip_spans,
@@ -5130,6 +5184,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_dsir_select": O_DSIR_SELECT,
         "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_gram_saturation": O_GRAM_SATURATION,
+        "documents_kmv_distinct": O_KMV_DISTINCT,
         "embeddings_cluster_quality": O_CLUSTER_QUALITY,
         "documents_bpe_fertility": O_BPE_FERTILITY,
         "documents_bm25": O_BM25,

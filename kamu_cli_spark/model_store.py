@@ -440,3 +440,53 @@ def load_bm25_stats(
         "s_tokens": int(rows[0]["s_tokens"]),
         "dfreq": {r["term"]: int(r["dfreq"]) for r in rows},
     }
+
+
+KMV_SCHEMA = "source string, u bigint"
+
+
+def save_kmv_sketch(
+    spark: SparkSession,
+    dataset: Dataset,
+    sketch: DataFrame,
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit a KMV distinct sketch
+    (:func:`~kamu_cli_spark.operators.sketches.kmv_shingle_sketch`
+    output) as one snapshot poll of `dataset` (PK = (source, u) — a
+    sketch is a SET of hash values, so a re-sketch appends new members
+    and retracts displaced ones; there is nothing to correct). Sketch
+    datasets are the cheap mergeable telemetry artifact: yesterday's
+    ledger state unions with today's partial via
+    :func:`~kamu_cli_spark.operators.sketches.kmv_merge` without
+    rescanning yesterday's corpus, and as-of reads answer "how diverse
+    was this source LAST month" from the chain alone."""
+    cols = set(sketch.columns)
+    if cols != {"source", "u"}:
+        raise ValueError(f"expected (source, u) sketch rows, got {sorted(cols)}")
+    if not sketch.head(1):
+        raise ValueError("refusing to commit an empty sketch")
+    w = DataWriter(dataset, MergeStrategySnapshot(["source", "u"]))
+    return w.write(
+        spark,
+        sketch.select("source", "u"),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_kmv_sketch(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> DataFrame | None:
+    """The sketch's latest state (or as-of a pinned block) as the
+    (source, u) frame kmv_merge/kmv_estimate consume — still
+    distributed; k x |strata| rows never touch the driver. None if
+    absent."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None
+    state = project_changelog(df, ["source", "u"], dataset.vocab)
+    return state.select("source", "u")

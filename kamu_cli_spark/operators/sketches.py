@@ -1,0 +1,158 @@
+"""KMV (k-minimum-values) distinct-count sketches — mergeable
+cardinality telemetry for corpus curation at scale.
+
+A 100 TB pipeline constantly wants "how many distinct shingles /
+tokens / urls does this source contribute?" — but an exact
+count-distinct is a corpus-sized shuffle per question. The KMV sketch
+(Bar-Yossef et al. 2002) keeps only the k smallest distinct hash
+values per stratum: if the hashes are uniform on [0, 2^60), the kth
+smallest value u_k estimates the distinct count as (k-1) * 2^60 / u_k,
+with relative error ~1/sqrt(k). Crucially the sketch is MERGEABLE —
+the k smallest of a union are a subset of the union of each side's k
+smallest — so per-partition partials, per-day artifacts, and
+cross-corpus unions all compose without rescanning anything.
+
+House determinism contract: the hash is the md5 15-hex-char prefix
+(u in [0, 2^60), the same md5-prefix semantics as the dedup
+shinglers), the estimator is integer floor division (DECIMAL(38,0) on
+Spark, HUGEINT in the SQL oracle), and tokenization is the shared
+ASCII-\\s+ split — so Spark, this module's numpy kernel, and any ANSI
+engine produce bit-identical sketches AND estimates. No reference
+counterpart (kamu-cli has no sketch operators); Spark-first new ground
+like k-means/BM25.
+
+Plan shape (scale audit): ONE Arrow pass fuses tokenize -> shingle ->
+hash -> per-partition top-k-distinct, emitting <= k rows per stratum
+per partition (the corpus never materializes an exploded gram table);
+the only shuffle carries |partitions| x |strata| x k rows — KB at any
+corpus size. The final per-stratum merge is a WindowGroupLimit top-k
+(map-side pruned). Estimation is a |strata|-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.util import spread
+
+_HASH_SPAN = 1 << 60  # md5 15-hex-prefix range
+
+
+def _topk_distinct(rows: DataFrame, strata_col: str, k: int) -> DataFrame:
+    """(stratum, u) -> the k smallest DISTINCT u per stratum. Input is
+    sketch-sized (partials or a union of sketches), never the corpus;
+    the rank filter compiles to WindowGroupLimit, so even this small
+    input is pruned map-side before the exchange."""
+    w = Window.partitionBy(strata_col).orderBy(F.col("u").asc())
+    return (
+        rows.select(strata_col, "u")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(strata_col, "u")
+    )
+
+
+def kmv_shingle_sketch(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    k: int = 256,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-stratum KMV sketch of distinct text shingles: (stratum, u)
+    rows, at most k per stratum, u ascending = the k smallest distinct
+    60-bit shingle hashes. Null strata are excluded (the
+    source_lm_influence convention)."""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = f"{strata_col} string, u long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # running k-smallest-distinct per stratum for THIS partition —
+        # bounded at k int64s per stratum no matter the partition size
+        best: dict[str, np.ndarray] = {}
+        memo: dict[str, int] = {}
+
+        def h60(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            per: dict[str, list[int]] = {}
+            for s, txt in zip(pdf[strata_col], pdf[text_col]):
+                if s is None:
+                    continue
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                if len(toks) < shingle_n:
+                    continue
+                lst = per.setdefault(s, [])
+                for j in range(len(toks) - shingle_n + 1):
+                    lst.append(h60(" ".join(toks[j : j + shingle_n])))
+            for s, hs in per.items():
+                fresh = np.unique(np.asarray(hs, dtype=np.int64))
+                cur = best.get(s)
+                merged = fresh if cur is None else np.union1d(cur, fresh)
+                best[s] = merged[:k]
+        if best:
+            yield pd.DataFrame(
+                {
+                    strata_col: np.repeat(
+                        list(best), [len(v) for v in best.values()]
+                    ),
+                    "u": np.concatenate(list(best.values())),
+                }
+            )
+
+    partials = spread(df.select(strata_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
+    return _topk_distinct(partials, strata_col, k)
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, strata_col: str = "source", k: int = 256
+) -> DataFrame:
+    """Union two sketches into the sketch of the UNION of their inputs
+    — exact, not approximate: the k smallest distinct hashes of A ∪ B
+    are computable from each side's k smallest (property pinned in
+    tests against a from-scratch sketch of the concatenated corpus)."""
+    return _topk_distinct(a.unionByName(b), strata_col, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, strata_col: str = "source", k: int = 256
+) -> DataFrame:
+    """(stratum, n_sketch, kth_u, distinct_est) per stratum. A sketch
+    holding fewer than k values saw fewer than k distinct inputs — the
+    estimate is then EXACT (= n_sketch); otherwise the classic KMV
+    estimator (k-1) * 2^60 / (u_k + 1), floor-divided in DECIMAL(38,0)
+    so every engine lands on the same integer."""
+    big = str((k - 1) * _HASH_SPAN)
+    return (
+        sketch.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max("u").alias("kth_u"),
+        )
+        .withColumn(
+            "distinct_est",
+            F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+                F.expr(
+                    f"CAST(CAST('{big}' AS DECIMAL(38,0)) DIV"
+                    " (kth_u + 1) AS BIGINT)"
+                )
+            ),
+        )
+        .select(strata_col, "n_sketch", "kth_u", "distinct_est")
+    )

@@ -1,0 +1,134 @@
+"""KMV distinct sketches (operators/sketches.py): exact merge algebra
+(sketch(A ∪ B) == merge(sketch A, sketch B) — a KMV identity, not an
+approximation), exact-mode below k, partitioning invariance, estimator
+accuracy, and the fused one-pass plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_merge,
+    kmv_shingle_sketch,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_equals_sketch_of_union(spark):
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    k = 64
+    merged = kmv_merge(
+        kmv_shingle_sketch(a, k=k), kmv_shingle_sketch(b, k=k), k=k
+    )
+    whole = kmv_shingle_sketch(docs, k=k)
+    assert _rows(merged) == _rows(whole)
+
+
+def test_exact_mode_below_k(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "alpha beta gamma delta")], "doc_id long, source string, text string"
+    )
+    # 2 trigrams -> n_sketch = 2 < k, estimate must be EXACT
+    est = kmv_estimate(kmv_shingle_sketch(df, k=256), k=256).collect()
+    assert len(est) == 1
+    r = est[0]
+    assert r["n_sketch"] == 2 and r["distinct_est"] == 2
+
+
+def test_sketch_matches_pure_python(spark):
+    # pin the hash + top-k semantics against a from-scratch reference
+    df = spark.createDataFrame(
+        [(i, "s", f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    k = 8
+    grams = set()
+    for i in range(30):
+        toks = [f"tok{i}", f"tok{i+1}", f"tok{i+2}", f"tok{i+3}"]
+        for j in range(2):
+            grams.add(" ".join(toks[j : j + 3]))
+    hashes = sorted(
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    )[:k]
+    got = [r["u"] for r in kmv_shingle_sketch(df, k=k).orderBy("u").collect()]
+    assert got == hashes
+
+
+def test_partitioning_invariant(spark):
+    docs = _docs(spark)
+    a = _rows(kmv_estimate(kmv_shingle_sketch(docs, k=64), k=64))
+    b = _rows(
+        kmv_estimate(kmv_shingle_sketch(docs.repartition(13), k=64), k=64)
+    )
+    assert a == b
+
+
+def test_estimator_within_tolerance(spark):
+    from kamu_cli_spark.operators.dedup import explode_shingles_arrow
+
+    docs = _docs(spark)
+    est = {
+        r["source"]: r["distinct_est"]
+        for r in kmv_estimate(kmv_shingle_sketch(docs, k=256), k=256).collect()
+    }
+    sh = explode_shingles_arrow(docs, "doc_id", "text", 3)
+    exact = {
+        r["source"]: r["x"]
+        for r in sh.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.countDistinct("gram").alias("x"))
+        .collect()
+    }
+    for s, x in exact.items():
+        assert abs(est[s] - x) / x < 0.25  # ~4 sigma at k=256
+
+
+def test_ledger_round_trip_and_incremental_merge(spark, tmp_path):
+    # commit day-1 sketch; day-2 arrives as a NEW slice only — merge
+    # the ledger state with the fresh partial and the result must equal
+    # a from-scratch sketch of the full corpus
+    from datetime import datetime, timezone
+
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.model_store import load_kmv_sketch, save_kmv_sketch
+
+    def _d(day):
+        return datetime(2024, 3, day, tzinfo=timezone.utc)
+
+    docs = _docs(spark)
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    k = 64
+    ds = Dataset.create(str(tmp_path), "kmv", system_time=_d(1).isoformat())
+    save_kmv_sketch(
+        spark, ds, kmv_shingle_sketch(day1, k=k),
+        system_time=_d(2), source_event_time=_d(2),
+    )
+    merged = kmv_merge(load_kmv_sketch(spark, ds), kmv_shingle_sketch(day2, k=k), k=k)
+    assert _rows(merged) == _rows(kmv_shingle_sketch(docs, k=k))
+
+
+def test_plan_is_one_fused_pass(spark):
+    # the corpus side must be ONE mapInPandas (no exploded gram table,
+    # no data-sized join); only the KB-sized partials reach an exchange
+    plan = (
+        kmv_shingle_sketch(_docs(spark), k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    for forbidden in ("Join", "Generate", "Expand"):
+        assert forbidden not in plan, plan
