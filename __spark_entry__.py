@@ -4745,6 +4745,55 @@ FROM nd LEFT JOIN ag USING (source)
 """
 
 
+def q_embeddings_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center diversity selection
+    (clustering.py:kcenter_select): 8 maximally-spread vectors via
+    farthest-point traversal — exact-int distances, min-id seed,
+    lowest-id tie-break, 1-row driver collect per iteration. The
+    coverage-radius curve (dist_e12 per rank) is the diversity audit."""
+    from kamu_cli_spark.operators.clustering import kcenter_select
+
+    return kcenter_select(load_table(spark, sf, "embeddings"), k=8)
+
+
+def _o_kcenter(k: int = 8, dim: int = 64) -> str:
+    """Unrolled greedy chain (the _o_kmeans/_o_bpe replay pattern):
+    stage i takes the argmax of the running min-distance, then folds
+    the new center into the running distance with least()."""
+    d = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.qe[i] - s.qe[i]) * (e.qe[i] - s.qe[i])))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        " AS qe FROM embeddings)",
+        ", s1 AS (SELECT id, qe FROM e ORDER BY id LIMIT 1)",
+        f", d1 AS (SELECT e.id, e.qe, {d} AS md FROM e, s1 s)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f", s{i} AS (SELECT id, qe, md FROM d{i - 1}"
+            " ORDER BY md DESC, id LIMIT 1)"
+        )
+        if i < k:
+            di = d.replace("e.qe", "p.qe").replace("s.qe", "s.qe")
+            parts.append(
+                f", d{i} AS (SELECT p.id, p.qe, least(p.md, "
+                + d.replace("e.qe", "p.qe")
+                + f") AS md FROM d{i - 1} p, s{i} s)"
+            )
+    rows = ["SELECT CAST(1 AS BIGINT) AS rank,"
+            " (SELECT id FROM s1) AS vec_id,"
+            " CAST(0 AS BIGINT) AS dist_e12"]
+    for i in range(2, k + 1):
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT), (SELECT id FROM s{i}),"
+            f" CAST((SELECT md FROM s{i}) AS BIGINT)"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(rows)
+
+
 def q_embeddings_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Per-cluster quality audit (clustering.py:cluster_quality):
     radius (max within-cluster dist), nearest-other-centroid
@@ -4962,8 +5011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documents_pii_scrub ~ orders_regex_battery regex transforms +
     # strip_against_corpus destructive rewrite.
     # documents_kmv_distinct (NEW r12: mergeable KMV cardinality
-    # sketch — no sibling anywhere) tails this round and is the first
-    # round-13 rotation candidate.
+    # sketch) and embeddings_kcenter (NEW r12: greedy farthest-point
+    # diversity selection) — both new families with no sibling
+    # anywhere — tail this round and are the first round-13 rotation
+    # candidates.
     # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
     # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
@@ -5088,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
         "documents_kmv_distinct": q_documents_kmv_distinct,
+        "embeddings_kcenter": q_embeddings_kcenter,
         "embeddings_kmeans": q_embeddings_kmeans,
         "documents_stratified_sample": q_documents_stratified_sample,
         "documents_strip_spans": q_documents_strip_spans,
@@ -5185,6 +5237,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_kmv_distinct": O_KMV_DISTINCT,
+        "embeddings_kcenter": _o_kcenter(),
         "embeddings_cluster_quality": O_CLUSTER_QUALITY,
         "documents_bpe_fertility": O_BPE_FERTILITY,
         "documents_bm25": O_BM25,

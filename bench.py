@@ -96,8 +96,9 @@ EXTRA = [
     "documents_gram_saturation",
     "embeddings_cluster_quality",
     "documents_bpe_fertility",
-    # round-12 family — gated per-query (BASELINE_PERQ.json)
+    # round-12 families — gated per-query (BASELINE_PERQ.json)
     "documents_kmv_distinct",
+    "embeddings_kcenter",
 ]
 
 

@@ -868,3 +868,66 @@ def cluster_quality(
             .alias("dunn_e3"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-traversal) diversity selection —
+    pick k vectors that maximally cover the embedding space, the
+    2-approximation to the NP-hard k-center objective (Gonzalez 1985).
+    The curation use: choosing a maximally-diverse eval/finetune/seed
+    subset, the opposite pole from SemDeDup's redundancy removal. No
+    reference counterpart (kamu-cli has no vector operators);
+    Spark-first new ground like k-means.
+
+    Deterministic exact-int contract: vectors snap to e6 micro-units,
+    distances are exact int64 squared-L2 (e12 units), the seed is the
+    minimum id, and argmax ties break to the lowest id — so Spark and
+    the unrolled-CTE SQL oracle agree to the bit.
+
+    Plan shape (scale audit): the selection budget k is bounded by the
+    caller (an eval set, a seed list — never data-sized), giving k
+    iterations of {TakeOrderedAndProject top-1 (map-side pruned) +
+    an incremental ``least(md, dist-to-newest)`` column update} over
+    ONE persisted quantized scan — the kmeans/pagerank iterative
+    shape, with localCheckpoint every 4 rounds to keep lineage O(1).
+    Driver traffic is 1 row per iteration (the same bounded contract
+    as BPE's merge loop). Output: (rank, id, dist_e12) — dist_e12 is
+    the distance to the previously-selected set at selection time, the
+    monotone non-increasing coverage-radius curve."""
+    spark = df.sparkSession
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    q = df.select(
+        F.col(id_col).alias("id"), quantize_e6(vec_col).alias("__qe")
+    ).persist()
+    try:
+        seed = q.orderBy(F.col("id").asc()).limit(1).collect()
+        if not seed:
+            raise ValueError("kcenter_select: empty input")
+        seed = seed[0]
+        sel = [(1, int(seed["id"]), 0)]
+        cur = q.withColumn("__md", _sq_dist_e12("__qe", list(seed["__qe"])))
+        for rank in range(2, k + 1):
+            far = cur.orderBy(
+                F.col("__md").desc(), F.col("id").asc()
+            ).limit(1).collect()
+            if not far:
+                break
+            far = far[0]
+            sel.append((rank, int(far["id"]), int(far["__md"])))
+            cur = cur.withColumn(
+                "__md",
+                F.least(F.col("__md"), _sq_dist_e12("__qe", list(far["__qe"]))),
+            )
+            if rank % 4 == 0:
+                cur = cur.localCheckpoint(eager=True)
+        return spark.createDataFrame(
+            sel, "rank bigint, vec_id bigint, dist_e12 bigint"
+        )
+    finally:
+        q.unpersist()
