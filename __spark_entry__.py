@@ -1753,6 +1753,76 @@ FROM a GROUP BY 1, 2
 """
 
 
+def q_documents_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split audit
+    (sampling.py:leakage_safe_split): the split hash runs over the
+    near-dup cluster representative (MinHash-LSH pairs -> connected
+    components), so duplicate clusters can never straddle the eval
+    boundary. Output: per split, docs + distinct clusters + the
+    leaked-cluster count — zero BY CONSTRUCTION, and the audit column
+    proves it cross-engine."""
+    from kamu_cli_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from kamu_cli_spark.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf, "documents")
+    sig = minhash_signature(d, "doc_id", num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=64
+    )
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    assigned = leakage_safe_split(d, cc, "doc_id")
+    leaked = (
+        assigned.groupBy("__component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__component").alias("n_clusters"),
+        )
+        .withColumn("n_leaked_clusters", F.lit(int(leaked)).cast("bigint"))
+        .select("split", "n_docs", "n_clusters", "n_leaked_clusters")
+    )
+
+
+def _o_leakage_split() -> str:
+    cc_sql = _o_dup_clusters().strip()
+    return f"""
+WITH cc AS ({cc_sql}),
+a AS (
+  SELECT d.doc_id,
+         coalesce(cc.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+s AS (
+  SELECT comp,
+         CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM a
+),
+leak AS (
+  SELECT count(*) AS nl FROM (
+    SELECT comp FROM s GROUP BY comp HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters,
+       CAST((SELECT nl FROM leak) AS BIGINT) AS n_leaked_clusters
+FROM s GROUP BY split
+"""
+
+
 def q_documents_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals: top word / top bigram
     token fraction and distinct-word ratio per document."""
@@ -5011,10 +5081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documents_pii_scrub ~ orders_regex_battery regex transforms +
     # strip_against_corpus destructive rewrite.
     # documents_kmv_distinct (NEW r12: mergeable KMV cardinality
-    # sketch) and embeddings_kcenter (NEW r12: greedy farthest-point
-    # diversity selection) — both new families with no sibling
-    # anywhere — tail this round and are the first round-13 rotation
-    # candidates.
+    # sketch), embeddings_kcenter (NEW r12: greedy farthest-point
+    # diversity selection), and documents_leakage_split (NEW r12:
+    # cluster-representative split hashing — eval-leakage safety) —
+    # new families with no sibling anywhere — tail this round and are
+    # the first round-13 rotation candidates.
     # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
     # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
@@ -5140,6 +5211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_cross_bloom": q_documents_cross_bloom,
         "documents_kmv_distinct": q_documents_kmv_distinct,
         "embeddings_kcenter": q_embeddings_kcenter,
+        "documents_leakage_split": q_documents_leakage_split,
         "embeddings_kmeans": q_embeddings_kmeans,
         "documents_stratified_sample": q_documents_stratified_sample,
         "documents_strip_spans": q_documents_strip_spans,
@@ -5238,6 +5310,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_kmv_distinct": O_KMV_DISTINCT,
         "embeddings_kcenter": _o_kcenter(),
+        "documents_leakage_split": _o_leakage_split(),
         "embeddings_cluster_quality": O_CLUSTER_QUALITY,
         "documents_bpe_fertility": O_BPE_FERTILITY,
         "documents_bm25": O_BM25,

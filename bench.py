@@ -99,6 +99,7 @@ EXTRA = [
     # round-12 families — gated per-query (BASELINE_PERQ.json)
     "documents_kmv_distinct",
     "embeddings_kcenter",
+    "documents_leakage_split",
 ]
 
 

@@ -334,3 +334,42 @@ def mixture_rebalance(
         .filter(F.col("__doc_cb") < F.col("__bs"))
         .select(F.col(id_col), F.col(strata_col), F.col("n_tokens"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Split assignment that can NEVER leak near-duplicates across the
+    train/eval boundary: the hash is taken over the document's
+    near-dup CLUSTER representative, not the document itself, so an
+    entire duplicate cluster lands in one split by construction — the
+    standard eval-integrity requirement plain per-doc splitting
+    violates (a train doc's near-twin in test inflates eval scores).
+
+    `clusters`: (id, component) pairs from
+    :func:`~kamu_cli_spark.operators.dedup.connected_components` over
+    the near-dup pair graph (LSH/Jaccard/SemDeDup — any). Docs absent
+    from it are singletons: their component is their own id, so they
+    hash exactly like the plain per-doc split.
+
+    Plan shape: one broadcast-or-shuffle left join against the
+    cluster table (candidate graphs are corpus-fraction-sized — LSH's
+    point) + the stateless md5 assignment; no new shuffle class. Same
+    md5-threshold contract as every sampler here, so any ANSI engine
+    reproduces the assignment bit-for-bit."""
+    comp = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col(clusters.columns[1]).alias("__component"),
+    )
+    rep = F.coalesce(F.col("__component"), F.col(id_col))
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn(
+            "split", split_assignment(rep, fractions, salt)
+        )
+        .withColumn("__component", rep)
+    )
