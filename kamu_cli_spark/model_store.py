@@ -465,6 +465,12 @@ def save_kmv_sketch(
     cols = set(sketch.columns)
     if cols != {"source", "u"}:
         raise ValueError(f"expected (source, u) sketch rows, got {sorted(cols)}")
+    # the incremental pattern merges the LEDGER's own state with a
+    # fresh partial, so the input's lineage reads the dataset being
+    # written — materialize the (KB-sized) sketch first or the
+    # snapshot diff re-evaluates it against files the commit is
+    # concurrently replacing (tests/test_kmv_sketch.py pins this)
+    sketch = sketch.select("source", "u").localCheckpoint(eager=True)
     if not sketch.head(1):
         raise ValueError("refusing to commit an empty sketch")
     w = DataWriter(dataset, MergeStrategySnapshot(["source", "u"]))

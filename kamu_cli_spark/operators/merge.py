@@ -330,8 +330,22 @@ class MergeStrategySnapshot(MergeStrategy):
             )
             for c in cmp_cols
         ]
+        # One-sided rows are appends/retractions BY PRESENCE — they
+        # must survive regardless of the compare columns. The old
+        # filter relied on `NOT (null <=> value)` from the absent side
+        # to pass them, which silently dropped (a) every event when
+        # the PK covers all columns (cmp_cols empty — set-semantics
+        # tables like KMV sketches), and (b) appends whose compare
+        # values are all NULL. Matched rows still require a genuine
+        # value change.
+        presence = "(`__o_present` IS NULL) OR (`__n_present` IS NULL)"
+        changed = (
+            f"{presence} OR " + " OR ".join(changed_parts)
+            if changed_parts
+            else presence
+        )
         joined = o.join(n.hint("shuffle_hash"), on=cond, how="full_outer").filter(
-            " OR ".join(changed_parts) if changed_parts else "false"
+            changed
         )
 
         # For retractions emit the old values; otherwise the new values.

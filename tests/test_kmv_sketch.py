@@ -120,6 +120,51 @@ def test_ledger_round_trip_and_incremental_merge(spark, tmp_path):
     assert _rows(merged) == _rows(kmv_shingle_sketch(docs, k=k))
 
 
+def test_streaming_incremental_sketch(spark, tmp_path):
+    # live-crawl telemetry: each micro-batch's partial sketch merges
+    # into the ledger state via foreachBatch; after the stream drains,
+    # the ledger sketch must equal a from-scratch batch sketch of
+    # everything seen — the mergeability property doing real work
+    from datetime import datetime, timezone
+
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.model_store import load_kmv_sketch, save_kmv_sketch
+
+    docs = _docs(spark).select("doc_id", "source", "text")
+    src = str(tmp_path / "stream_src")
+    # two files -> availableNow processes them as separate micro-batches
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    k = 64
+    ds = Dataset.create(
+        str(tmp_path), "kmv",
+        system_time=datetime(2024, 3, 1, tzinfo=timezone.utc).isoformat(),
+    )
+    state = {"n": 0}
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        part = kmv_shingle_sketch(batch_df, k=k)
+        prev = load_kmv_sketch(batch_df.sparkSession, ds)
+        merged = part if prev is None else kmv_merge(prev, part, k=k)
+        state["n"] += 1
+        save_kmv_sketch(
+            batch_df.sparkSession, ds, merged,
+            system_time=datetime(2024, 3, 1 + state["n"], tzinfo=timezone.utc),
+            source_event_time=datetime(2024, 3, 1 + state["n"], tzinfo=timezone.utc),
+        )
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert state["n"] >= 1
+    final = load_kmv_sketch(spark, ds)
+    assert _rows(final) == _rows(kmv_shingle_sketch(docs, k=k))
+
+
 def test_plan_is_one_fused_pass(spark):
     # the corpus side must be ONE mapInPandas (no exploded gram table,
     # no data-sized join); only the KB-sized partials reach an exchange

@@ -307,3 +307,37 @@ def test_upsert_null_pk_retract_and_correct(spark):
         (Op.CORRECT_FROM, "a", 1),
         (Op.CORRECT_TO, "a", 5),
     ]
+
+
+def test_snapshot_pk_covers_all_columns_set_semantics(spark):
+    """Round-12 regression: when the PK covers EVERY column (a pure
+    set-membership table — e.g. a KMV sketch keyed (source, u)), there
+    are no compare columns; appends and retractions must classify by
+    PRESENCE. The old filter reduced to literal false and silently
+    dropped every event."""
+    prev = spark.createDataFrame(
+        [(0, int(Op.APPEND), "a", 1), (1, int(Op.APPEND), "a", 2)],
+        "offset long, op int, s string, u long",
+    )
+    new = spark.createDataFrame([("a", 2), ("a", 3)], "s string, u long")
+    out = MergeStrategySnapshot(["s", "u"]).merge(prev, new)
+    got = rows(out, "u", "op")
+    assert got == [
+        (Op.RETRACT, "a", 1),  # (a,1) vanished from the poll
+        (Op.APPEND, "a", 3),  # (a,3) is new; (a,2) unchanged -> silent
+    ]
+
+
+def test_snapshot_append_with_all_null_compare_values(spark):
+    """Round-12 regression sibling: a NEW key whose every compare
+    column is NULL must still append — presence, not value change,
+    classifies one-sided rows."""
+    prev = spark.createDataFrame(
+        [(0, int(Op.APPEND), "k1", 7)], "offset long, op int, k string, v int"
+    )
+    new = spark.createDataFrame(
+        [("k1", 7), ("k2", None)], "k string, v int"
+    )
+    out = MergeStrategySnapshot(["k"]).merge(prev, new)
+    got = rows(out, "k", "op")
+    assert got == [(Op.APPEND, "k2", None)]
