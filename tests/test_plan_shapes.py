@@ -87,7 +87,14 @@ class TestJoinStrategy:
          # histograms / literal maps, never a cross join
          "documents_bm25", "embeddings_covariance",
          "documents_dsir_select", "documents_mixture_rebalance",
-         "documents_source_influence"],
+         "documents_source_influence",
+         # round-12: the KMV sketch is one fused Arrow pass + a
+         # KB-sized top-k; kcenter's selection loop runs at plan-BUILD
+         # time, so the final plan is the incremental least() column
+         # over one scan; leakage split is an equi left join against
+         # the cluster table + a stateless md5 assignment
+         "documents_kmv_distinct", "embeddings_kcenter",
+         "documents_leakage_split"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
