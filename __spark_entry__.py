@@ -1823,6 +1823,52 @@ FROM s GROUP BY split
 """
 
 
+def q_documents_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-to-snapshot drift report (drift.py:corpus_drift):
+    exact total-variation distance per source over power-of-two
+    token-count bins between two deterministic corpus slices (the
+    refresh-QA telemetry). Integer-exact end to end: bit-length bins,
+    DECIMAL(38,0) cross products, floor-div e6 ratio."""
+    from kamu_cli_spark.operators.drift import corpus_drift
+
+    d = load_table(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 3 != 0)
+    b = d.filter(F.col("doc_id") % 3 != 1)
+    return corpus_drift(a, b)
+
+
+O_CORPUS_DRIFT = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n
+  FROM documents WHERE source IS NOT NULL
+),
+binned AS (SELECT doc_id, source, length(bin(n)) AS bin FROM base),
+a AS (SELECT source, bin, count(*) AS pc FROM binned WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+b AS (SELECT source, bin, count(*) AS qc FROM binned WHERE doc_id % 3 <> 1 GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         coalesce(a.bin, b.bin) AS bin,
+         coalesce(pc, 0) AS pc, coalesce(qc, 0) AS qc
+  FROM a FULL OUTER JOIN b ON a.source = b.source AND a.bin = b.bin
+),
+tot AS (
+  SELECT source, sum(pc) AS n_a, sum(qc) AS n_b, count(*) AS n_bins,
+         sum(abs(CAST(pc AS HUGEINT) * (SELECT sum(qc) FROM j q WHERE q.source = j.source)
+                 - CAST(qc AS HUGEINT) * (SELECT sum(pc) FROM j p WHERE p.source = j.source))) AS l1
+  FROM j GROUP BY source
+)
+SELECT source,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN (1000000 * l1) // (2 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+                 ELSE 1000000 END AS BIGINT) AS tv_e6
+FROM tot
+"""
+
+
 def q_documents_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals: top word / top bigram
     token fraction and distinct-word ratio per document."""
@@ -5083,9 +5129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documents_kmv_distinct (NEW r12: mergeable KMV cardinality
     # sketch), embeddings_kcenter (NEW r12: greedy farthest-point
     # diversity selection), and documents_leakage_split (NEW r12:
-    # cluster-representative split hashing — eval-leakage safety) —
-    # new families with no sibling anywhere — tail this round and are
-    # the first round-13 rotation candidates.
+    # cluster-representative split hashing — eval-leakage safety), and
+    # documents_corpus_drift (NEW r12: exact snapshot-to-snapshot TV
+    # drift telemetry) — new families with no sibling anywhere — tail
+    # this round and are the first round-13 rotation candidates.
     # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
     # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
@@ -5212,6 +5259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_kmv_distinct": q_documents_kmv_distinct,
         "embeddings_kcenter": q_embeddings_kcenter,
         "documents_leakage_split": q_documents_leakage_split,
+        "documents_corpus_drift": q_documents_corpus_drift,
         "embeddings_kmeans": q_embeddings_kmeans,
         "documents_stratified_sample": q_documents_stratified_sample,
         "documents_strip_spans": q_documents_strip_spans,
@@ -5311,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_kmv_distinct": O_KMV_DISTINCT,
         "embeddings_kcenter": _o_kcenter(),
         "documents_leakage_split": _o_leakage_split(),
+        "documents_corpus_drift": O_CORPUS_DRIFT,
         "embeddings_cluster_quality": O_CLUSTER_QUALITY,
         "documents_bpe_fertility": O_BPE_FERTILITY,
         "documents_bm25": O_BM25,

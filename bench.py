@@ -100,6 +100,7 @@ EXTRA = [
     "documents_kmv_distinct",
     "embeddings_kcenter",
     "documents_leakage_split",
+    "documents_corpus_drift",
 ]
 
 
