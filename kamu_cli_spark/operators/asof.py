@@ -204,14 +204,23 @@ def asof_join_broadcast(
             f"{max_right_rows} — it is not a bounded dimension; use "
             f"asof_join (union+window) or prune_right_by_left_keys=True"
         )
-    rp = rp.sort_values(right_time, kind="stable")
+    # nulls FIRST to match the window path's asc_nulls_first ordering:
+    # a null right_time acts as the earliest fallback row. The default
+    # na_position='last' would leave the per-key times array unsorted
+    # after _times64 maps NaT to int64 min, corrupting every
+    # searchsorted lookup for that key.
+    rp = rp.sort_values(right_time, kind="stable", na_position="first")
     def _times64(series: pd.Series) -> "np.ndarray":
-        # datetime columns compare as int64 ns; numeric/other event
-        # times pass through as-is (searchsorted only needs a total
-        # order shared by both sides)
+        # datetime columns compare as int64 ns (NaT -> int64 min, i.e.
+        # sorts first, matching asof_join's asc_nulls_first); float
+        # NaN -> -inf for the same reason; other numeric event times
+        # pass through as-is (searchsorted only needs a total order
+        # shared by both sides)
         arr = series.to_numpy()
         if arr.dtype.kind == "M":
             return arr.astype("datetime64[ns]").astype("int64")
+        if arr.dtype.kind == "f":
+            return np.where(np.isnan(arr), -np.inf, arr)
         return arr
 
     def _tup(key) -> tuple:
@@ -299,7 +308,7 @@ def asof_join_adaptive(
     right_values: list[str] | None = None,
     suffix: str = "",
     strict: bool = False,
-    prune_right_by_left_keys: bool = True,
+    prune_right_by_left_keys: bool | None = None,
     max_right_rows: int = 2_000_000,
 ) -> DataFrame:
     """Cost-based as-of join: pick :func:`asof_join` (union + window,
@@ -311,13 +320,31 @@ def asof_join_adaptive(
     LEFT side — the same tens-of-ms stats probe spread() uses — so it
     adapts per dataset like Catalyst's own join-strategy selection.
     Both paths are bit-identical (tests/test_asof_broadcast.py), so
-    the choice is purely physical."""
-    try:
-        size = int(
-            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    the choice is purely physical.
+
+    ``prune_right_by_left_keys=None`` (the default) resolves to
+    ``not left.isStreaming``: the prune aggregates the left side, so
+    it is not stream-legal — a streaming left routes to the broadcast
+    kernel WITHOUT the prune (the bounded-right guard still applies).
+    Passing ``True`` explicitly with a streaming left raises rather
+    than failing deep inside the kernel's collect."""
+    if prune_right_by_left_keys is None:
+        prune_right_by_left_keys = not left.isStreaming
+    elif prune_right_by_left_keys and left.isStreaming:
+        raise ValueError(
+            "asof_join_adaptive: prune_right_by_left_keys aggregates "
+            "the left side and is not stream-legal; leave it as None "
+            "(auto) or False for a streaming left"
         )
-    except Exception:
-        size = _ADAPTIVE_LEFT_BYTES + 1  # unknown → assume big
+    if left.isStreaming:
+        size = _ADAPTIVE_LEFT_BYTES + 1  # streaming → kernel path
+    else:
+        try:
+            size = int(
+                left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = _ADAPTIVE_LEFT_BYTES + 1  # unknown → assume big
     if left.isStreaming or size > _ADAPTIVE_LEFT_BYTES:
         return asof_join_broadcast(
             left, right, on, left_time, right_time, right_values,

@@ -215,3 +215,76 @@ def test_plan_is_shuffle_free(spark):
     # no join, no aggregate, no sort — one Arrow map over the left
     for forbidden in ("Join", "HashAggregate", "Sort "):
         assert forbidden not in plan, plan
+
+
+def test_adaptive_streaming_left_defaults(spark, tmp_path):
+    # regression (ADVICE r12): the adaptive wrapper used to default
+    # prune_right_by_left_keys=True, routing streaming lefts into a
+    # collect over a plan containing a streaming source
+    # (AnalysisException). With defaults it must now resolve the prune
+    # to False and produce the broadcast-kernel result.
+    from kamu_cli_spark.operators.asof import asof_join_adaptive
+
+    src = str(tmp_path / "in_adaptive")
+    spark.createDataFrame(
+        [(1, _t(5)), (2, _t(2))], "k int, t timestamp"
+    ).write.parquet(src)
+    right = spark.createDataFrame(
+        [(1, _t(3), 30), (2, _t(3), 99)], "k int, rt timestamp, v int"
+    )
+    stream = spark.readStream.schema("k int, t timestamp").parquet(src)
+    out = asof_join_adaptive(
+        stream, right, on=["k"], left_time="t", right_time="rt"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_adaptive_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["v"] for r in spark.sql(
+        "SELECT * FROM asof_adaptive_stream"
+    ).collect()}
+    assert rows == {1: 30, 2: None}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not stream-legal"):
+        asof_join_adaptive(
+            stream, right, on=["k"], left_time="t", right_time="rt",
+            prune_right_by_left_keys=True,
+        )
+
+
+def test_null_right_time_matches_window_path(spark):
+    # regression (ADVICE r12): na_position default 'last' put NaT rows
+    # at the END of the per-key array while _times64 mapped NaT to
+    # int64 min — an unsorted array that corrupted every searchsorted
+    # lookup for the key. Both paths must agree: a null right_time row
+    # acts as the EARLIEST fallback (asc_nulls_first).
+    left = spark.createDataFrame(
+        [(1, _t(5)), (1, _t(2)), (2, _t(4)), (1, _t(1))],
+        "k int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 77), (1, _t(3), 30), (2, None, 88), (1, _t(4), 40)],
+        "k int, rt timestamp, v int",
+    )
+    out = _both_equal(left, right, on=["k"], left_time="t", right_time="rt")
+    got = {(r["k"], r["t"].day): r["v"] for r in out.collect()}
+    # k=1 @5 -> rt=4; @2 -> null-time fallback 77; @1 -> 77 too;
+    # k=2 @4 -> its only right row has null time -> 88
+    assert got == {(1, 5): 40, (1, 2): 77, (1, 1): 77, (2, 4): 88}
+
+
+def test_null_right_time_strict(spark):
+    left = spark.createDataFrame([(1, _t(5))], "k int, t timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 7)], "k int, rt timestamp, v int"
+    )
+    out = _both_equal(
+        left, right, on=["k"], left_time="t", right_time="rt", strict=True
+    )
+    assert out.collect()[0]["v"] == 7
