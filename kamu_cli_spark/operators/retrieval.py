@@ -97,26 +97,52 @@ def bm25_score(
     stats: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idf_mode: str = "exact_int",
 ) -> DataFrame:
-    """Per-(query, doc) exact-integer BM25 scores as ONE stateless
-    Arrow kernel with the :func:`bm25_corpus_stats` artifact in the
-    closure — no data-sized join or aggregation, so it runs UNCHANGED
-    on a streaming DataFrame (the live-crawl relevance gate; stream ==
-    batch pinned in tests/test_retrieval_bm25.py). Exact Python-int
-    arithmetic; the tokenizer mirrors tokens() (split on \\s+ runs,
-    drop empties, ASCII lowercase — the corpus contract shared with
-    the oracles). Docs matching no query term emit nothing."""
+    """Per-(query, doc) BM25 scores as ONE stateless Arrow kernel with
+    the :func:`bm25_corpus_stats` artifact in the closure — no
+    data-sized join or aggregation, so it runs UNCHANGED on a
+    streaming DataFrame (the live-crawl relevance gate; stream ==
+    batch pinned in tests/test_retrieval_bm25.py). The tokenizer
+    mirrors tokens() (split on \\s+ runs, drop empties, ASCII
+    lowercase — the corpus contract shared with the oracles). Docs
+    matching no query term emit nothing.
+
+    ``idf_mode``:
+
+    - ``"exact_int"`` (default): the deterministic rational-idf
+      surrogate in exact Python-int arithmetic — bit-identical across
+      Spark / Arrow / any ANSI engine; emits ``score_e9 long``.
+    - ``"ln"``: standard BM25 with the Lucene-smoothed log idf
+      ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive) and
+      float ``k1 = 1.2, b = 0.75`` term normalization; emits
+      ``score double``. Multi-term rankings match standard BM25;
+      cross-engine equality is to float tolerance, not bitwise
+      (tolerance-pinned vs a DuckDB ln() oracle in tests)."""
+    import math
     import re
 
     from collections.abc import Iterator
 
     import pandas as pd
 
+    if idf_mode not in ("exact_int", "ln"):
+        raise ValueError(f"bm25: unknown idf_mode {idf_mode!r}")
+    use_ln = idf_mode == "ln"
     n_docs, s_tokens = int(stats["n_docs"]), int(stats["s_tokens"])
-    idf = {
-        t: (1000 * (2 * n_docs - 2 * d + 1)) // (2 * d + 1)
-        for t, d in stats["dfreq"].items()
-    }
+    if use_ln:
+        idf = {
+            t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+            for t, d in stats["dfreq"].items()
+        }
+        # k1*(1 - b) and k1*b/avgdl with k1=1.2, b=0.75, avgdl=S/N
+        k1_one_minus_b = 1.2 * 0.25
+        k1_b_over_avgdl = 1.2 * 0.75 * n_docs / s_tokens
+    else:
+        idf = {
+            t: (1000 * (2 * n_docs - 2 * d + 1)) // (2 * d + 1)
+            for t, d in stats["dfreq"].items()
+        }
     qlist = [(int(qid), list(ts)) for qid, ts in queries]
     # re.ASCII for Java/RE2 parity (same as bpe_apply and the dedup
     # shinglers): Python \s otherwise matches Unicode whitespace
@@ -125,8 +151,10 @@ def bm25_score(
     # df=0 would maximally inflate idf.
     ws = re.compile(r"\s+", re.ASCII)
 
+    score_col = "score" if use_ln else "score_e9"
     out_schema = (
-        "query_id long, doc_id long, n_terms_hit long, score_e9 long"
+        f"query_id long, doc_id long, n_terms_hit long, "
+        f"{score_col} {'double' if use_ln else 'long'}"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,24 +171,30 @@ def bm25_score(
                         counts[x] = counts.get(x, 0) + 1
                 if not counts:
                     continue
-                t2 = (9 * dl * n_docs) // s_tokens
+                if use_ln:
+                    denom_base = k1_one_minus_b + k1_b_over_avgdl * dl
+                else:
+                    t2 = (9 * dl * n_docs) // s_tokens
                 for qid, ts in qlist:
-                    sc = 0
+                    sc = 0.0 if use_ln else 0
                     hits = 0
                     for t in ts:
                         tf = counts.get(t, 0)
                         if tf == 0:
                             continue
                         hits += 1
-                        sc += idf[t] * (
-                            (22 * tf * 1000000) // (10 * tf + 3 + t2)
-                        )
+                        if use_ln:
+                            sc += idf[t] * (tf * 2.2 / (tf + denom_base))
+                        else:
+                            sc += idf[t] * (
+                                (22 * tf * 1000000) // (10 * tf + 3 + t2)
+                            )
                     if hits:
                         rows.append((qid, int(doc_id), hits, sc))
             if rows:
                 yield pd.DataFrame(
                     rows,
-                    columns=["query_id", "doc_id", "n_terms_hit", "score_e9"],
+                    columns=["query_id", "doc_id", "n_terms_hit", score_col],
                 )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
@@ -174,6 +208,7 @@ def bm25_topk(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idf_mode: str = "exact_int",
 ) -> DataFrame:
     """Top-k documents per query by exact-integer BM25:
     :func:`bm25_corpus_stats` (pass 1) + :func:`bm25_score` (pass 2) +
@@ -187,21 +222,26 @@ def bm25_topk(
     Returns (query_id, doc_id, rank, n_terms_hit, score_e9), rank 1..k
     per query, ties broken by doc_id ascending.
 
-    CAVEAT — BM25 surrogate, not ln-BM25-equivalent for multi-term
-    queries: the rational idf substitute is monotone in df, so
-    SINGLE-term rankings match true BM25 exactly, but the sum over
-    terms reweights rare terms ~exponentially vs ``ln`` idf, and
-    multi-term top-k can differ materially from standard BM25. It is
-    internally consistent, deterministic across engines, and
-    oracle-matched — choose it for reproducibility, not for
-    drop-in BM25 score parity.
+    CAVEAT — the default ``idf_mode="exact_int"`` is a BM25 surrogate,
+    not ln-BM25-equivalent for multi-term queries: the rational idf
+    substitute is monotone in df, so SINGLE-term rankings match true
+    BM25 exactly, but the sum over terms reweights rare terms
+    ~exponentially vs ``ln`` idf, and multi-term top-k can differ
+    materially from standard BM25. It is internally consistent,
+    deterministic across engines, and oracle-matched — choose it for
+    reproducibility. For standard multi-term BM25 rankings pass
+    ``idf_mode="ln"`` (Lucene-smoothed log idf, float scores in a
+    ``score`` column, cross-engine to float tolerance — see
+    :func:`bm25_score`).
     """
     stats = bm25_corpus_stats(df, queries, text_col=text_col)
     scored = bm25_score(
-        df, queries, stats, id_col=id_col, text_col=text_col
+        df, queries, stats, id_col=id_col, text_col=text_col,
+        idf_mode=idf_mode,
     )
+    score_col = "score" if idf_mode == "ln" else "score_e9"
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_e9"), F.asc("doc_id")
+        F.desc(score_col), F.asc("doc_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -211,6 +251,6 @@ def bm25_topk(
             F.col("doc_id").alias(id_col),
             F.col("rank").cast("long").alias("rank"),
             "n_terms_hit",
-            "score_e9",
+            score_col,
         )
     )

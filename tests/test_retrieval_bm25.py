@@ -146,3 +146,134 @@ def test_bm25_score_streams_match_batch(spark, tmp_path):
     )
     want = {tuple(r) for r in bm25_score(crawl, QUERIES, stats).collect()}
     assert got == want and len(got) > 0
+
+
+def _ref_bm25_ln(docs, queries, k):
+    import math
+
+    toks = {i: t.lower().split() for i, t in docs}
+    dls = {i: len(w) for i, w in toks.items()}
+    n = len(docs)
+    s = sum(dls.values())
+    vocab = sorted({t for _, ts in queries for t in ts})
+    tf = {
+        (i, t): sum(1 for x in w if x == t)
+        for i, w in toks.items()
+        for t in vocab
+    }
+    df = {t: sum(1 for i, _ in docs if tf[(i, t)] > 0) for t in vocab}
+    out = []
+    for qid, terms in queries:
+        scores, hits = {}, {}
+        for i, _ in docs:
+            sc, h = 0.0, 0
+            for t in terms:
+                f = tf[(i, t)]
+                if f == 0:
+                    continue
+                h += 1
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                denom = f + 1.2 * 0.25 + 1.2 * 0.75 * n / s * dls[i]
+                sc += idf * (f * 2.2 / denom)
+            if h:
+                scores[i], hits[i] = sc, h
+        ranked = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+        out.extend(
+            (qid, i, r + 1, hits[i], scores[i]) for r, i in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+def test_bm25_ln_mode_matches_reference(spark):
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk(
+            spark.createDataFrame(DOCS, "doc_id long, text string"),
+            QUERIES,
+            k=3,
+            idf_mode="ln",
+        ).collect()
+    )
+    want = _ref_bm25_ln(DOCS, QUERIES, 3)
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert g[4] == pytest.approx(w[4], rel=1e-12)
+
+
+def test_bm25_ln_single_term_ranking_matches_exact_mode(spark):
+    # the rational surrogate is monotone in df/tf, so SINGLE-term
+    # rankings must agree between modes (the documented equivalence)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = [(0, ["spark"]), (1, ["join"])]
+    a = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in bm25_topk(df, q, k=4).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in bm25_topk(df, q, k=4, idf_mode="ln").collect()
+    }
+    assert a == b
+
+
+def test_bm25_ln_matches_duckdb_oracle(spark):
+    """Cross-engine float-tolerance pin (the eigh/covariance
+    precedent): the ln mode over REAL testdata must match a DuckDB
+    ln() oracle computing the identical Lucene-smoothed formula."""
+    import duckdb
+
+    queries = [(0, ["the", "model"]), (1, ["data", "training", "with"])]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["n_terms_hit"], r["score"])
+        for r in bm25_topk(docs, queries, k=10, idf_mode="ln").collect()
+    }
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in queries for t in ts
+    )
+    sql = rf"""
+WITH q(query_id, term) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+),
+dl AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
+),
+tf AS (
+  SELECT dl.doc_id, dl.dl, v.term,
+         CAST(len(list_filter(dl.w, x -> x = v.term)) AS BIGINT) AS tf
+  FROM dl CROSS JOIN (SELECT DISTINCT term FROM q) v
+),
+tfp AS (SELECT * FROM tf WHERE tf > 0),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+sc AS (
+  SELECT qq.query_id, p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         sum(
+           ln(1 + (st.n - c.df + 0.5) / (c.df + 0.5))
+           * (p.tf * 2.2 / (p.tf + 1.2 * 0.25 + 1.2 * 0.75 * st.n / st.s * p.dl))
+         ) AS score
+  FROM tfp p JOIN dfc c USING (term) JOIN q qq USING (term)
+  CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rn AS rank, n_terms_hit, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  ) AS rn FROM sc
+)
+WHERE rn <= 10
+"""
+    want = {
+        (int(q), int(d)): (int(rn), int(h), float(s))
+        for q, d, rn, h, s in duckdb.connect().execute(sql).fetchall()
+    }
+    assert set(got) == set(want)
+    for key, (rn, h, s) in want.items():
+        grn, gh, gs = got[key]
+        assert (grn, gh) == (rn, h), (key, got[key], want[key])
+        assert gs == pytest.approx(s, rel=1e-9)
