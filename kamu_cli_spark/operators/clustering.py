@@ -931,3 +931,147 @@ def kcenter_select(
         )
     finally:
         q.unpersist()
+
+
+def kcenter_select_batch(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    ell: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Greedy k-center with OVER-SAMPLED batch acceptance — the scale
+    path past tens of centers. :func:`kcenter_select` costs one full
+    scan + 2 jobs per center, so a 1,000-sample diverse eval set is
+    1,000 scans; this variant collects the top-``ell`` farthest
+    candidates per distributed pass (k-means||-style over-sampling,
+    Bahmani et al. 2012) and then accepts as many of them as provably
+    safe DRIVER-side, so k centers take ~k/accepted-per-pass scans.
+
+    BIT-IDENTICAL to the exact greedy, not an approximation. The
+    safety argument: the batch is the global top-``ell`` by current
+    min-distance, so every point OUTSIDE the batch has md <= md_ell
+    (the ell-th candidate's md), and md only shrinks as centers are
+    added. Driver-side we re-run the exact greedy WITHIN the batch
+    (exact int64 math on the collected vectors) and keep accepting
+    while the batch argmax md is STRICTLY greater than md_ell — at
+    that point no outside point can be the true argmax (outside md <=
+    md_ell < batch argmax), and strictness protects the lowest-id
+    tie-break (an outside point tied AT md_ell could out-rank a batch
+    member by id). The pass's FIRST pick is always safe: no center
+    has been added since the distributed sort, so batch[0] is the
+    exact global argmax under (md DESC, id ASC). When the collect
+    returns fewer than ``ell`` rows the batch IS the corpus remainder
+    and the threshold vanishes. Equivalence is pinned in tests at
+    multiple k.
+
+    Per-pass cost: one TakeOrderedAndProject over the persisted
+    quantized scan (ell bounded rows to the driver) + one md update
+    against the accepted centers — JVM literal ``least`` chain while
+    accepted*dim <= MAX_LITERAL_CELLS, else ONE Arrow pass (exact
+    float64-integer math, same kernel argument as _assign_arrow) —
+    + an eager localCheckpoint to keep lineage O(1).
+
+    ``ell`` defaults to ``max(64, 4k)`` capped at 2048: big enough
+    that tens-to-hundreds of accepts survive the threshold per pass,
+    small enough that the driver payload (ell x dim int64) stays ~MB.
+    Pass counts are geometry-dependent: on a corpus with near-dup
+    clusters each accepted center collapses its clones' md to ~0, so
+    duplicates eat batch slots and more passes run (measured: k=256 in
+    10 passes on sf1's 200k distinct-ish vectors, 37 on sf10's
+    10x-replicated 2M). Pass ``stats={}`` to get ``stats["passes"]``
+    (distributed pass count) back — the bench receipt telemetry.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    if k < 1:
+        raise ValueError("kcenter_select_batch: k must be >= 1")
+    if ell is None:
+        ell = min(2048, max(64, 4 * k))
+    q = df.select(
+        F.col(id_col).alias("id"), quantize_e6(vec_col).alias("__qe")
+    ).persist()
+    try:
+        seed = q.orderBy(F.col("id").asc()).limit(1).collect()
+        if not seed:
+            raise ValueError("kcenter_select_batch: empty input")
+        seed = seed[0]
+        sel = [(1, int(seed["id"]), 0)]
+        cur = q.withColumn("__md", _sq_dist_e12("__qe", list(seed["__qe"])))
+        dim = len(seed["__qe"])
+
+        def _md_update(frame: DataFrame, vecs: list[list[int]]) -> DataFrame:
+            if len(vecs) * dim <= MAX_LITERAL_CELLS:
+                return frame.withColumn(
+                    "__md",
+                    F.least(
+                        F.col("__md"),
+                        *[_sq_dist_e12("__qe", v) for v in vecs],
+                    ),
+                )
+            # one Arrow pass: exact — every intermediate is an integer
+            # under 2^53 (see _assign_arrow), so float64 matmul equals
+            # the int64 fold bit-for-bit. __qe round-trips through
+            # Arrow here (unlike _assign_arrow's slim output) because
+            # later passes still need the vectors.
+            import pandas as pd
+            from collections.abc import Iterator
+
+            C = np.array(vecs, dtype=np.float64)
+            c_sq = (C * C).sum(axis=1)
+            schema = frame.schema
+
+            def upd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.vstack(pdf["__qe"].to_numpy()).astype(np.float64)
+                    d = (
+                        (X * X).sum(axis=1)[:, None]
+                        - 2.0 * (X @ C.T)
+                        + c_sq[None, :]
+                    ).min(axis=1)
+                    pdf["__md"] = np.minimum(
+                        pdf["__md"].to_numpy(), d.astype(np.int64)
+                    )
+                    yield pdf
+
+            return frame.mapInPandas(upd, schema)
+
+        passes = 0
+        while len(sel) < k:
+            passes += 1
+            batch = cur.orderBy(
+                F.col("__md").desc(), F.col("id").asc()
+            ).limit(ell).collect()
+            if not batch:
+                break
+            ids = np.array([int(r["id"]) for r in batch], dtype=np.int64)
+            vecs = np.array(
+                [list(r["__qe"]) for r in batch], dtype=np.int64
+            )
+            md = np.array([int(r["__md"]) for r in batch], dtype=np.int64)
+            threshold = int(md[-1]) if len(batch) == ell else -1
+            accepted: list[list[int]] = []
+            first = True
+            while len(sel) < k:
+                i = int(np.lexsort((ids, -md))[0])
+                if not first and not md[i] > threshold:
+                    break
+                first = False
+                sel.append((len(sel) + 1, int(ids[i]), int(md[i])))
+                accepted.append([int(v) for v in vecs[i]])
+                diff = vecs - vecs[i]
+                md = np.minimum(md, (diff * diff).sum(axis=1))
+            if len(sel) >= k:
+                break  # done — skip a useless distributed md update
+            cur = _md_update(cur, accepted).localCheckpoint(eager=True)
+        if stats is not None:
+            stats["passes"] = passes
+        return spark.createDataFrame(
+            sel, "rank bigint, vec_id bigint, dist_e12 bigint"
+        )
+    finally:
+        q.unpersist()

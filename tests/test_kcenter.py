@@ -75,3 +75,64 @@ def test_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         kcenter_select(df, k=3)
+
+
+def test_batch_variant_bit_identical_small_k(spark):
+    from kamu_cli_spark.operators.clustering import kcenter_select_batch
+
+    df, _ = _mk(spark, n=120)
+    a = [tuple(r) for r in kcenter_select(df, k=8).orderBy("rank").collect()]
+    b = [
+        tuple(r)
+        for r in kcenter_select_batch(df, k=8).orderBy("rank").collect()
+    ]
+    assert a == b
+
+
+def test_batch_variant_bit_identical_large_k_small_ell(spark):
+    # tiny ell forces MANY passes and exercises the threshold logic
+    # (accept-until-md_ell) and the always-accept-first fallback
+    from kamu_cli_spark.operators.clustering import kcenter_select_batch
+
+    df, V = _mk(spark, n=150, d=5, seed=23)
+    want = _reference(V, 40)
+    got = [
+        (r["rank"], r["vec_id"], r["dist_e12"])
+        for r in kcenter_select_batch(df, k=40, ell=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_batch_variant_arrow_update_path(spark):
+    # ell large enough that one pass accepts > MAX_LITERAL_CELLS/dim
+    # centers, driving the Arrow md-update kernel; still bit-identical
+    from kamu_cli_spark.operators.clustering import (
+        MAX_LITERAL_CELLS,
+        kcenter_select_batch,
+    )
+
+    d = 6
+    k = MAX_LITERAL_CELLS // d + 10  # > literal budget in one pass
+    df, V = _mk(spark, n=400, d=d, seed=7)
+    want = _reference(V, k)
+    got = [
+        (r["rank"], r["vec_id"], r["dist_e12"])
+        for r in kcenter_select_batch(df, k=k, ell=1024)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_batch_variant_k_exceeding_n(spark):
+    from kamu_cli_spark.operators.clustering import kcenter_select_batch
+
+    df, _ = _mk(spark, n=5)
+    a = [tuple(r) for r in kcenter_select(df, k=12).orderBy("rank").collect()]
+    b = [
+        tuple(r)
+        for r in kcenter_select_batch(df, k=12, ell=4).orderBy("rank").collect()
+    ]
+    assert a == b

@@ -72,7 +72,6 @@ def main() -> None:
         spark.range(factor).select(F.col("id").alias("__rep"))
     )
     for t in TABLES:
-        df = load_table(spark, src, t)
         src_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(os.path.join(src, f"{t}.parquet"))
@@ -80,6 +79,24 @@ def main() -> None:
         ) if os.path.isdir(os.path.join(src, f"{t}.parquet")) else (
             os.path.getsize(os.path.join(src, f"{t}.parquet"))
         )
+        if t in SHIFT_KEYS and factor > 1 and layout != "legacy":
+            # Scan-parallel scaled layout WITHOUT a shuffle: one output
+            # file per READ split, so sizing the split to
+            # src_bytes / n_files makes the narrow replicate pipeline
+            # write ~n_files files of ~(factor * split) bytes — many
+            # row groups, parallel scans in Spark AND DuckDB, the
+            # layout any real writer produces (never one giant row
+            # group, which decodes on one thread of 32). The first
+            # scaled generator hash-repartitioned here instead: a
+            # full-table shuffle that DOUBLED the generator's disk
+            # footprint (shuffle temp + output) and hit ENOSPC at
+            # sf100 — file assignment is physical layout, not logical
+            # content, so the shuffle bought nothing.
+            n_files = min(64, max(8, int(src_bytes * factor / (2 << 20))))
+            split = max(1 << 20, src_bytes // n_files)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+            spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
+        df = load_table(spark, src, t)
         if t in SHIFT_KEYS and factor > 1:
             df = df.crossJoin(reps)
             for c in SHIFT_KEYS[t]:
@@ -88,20 +105,10 @@ def main() -> None:
                     c, F.col(c) + F.col("__rep") * F.lit(bases[(base_t, base_c)])
                 )
             df = df.select([c for c in df.columns if c != "__rep"])
-            # Without this the broadcast cross join inherits the
-            # source's (usually 1-file) partitioning, so a 10x table
-            # lands as ONE parquet file with ONE row group — and every
-            # downstream scan, in Spark AND DuckDB, decodes it on one
-            # thread. Hash-repartition on the first shifted key
-            # (deterministic row->file assignment) targeting ~2 MB
-            # files, floor 8 / cap 64: scan parallelism at every
-            # factor, the layout any real writer would produce at
-            # scale (never one giant row group).
-            n_files = min(64, max(8, int(src_bytes * factor / (2 << 20))))
-            if n_files > 1 and layout != "legacy":
-                df = df.repartition(n_files, F.col(SHIFT_KEYS[t][0]))
         out = os.path.join(dst, f"{t}.parquet")
         df.write.mode("overwrite").parquet(out, compression="snappy")
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
         print(f"{t}: written to {out}")
     spark.stop()
 
