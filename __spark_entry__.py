@@ -46,7 +46,7 @@ from kamu_cli_spark.operators.similarity import (
 )
 from kamu_cli_spark.operators.quantize import quantize_int8
 from kamu_cli_spark.operators.sampling import stratified_split_summary
-from kamu_cli_spark.operators.text import repetition_metrics, text_metrics
+from kamu_cli_spark.operators.text import repetition_metrics, text_metrics, tokens
 from kamu_cli_spark.operators.windows import interval_join, top_n, tumbling_window
 from kamu_cli_spark.sources import load_table
 from kamu_cli_spark.vocab import OperationType as Op
@@ -4870,15 +4870,88 @@ FROM nd LEFT JOIN ag USING (source)
 """
 
 
+def q_documents_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit
+    (sketches.py:cms_gram_sketch/cms_probe): the top-10 exact bigram
+    counts beside their CMS estimates from a 4x4096 counter sketch
+    built in ONE fused Arrow pass (fixed 128 KB of counters per
+    partition, bounded exchange, mergeable by summation). est_cnt >=
+    exact_cnt always (CMS never undercounts); at this width the probe
+    set is collision-free so the columns also agree exactly — the
+    cross-engine audit pins both the sketch contents and the
+    estimator."""
+    from kamu_cli_spark.operators.sketches import cms_gram_sketch, cms_probe
+
+    d = load_table(spark, sf, "documents")
+    sk = cms_gram_sketch(d, "text", n=2, depth=4, width=4096)
+    toks = d.select(tokens(F.lower(F.col("text"))).alias("__t"))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN transform("
+                "sequence(1, size(__t) - 1),"
+                " i -> concat(__t[i - 1], ' ', __t[i]))"
+                " ELSE array() END"
+            )
+        ).alias("gram")
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("gram"))
+        .limit(10)
+    )
+    return cms_probe(sk, top, "gram", depth=4, width=4096).select(
+        "gram", "exact_cnt", "est_cnt"
+    )
+
+
+O_CMS_HEAVY_HITTERS = r"""
+WITH words AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT array_to_string(w[i:i + 1], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS exact_cnt FROM g GROUP BY 1),
+top AS (SELECT gram, exact_cnt FROM cnt ORDER BY exact_cnt DESC, gram LIMIT 10),
+sk AS (
+  SELECT r.r AS rw,
+         ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|' || g.gram),
+                         1, 8))::BIGINT % 4096 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM g, UNNEST(range(0, 4)) AS r(r)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT t.gram, t.exact_cnt, r.r AS rw,
+         ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|' || t.gram),
+                         1, 8))::BIGINT % 4096 AS bucket
+  FROM top t, UNNEST(range(0, 4)) AS r(r)
+)
+SELECT p.gram, p.exact_cnt,
+       CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_cnt
+FROM probe p LEFT JOIN sk s ON s.rw = p.rw AND s.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
 def q_embeddings_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy k-center diversity selection
-    (clustering.py:kcenter_select): 8 maximally-spread vectors via
-    farthest-point traversal — exact-int distances, min-id seed,
-    lowest-id tie-break, 1-row driver collect per iteration. The
-    coverage-radius curve (dist_e12 per rank) is the diversity audit."""
-    from kamu_cli_spark.operators.clustering import kcenter_select
+    (clustering.py:kcenter_select_batch): 8 maximally-spread vectors
+    via farthest-point traversal — exact-int distances, min-id seed,
+    lowest-id tie-break. The batch variant collects the top-ell
+    farthest candidates per distributed pass and accepts the provably
+    safe prefix driver-side, cutting k scans to ~k/accepts passes
+    while staying BIT-IDENTICAL to the one-at-a-time greedy (pinned in
+    tests/test_kcenter.py), so the unrolled-chain oracle is unchanged.
+    The coverage-radius curve (dist_e12 per rank) is the diversity
+    audit."""
+    from kamu_cli_spark.operators.clustering import kcenter_select_batch
 
-    return kcenter_select(load_table(spark, sf, "embeddings"), k=8)
+    return kcenter_select_batch(load_table(spark, sf, "embeddings"), k=8)
 
 
 def _o_kcenter(k: int = 8, dim: int = 64) -> str:
@@ -5149,6 +5222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded green r12); documents_substring_dedup ~
     # documents_spans_against_corpus + documents_strip_against_corpus
     # (same suffix-span family, both graded green r11-r12).
+    # Also r13: documents_cms_heavy_hitters (count-min sketch
+    # occurrence counting — a brand-new family with no sibling
+    # anywhere) IN for documents_strip_against_corpus, whose
+    # suffix-span family stays graded via the in-window
+    # documents_spans_against_corpus (the non-destructive form of the
+    # same operator, graded green r11-r12).
     # Long-standing tail rationale: tpch_q4/q7/q9/q10/q13/q14/q15/q18
     # (+r10 q8/q12/q17/q19/q21/q22 completing 18/22 shapes) ~
     # q1/q5/q3 agg/join/EXISTS shapes — suppliers_with_large_orders
@@ -5200,7 +5279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bm25": q_documents_bm25,
         "documents_spans_against_corpus": q_documents_spans_against_corpus,
         "documents_dup_clusters": q_documents_dup_clusters,
-        "documents_strip_against_corpus": q_documents_strip_against_corpus,
+        "documents_cms_heavy_hitters": q_documents_cms_heavy_hitters,
         "documents_gram_saturation": q_documents_gram_saturation,
         "currency_asof": q_currency_asof,
         "documents_text_metrics": q_documents_text_metrics,
@@ -5276,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "documents_gram_novelty": q_documents_gram_novelty,
         "documents_substring_dedup": q_documents_substring_dedup,
+        "documents_strip_against_corpus": q_documents_strip_against_corpus,
         "embeddings_kmeans": q_embeddings_kmeans,
         "documents_stratified_sample": q_documents_stratified_sample,
         "documents_strip_spans": q_documents_strip_spans,
@@ -5373,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_kmv_distinct": O_KMV_DISTINCT,
+        "documents_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
         "embeddings_kcenter": _o_kcenter(),
         "documents_leakage_split": _o_leakage_split(),
         "documents_corpus_drift": O_CORPUS_DRIFT,

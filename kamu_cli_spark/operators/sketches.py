@@ -156,3 +156,158 @@ def kmv_estimate(
         )
         .select(strata_col, "n_sketch", "kth_u", "distinct_est")
     )
+
+
+def _cms_bucket_col(row_col, gram_col, width: int):
+    """The shared CMS bucket hash as a JVM expression: first 32 md5
+    bits of 'cms<row>|<gram>' mod width — identical in the Arrow
+    kernel (hashlib) and any md5-capable SQL engine."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        row_col.cast("string"),
+                        F.lit("|"),
+                        gram_col,
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_gram_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of word n-gram
+    OCCURRENCE counts: (row, bucket, cnt) rows, the depth x width
+    counter matrix as a DataFrame. Counters are additive, so the
+    sketch MERGES by summation (:func:`cms_merge`) — per-partition
+    partials, per-day artifacts, and cross-corpus unions all compose
+    without rescans, the same composition story as the KMV sketch.
+
+    Estimates (min over rows of the gram's bucket counter,
+    :func:`cms_probe`) are exact-integer and NEVER undercount; they
+    overcount by hash-collision mass, bounded by corpus_grams / width
+    per row with probability 1 - 2^-depth.
+
+    Plan shape (scale audit): ONE fused Arrow pass (tokenize -> n-gram
+    -> depth dense int64 counter arrays per partition, a fixed
+    depth*width*8-byte buffer regardless of partition size); the only
+    shuffle carries <= |partitions| x depth x width bounded partial
+    rows (KB-MB at any corpus size); ONE bounded aggregate sums them.
+    The corpus never materializes an exploded gram table."""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = np.zeros((depth, width), dtype=np.int64)
+        # gram -> its depth buckets; md5 runs once per DISTINCT gram
+        # per partition (the KMV-kernel memo pattern)
+        memo: dict[str, list[int]] = {}
+
+        def buckets(g: str) -> list[int]:
+            v = memo.get(g)
+            if v is None:
+                v = [
+                    int(
+                        hashlib.md5(f"cms{r}|{g}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % width
+                    for r in range(depth)
+                ]
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            grams: list[str] = []
+            for txt in pdf[text_col]:
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                grams.extend(
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                )
+            if not grams:
+                continue
+            # fold occurrences to per-distinct counts FIRST so the
+            # hash/increment loop runs per distinct gram, not per
+            # occurrence (a 2-gram corpus repeats its head grams
+            # millions of times)
+            uniq, cnts = np.unique(
+                np.asarray(grams, dtype=object), return_counts=True
+            )
+            for g, c in zip(uniq, cnts):
+                ci = int(c)
+                for r, b in enumerate(buckets(g)):
+                    counters[r, b] += ci
+        rows, cols = np.nonzero(counters)
+        if len(rows):
+            yield pd.DataFrame(
+                {
+                    "row": rows.astype(np.int32),
+                    "bucket": cols.astype(np.int64),
+                    "cnt": counters[rows, cols],
+                }
+            )
+
+    partials = spread(df.select(text_col)).mapInPandas(
+        kernel, "row int, bucket long, cnt long"
+    )
+    return partials.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sum two CMS sketches (same depth/width) — exactly the sketch of
+    the concatenated corpora (counter additivity; pinned in tests)."""
+    return (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    gram_col: str = "gram",
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Estimate each probe gram's occurrence count from the sketch:
+    est = min over rows of counter[bucket_r(gram)], entirely IN-PLAN
+    (no driver artifact): probes x depth bucket expressions, one
+    broadcast-friendly equi join against the bounded sketch, a
+    min aggregate. Probe grams the corpus never saw estimate 0."""
+    rows = F.broadcast(
+        sketch.sparkSession.range(depth).select(F.col("id").alias("__r"))
+    )
+    expanded = probes.crossJoin(rows).withColumn(
+        "__bucket", _cms_bucket_col(F.col("__r"), F.col(gram_col), width)
+    )
+    return (
+        expanded.join(
+            sketch.withColumnRenamed("row", "__r").withColumnRenamed(
+                "bucket", "__bucket"
+            ),
+            ["__r", "__bucket"],
+            "left",
+        )
+        .groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

@@ -1,0 +1,110 @@
+"""Count-min sketch (sketches.py:cms_gram_sketch/cms_merge/cms_probe):
+never-undercount property, exact equality in the collision-free
+regime, merge = sketch-of-union additivity, partitioning invariance,
+and plan-shape (no cartesian, no row UDF, bounded exchange)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kamu_cli_spark.operators.sketches import (
+    cms_gram_sketch,
+    cms_merge,
+    cms_probe,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown cat sleeps"),
+    (2, "a quick brown fox runs the race"),
+    (3, "the the the quick quick brown"),
+    (4, ""),
+    (5, "single"),
+]
+
+
+def _exact_bigrams(docs):
+    c: Counter = Counter()
+    for _, t in docs:
+        w = t.lower().split()
+        for j in range(len(w) - 1):
+            c[" ".join(w[j : j + 2])] += 1
+    return c
+
+
+def _mk(spark, docs=DOCS):
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_estimates_never_undercount_and_exact_when_sparse(spark):
+    df = _mk(spark)
+    sk = cms_gram_sketch(df, "text", n=2, depth=4, width=4096)
+    exact = _exact_bigrams(DOCS)
+    probes = spark.createDataFrame(
+        [(g,) for g in exact] + [("never seen",)], "gram string"
+    )
+    got = {
+        r["gram"]: r["est_cnt"]
+        for r in cms_probe(sk, probes, depth=4, width=4096).collect()
+    }
+    for g, c in exact.items():
+        assert got[g] >= c  # CMS property: never undercounts
+        # width 4096 >> distinct grams here: collision-free => exact
+        assert got[g] == c
+    assert got["never seen"] == 0
+
+
+def test_total_mass_per_row_equals_gram_occurrences(spark):
+    df = _mk(spark)
+    sk = cms_gram_sketch(df, "text", n=2, depth=4, width=64)
+    total = sum(_exact_bigrams(DOCS).values())
+    per_row = {
+        r["row"]: r["s"]
+        for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_row == {r: total for r in range(4)}
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a_docs, b_docs = DOCS[:3], DOCS[3:]
+    a = cms_gram_sketch(_mk(spark, a_docs), "text", n=2, depth=3, width=128)
+    b = cms_gram_sketch(_mk(spark, b_docs), "text", n=2, depth=3, width=128)
+    merged = cms_merge(a, b)
+    whole = cms_gram_sketch(_mk(spark), "text", n=2, depth=3, width=128)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_partitioning_invariant(spark):
+    df = _mk(spark)
+    a = cms_gram_sketch(df, "text", n=2, depth=4, width=256)
+    b = cms_gram_sketch(df.repartition(7), "text", n=2, depth=4, width=256)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_small_width_forces_overcounts_not_undercounts(spark):
+    # width 8 << distinct grams: collisions are certain, estimates
+    # must still bound exact counts from above
+    df = _mk(spark)
+    sk = cms_gram_sketch(df, "text", n=2, depth=2, width=8)
+    exact = _exact_bigrams(DOCS)
+    probes = spark.createDataFrame([(g,) for g in exact], "gram string")
+    got = {
+        r["gram"]: r["est_cnt"]
+        for r in cms_probe(sk, probes, depth=2, width=8).collect()
+    }
+    assert all(got[g] >= c for g, c in exact.items())
+    assert any(got[g] > c for g, c in exact.items())  # collisions real
+
+
+def test_plan_shape(spark):
+    df = _mk(spark)
+    sk = cms_gram_sketch(df, "text", n=2, depth=4, width=4096)
+    probes = spark.createDataFrame([("the quick",)], "gram string")
+    for frame in (sk, cms_probe(sk, probes)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
