@@ -496,3 +496,55 @@ def load_kmv_sketch(
         return None
     state = project_changelog(df, ["source", "u"], dataset.vocab)
     return state.select("source", "u")
+
+
+def save_cms_sketch(
+    spark: SparkSession,
+    dataset: Dataset,
+    sketch: DataFrame,
+    system_time: Any = None,
+    source_event_time: Any = None,
+) -> dict:
+    """Commit a count-min sketch
+    (:func:`~kamu_cli_spark.operators.sketches.cms_gram_sketch`
+    output) as one snapshot poll of `dataset` (PK = (row, bucket),
+    compare column cnt — a re-sketch CORRECTS drifted counters, the
+    CDC semantics counters want). Same telemetry economics as the KMV
+    dataset: yesterday's ledger state sums with today's partial via
+    :func:`~kamu_cli_spark.operators.sketches.cms_merge` without
+    rescanning yesterday's corpus, and as-of reads answer "how often
+    did this gram occur THROUGH last month" from the chain alone."""
+    cols = set(sketch.columns)
+    if cols != {"row", "bucket", "cnt"}:
+        raise ValueError(
+            f"expected (row, bucket, cnt) sketch rows, got {sorted(cols)}"
+        )
+    # same materialize-before-commit rule as save_kmv_sketch: the
+    # incremental pattern's input lineage reads the dataset being
+    # written
+    sketch = sketch.select("row", "bucket", "cnt").localCheckpoint(eager=True)
+    if not sketch.head(1):
+        raise ValueError("refusing to commit an empty sketch")
+    w = DataWriter(dataset, MergeStrategySnapshot(["row", "bucket"]))
+    return w.write(
+        spark,
+        sketch.select("row", "bucket", "cnt"),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_cms_sketch(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> DataFrame | None:
+    """The sketch's latest state (or as-of a pinned block) as the
+    (row, bucket, cnt) frame cms_merge/cms_probe consume — still
+    distributed; depth x width rows never touch the driver. None if
+    absent."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None
+    state = project_changelog(df, ["row", "bucket"], dataset.vocab)
+    return state.select("row", "bucket", "cnt")

@@ -108,3 +108,44 @@ def test_plan_shape(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_ledger_round_trip_and_incremental_merge(spark, tmp_path):
+    # commit day-1 sketch; day-2 arrives as a NEW slice only — merging
+    # the ledger state with the fresh partial must equal a from-scratch
+    # sketch of the full corpus (counter additivity through the CDC
+    # chain), and an as-of read reproduces day-1 exactly
+    from datetime import datetime, timezone
+
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.model_store import load_cms_sketch, save_cms_sketch
+
+    def _d(day):
+        return datetime(2024, 4, day, tzinfo=timezone.utc)
+
+    df = _mk(spark)
+    day1 = df.filter(F.col("doc_id") % 2 == 0)
+    day2 = df.filter(F.col("doc_id") % 2 == 1)
+    ds = Dataset.create(str(tmp_path), "cms", system_time=_d(1).isoformat())
+    save_cms_sketch(
+        spark, ds, cms_gram_sketch(day1, "text", n=2, depth=3, width=128),
+        system_time=_d(2), source_event_time=_d(2),
+    )
+    head_v1 = ds.chain.head().block_hash
+    merged = cms_merge(
+        load_cms_sketch(spark, ds),
+        cms_gram_sketch(day2, "text", n=2, depth=3, width=128),
+    )
+    save_cms_sketch(
+        spark, ds, merged, system_time=_d(3), source_event_time=_d(3),
+    )
+    whole = cms_gram_sketch(df, "text", n=2, depth=3, width=128)
+    final = load_cms_sketch(spark, ds)
+    assert final.exceptAll(whole).count() == 0
+    assert whole.exceptAll(final).count() == 0
+    # as-of the first commit: day-1's sketch, bit-for-bit
+    day1_sk = cms_gram_sketch(day1, "text", n=2, depth=3, width=128)
+    asof = load_cms_sketch(spark, ds, as_of=head_v1)
+    assert asof.exceptAll(day1_sk).count() == 0
+    assert day1_sk.exceptAll(asof).count() == 0
+    ds.chain.verify()
