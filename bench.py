@@ -101,6 +101,8 @@ EXTRA = [
     "embeddings_kcenter",
     "documents_leakage_split",
     "documents_corpus_drift",
+    # round-13 family
+    "documents_cms_heavy_hitters",
 ]
 
 
