@@ -149,3 +149,48 @@ def test_ledger_round_trip_and_incremental_merge(spark, tmp_path):
     assert asof.exceptAll(day1_sk).count() == 0
     assert day1_sk.exceptAll(asof).count() == 0
     ds.chain.verify()
+
+
+def test_streaming_incremental_sketch(spark, tmp_path):
+    # live-crawl occurrence telemetry: each micro-batch's partial
+    # sketch sums into the ledger state via foreachBatch; after the
+    # stream drains, the ledger sketch must equal a from-scratch batch
+    # sketch of everything seen — counter additivity doing real work
+    from datetime import datetime, timezone
+
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.model_store import load_cms_sketch, save_cms_sketch
+
+    df = _mk(spark)
+    src = str(tmp_path / "stream_src")
+    df.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    df.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    ds = Dataset.create(
+        str(tmp_path), "cms",
+        system_time=datetime(2024, 4, 1, tzinfo=timezone.utc).isoformat(),
+    )
+    state = {"n": 0}
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        part = cms_gram_sketch(batch_df, "text", n=2, depth=3, width=128)
+        prev = load_cms_sketch(batch_df.sparkSession, ds)
+        merged = part if prev is None else cms_merge(prev, part)
+        state["n"] += 1
+        t = datetime(2024, 4, 1 + state["n"], tzinfo=timezone.utc)
+        save_cms_sketch(
+            batch_df.sparkSession, ds, merged,
+            system_time=t, source_event_time=t,
+        )
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert state["n"] >= 1
+    final = load_cms_sketch(spark, ds)
+    whole = cms_gram_sketch(df, "text", n=2, depth=3, width=128)
+    assert final.exceptAll(whole).count() == 0
+    assert whole.exceptAll(final).count() == 0

@@ -94,7 +94,12 @@ class TestJoinStrategy:
          # over one scan; leakage split is an equi left join against
          # the cluster table + a stateless md5 assignment
          "documents_kmv_distinct", "embeddings_kcenter",
-         "documents_leakage_split"],
+         "documents_leakage_split",
+         # round-13: the CMS sketch is one fused Arrow pass + a bounded
+         # counter aggregate; the probe is a broadcast equi join over
+         # the depth-expanded candidate set (BroadcastNestedLoopJoin on
+         # the 4-row depth range is fine, CartesianProduct is not)
+         "documents_cms_heavy_hitters"],
     )
     def test_no_cartesian_products(self, spark, name):
         p = plan(spark, name)
