@@ -4883,6 +4883,50 @@ FROM nd LEFT JOIN ag USING (source)
 """
 
 
+def q_documents_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining (text.py:collocations): top-50 adjacent
+    word pairs by the exact-integer PMI surrogate
+    (n_pair * N * 1e6) DIV (n_w1 * n_w2) in DECIMAL(38,0), n_pair >= 5
+    — the word2phrase/multi-word-expression induction primitive.
+    Fully JVM-side: array-expression bigrams, two vocab-bounded count
+    aggregates, two equi joins, a 1-row broadcast N, and a top-k."""
+    from kamu_cli_spark.operators.text import collocations
+
+    return collocations(
+        load_table(spark, sf, "documents"), min_count=5, top_k=50
+    )
+
+
+O_COLLOCATIONS = r"""
+WITH words AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT unnest(w) AS word FROM words
+),
+ucnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM ucnt),
+g AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+pcnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM g GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.w1, p.w2, p.n_pair, a.n AS n_w1, b.n AS n_w2,
+       CAST((CAST(p.n_pair AS HUGEINT) * tot.nn * 1000000)
+            // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS assoc_e6
+FROM pcnt p
+JOIN ucnt a ON p.w1 = a.word
+JOIN ucnt b ON p.w2 = b.word
+CROSS JOIN tot
+ORDER BY assoc_e6 DESC, p.w1, p.w2
+LIMIT 50
+"""
+
+
 def q_documents_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min-sketch heavy-hitter audit
     (sketches.py:cms_gram_sketch/cms_probe): the top-10 exact bigram
@@ -5364,6 +5408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_vocab_coverage": q_documents_vocab_coverage,
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
+        # documents_collocations (NEW r13: exact-integer PMI phrase
+        # induction — no sibling anywhere) tails this round; first
+        # round-14 rotation candidate.
+        "documents_collocations": q_documents_collocations,
         "cumulative_revenue": q_cumulative_revenue,
         "events_json_props": q_events_json_props,
         "documents_gram_novelty": q_documents_gram_novelty,
@@ -5467,6 +5515,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_kmv_distinct": O_KMV_DISTINCT,
         "documents_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+        "documents_collocations": O_COLLOCATIONS,
         "embeddings_kcenter": _o_kcenter(),
         "documents_leakage_split": _o_leakage_split(),
         "documents_corpus_drift": O_CORPUS_DRIFT,

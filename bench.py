@@ -101,8 +101,9 @@ EXTRA = [
     "embeddings_kcenter",
     "documents_leakage_split",
     "documents_corpus_drift",
-    # round-13 family
+    # round-13 families
     "documents_cms_heavy_hitters",
+    "documents_collocations",
 ]
 
 

@@ -996,3 +996,78 @@ def source_lm_influence(
             (fam("ws") - fam("wl")).cast("long").alias("influence_e6"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """PMI collocation mining — the phrase-induction primitive behind
+    word2phrase-style tokenizer merges and multi-word-expression
+    vocabularies. Ranks adjacent word pairs by pointwise mutual
+    information; since ``log`` is monotone and the bigram total is a
+    per-corpus constant, the ranking is computed as the exact-integer
+    association score
+
+        assoc_e6 = (n_pair * N * 1e6)  DIV  (n_w1 * n_w2)
+
+    (N = total unigram tokens) in DECIMAL(38,0) — deterministic to the
+    bit in Spark, DuckDB (HUGEINT), and any ANSI engine; headroom to
+    ~1e13-token corpora with n_pair up to 1e9 before the 1e38 ceiling.
+    ``min_count`` floors n_pair (PMI's classic low-frequency
+    pathology: a pair seen once between two hapaxes maxes the score).
+
+    Plan shape (scale audit): fully JVM-side — tokenize/bigram via
+    array expressions under whole-stage codegen (no Python anywhere),
+    two map-side-combined count aggregates (vocab-bounded), two
+    vocab-sized equi joins to attach unigram counts, a 1-row broadcast
+    for N, and a TakeOrderedAndProject top-k. Nothing data-sized ever
+    reaches the driver.
+
+    Output: (w1, w2, n_pair, n_w1, n_w2, assoc_e6), top_k rows by
+    (assoc_e6 DESC, w1, w2).
+    """
+    toks = df.select(tokens(F.lower(F.col(text_col))).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("__N"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__t) >= 2 THEN transform("
+                    "sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "assoc_e6",
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * __N * 1000000)"
+                " DIV (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("assoc_e6"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(top_k)
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", "assoc_e6")
+    )
