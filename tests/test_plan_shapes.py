@@ -107,7 +107,13 @@ class TestJoinStrategy:
         assert "BatchEvalPython" not in p, name
 
     def test_dimensions_broadcast_in_q5(self, spark):
-        assert "BroadcastHashJoin" in plan(spark, "tpch_q5")
+        p = plan(spark, "tpch_q5")
+        assert "BroadcastHashJoin" in p
+        # one exchange per fact table is the floor (r13: the default
+        # plan shuffled orders TWICE — custkey then orderkey; the
+        # customer-dim broadcast removed the custkey exchange). Allow
+        # the two fact-side orderkey exchanges + the final agg.
+        assert p.count("Exchange hashpartitioning") <= 3, p
 
     def test_snapshot_cdc_full_outer_is_sort_merge(self, spark):
         # broadcast is semantically impossible for full outer — the
