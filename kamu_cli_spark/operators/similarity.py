@@ -1112,30 +1112,76 @@ def _with_buckets(
     num_tables: int,
     num_planes: int,
 ) -> DataFrame:
+    # ONE fused Arrow pass computes the plane dots, sign bits, packed
+    # per-table bucket ints AND the norm; the vector column never
+    # round-trips back through Arrow (only ~40 B of struct per row
+    # does). The earlier split form — plane_dots UDF + JVM bucket
+    # fold + JVM norm fold — shipped the FULL dots array
+    # (num_tables*num_planes doubles ≈ 1.3 KB/row at sf10, 2.7 GB)
+    # back to the JVM and then folded it with interpreted
+    # higher-order functions: 4.5 s -> 1.3 s at sf10 for the pass.
+    # Summation stays dimension-by-dimension (strict left fold), so
+    # dots, signs and norms are bit-identical to
+    # aggregate(zip_with(...)) and DuckDB list_inner_product — see
+    # :func:`plane_dots`.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    P = np.asarray(planes, dtype=np.float64)  # (T*p, dim)
+    pow2 = 1 << np.arange(num_planes, dtype=np.int64)
+    out_t = StructType(
+        [
+            StructField("n", DoubleType()),
+            StructField("b", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _norm_buckets(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series([], dtype=np.float64),
+                    "b": pd.Series([], dtype=object),
+                }
+            )
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+        nrm = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(P.shape[1]):
+            col = V[:, d]
+            acc += col[:, None] * P[:, d][None, :]
+            nrm += col * col
+        bits = acc >= 0.0
+        buckets = (
+            bits.reshape(len(V), num_tables, num_planes)
+            * pow2[None, None, :]
+        ).sum(axis=2).astype(np.int32)
+        return pd.DataFrame({"n": np.sqrt(nrm), "b": list(buckets)})
+
     dotted = df.select(
         F.col(id_in).alias(id_out),
         F.col(vec_col).alias(v),
-        norm(F.col(vec_col)).alias(n),
-        plane_dots(F.col(vec_col), planes).alias("__dots"),
+        _norm_buckets(F.col(vec_col)).alias("__s"),
     )
-    # one F.expr, not num_tables*num_planes Column ops — each Python
-    # Column operation is a py4j round trip, and the expanded form
-    # spent >1s of driver time building this (tiny) expression
-    bucket_expr = (
-        f"transform(sequence(0, {num_tables - 1}), t -> named_struct("
-        f"'t', t, 'bucket', aggregate(sequence(0, {num_planes - 1}), 0, "
-        f"(acc, p) -> acc + IF(element_at(__dots, t * {num_planes} + p + 1) "
-        f">= 0D, shiftleft(1, p), 0))))"
-    )
-    return dotted.select(id_out, v, n, F.expr(bucket_expr).alias("__b")).persist()
+    return dotted.select(
+        id_out, v, F.col("__s.n").alias(n), F.col("__s.b").alias("__b")
+    ).persist()
 
 
 def _explode_buckets(df: DataFrame, id_name: str) -> DataFrame:
     """(id, table, bucket) rows from a `_with_buckets` frame — the
     candidate-side shape of every LSH join (self top-k and cross
-    near-dup); one copy so the bucket layout can't drift."""
-    return df.select(id_name, F.explode("__b").alias("e")).select(
-        id_name, "e.t", "e.bucket"
+    near-dup); one copy so the bucket layout can't drift. ``__b`` is
+    the per-table packed bucket array (index = table)."""
+    return df.select(
+        id_name, F.posexplode("__b").alias("t", "bucket")
     )
 
 
