@@ -293,7 +293,15 @@ def cms_probe(
     est = min over rows of counter[bucket_r(gram)], entirely IN-PLAN
     (no driver artifact): probes x depth bucket expressions, one
     broadcast-friendly equi join against the bounded sketch, a
-    min aggregate. Probe grams the corpus never saw estimate 0."""
+    min aggregate. Probe grams the corpus never saw estimate 0.
+    Probe columns ride through to the output; the names ``cnt``,
+    ``__r`` and ``__bucket`` are reserved for the join plumbing."""
+    reserved = {"cnt", "__r", "__bucket"} & set(probes.columns)
+    if reserved:
+        raise ValueError(
+            f"cms_probe: probe columns {sorted(reserved)} collide with "
+            "the sketch-join plumbing; rename them first"
+        )
     rows = F.broadcast(
         sketch.sparkSession.range(depth).select(F.col("id").alias("__r"))
     )

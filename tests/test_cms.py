@@ -194,3 +194,12 @@ def test_streaming_incremental_sketch(spark, tmp_path):
     whole = cms_gram_sketch(df, "text", n=2, depth=3, width=128)
     assert final.exceptAll(whole).count() == 0
     assert whole.exceptAll(final).count() == 0
+
+
+def test_probe_reserved_columns_raise(spark):
+    import pytest
+
+    sk = cms_gram_sketch(_mk(spark), "text", n=2, depth=2, width=64)
+    bad = spark.createDataFrame([("x y", 1)], "gram string, cnt long")
+    with pytest.raises(ValueError, match="reserved|collide"):
+        cms_probe(sk, bad, depth=2, width=64)
