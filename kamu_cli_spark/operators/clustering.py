@@ -990,6 +990,8 @@ def kcenter_select_batch(
         raise ValueError("kcenter_select_batch: k must be >= 1")
     if ell is None:
         ell = min(2048, max(64, 4 * k))
+    elif ell < 1:
+        raise ValueError("kcenter_select_batch: ell must be >= 1")
     q = df.select(
         F.col(id_col).alias("id"), quantize_e6(vec_col).alias("__qe")
     ).persist()

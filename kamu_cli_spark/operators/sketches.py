@@ -215,6 +215,11 @@ def cms_gram_sketch(
     import numpy as np
     import pandas as pd
 
+    if n < 1 or depth < 1 or width < 1:
+        raise ValueError(
+            f"cms_gram_sketch: n/depth/width must be >= 1 "
+            f"(got n={n}, depth={depth}, width={width})"
+        )
     ws = re.compile(r"\s+", re.ASCII)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -203,3 +203,12 @@ def test_probe_reserved_columns_raise(spark):
     bad = spark.createDataFrame([("x y", 1)], "gram string, cnt long")
     with pytest.raises(ValueError, match="reserved|collide"):
         cms_probe(sk, bad, depth=2, width=64)
+
+
+def test_invalid_params_raise(spark):
+    import pytest
+
+    df = _mk(spark)
+    for kw in ({"n": 0}, {"depth": 0}, {"width": 0}):
+        with pytest.raises(ValueError, match=">= 1"):
+            cms_gram_sketch(df, "text", **kw)

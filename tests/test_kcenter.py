@@ -136,3 +136,11 @@ def test_batch_variant_k_exceeding_n(spark):
         for r in kcenter_select_batch(df, k=12, ell=4).orderBy("rank").collect()
     ]
     assert a == b
+
+
+def test_batch_variant_invalid_ell_raises(spark):
+    from kamu_cli_spark.operators.clustering import kcenter_select_batch
+
+    df, _ = _mk(spark, n=10)
+    with pytest.raises(ValueError, match="ell"):
+        kcenter_select_batch(df, k=3, ell=0)
