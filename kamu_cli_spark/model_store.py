@@ -451,7 +451,8 @@ def save_kmv_sketch(
     sketch: DataFrame,
     system_time: Any = None,
     source_event_time: Any = None,
-) -> dict:
+    if_empty: str = "raise",
+) -> dict | None:
     """Commit a KMV distinct sketch
     (:func:`~kamu_cli_spark.operators.sketches.kmv_shingle_sketch`
     output) as one snapshot poll of `dataset` (PK = (source, u) — a
@@ -461,7 +462,17 @@ def save_kmv_sketch(
     ledger state unions with today's partial via
     :func:`~kamu_cli_spark.operators.sketches.kmv_merge` without
     rescanning yesterday's corpus, and as-of reads answer "how diverse
-    was this source LAST month" from the chain alone."""
+    was this source LAST month" from the chain alone.
+
+    ``if_empty`` controls the empty-sketch case: ``"raise"`` (default,
+    the batch contract — an empty re-sketch is almost always a caller
+    bug) or ``"skip"`` — return None without committing, the mode a
+    streaming foreachBatch sink MUST use: a micro-batch of
+    shingle-free docs yields an empty partial, and raising inside
+    foreachBatch kills the whole stream (the round-13 flaky-test
+    mechanism; tests/test_kmv_sketch.py pins the guard)."""
+    if if_empty not in ("raise", "skip"):
+        raise ValueError(f"if_empty must be 'raise' or 'skip', got {if_empty!r}")
     cols = set(sketch.columns)
     if cols != {"source", "u"}:
         raise ValueError(f"expected (source, u) sketch rows, got {sorted(cols)}")
@@ -472,6 +483,8 @@ def save_kmv_sketch(
     # concurrently replacing (tests/test_kmv_sketch.py pins this)
     sketch = sketch.select("source", "u").localCheckpoint(eager=True)
     if not sketch.head(1):
+        if if_empty == "skip":
+            return None
         raise ValueError("refusing to commit an empty sketch")
     w = DataWriter(dataset, MergeStrategySnapshot(["source", "u"]))
     return w.write(
@@ -504,7 +517,8 @@ def save_cms_sketch(
     sketch: DataFrame,
     system_time: Any = None,
     source_event_time: Any = None,
-) -> dict:
+    if_empty: str = "raise",
+) -> dict | None:
     """Commit a count-min sketch
     (:func:`~kamu_cli_spark.operators.sketches.cms_gram_sketch`
     output) as one snapshot poll of `dataset` (PK = (row, bucket),
@@ -513,7 +527,17 @@ def save_cms_sketch(
     dataset: yesterday's ledger state sums with today's partial via
     :func:`~kamu_cli_spark.operators.sketches.cms_merge` without
     rescanning yesterday's corpus, and as-of reads answer "how often
-    did this gram occur THROUGH last month" from the chain alone."""
+    did this gram occur THROUGH last month" from the chain alone.
+
+    ``if_empty``: ``"raise"`` (default, batch contract) or ``"skip"``
+    — return None without committing. Streaming foreachBatch sinks
+    MUST use ``"skip"``: a micro-batch containing only gram-free docs
+    yields an empty partial sketch, and raising inside foreachBatch
+    kills the stream (the round-13 flaky-test mechanism;
+    tests/test_cms.py pins the guard with a forced gram-free first
+    micro-batch)."""
+    if if_empty not in ("raise", "skip"):
+        raise ValueError(f"if_empty must be 'raise' or 'skip', got {if_empty!r}")
     cols = set(sketch.columns)
     if cols != {"row", "bucket", "cnt"}:
         raise ValueError(
@@ -524,6 +548,8 @@ def save_cms_sketch(
     # written
     sketch = sketch.select("row", "bucket", "cnt").localCheckpoint(eager=True)
     if not sketch.head(1):
+        if if_empty == "skip":
+            return None
         raise ValueError("refusing to commit an empty sketch")
     w = DataWriter(dataset, MergeStrategySnapshot(["row", "bucket"]))
     return w.write(

@@ -151,11 +151,30 @@ def test_ledger_round_trip_and_incremental_merge(spark, tmp_path):
     ds.chain.verify()
 
 
+def _one_file_write(df, path, mode="error"):
+    """Write df as exactly ONE parquet data file; return its path."""
+    import glob
+    import os
+
+    before = set(glob.glob(os.path.join(path, "*.parquet")))
+    df.coalesce(1).write.mode(mode).parquet(path)
+    new = set(glob.glob(os.path.join(path, "*.parquet"))) - before
+    assert len(new) == 1
+    return new.pop()
+
+
 def test_streaming_incremental_sketch(spark, tmp_path):
     # live-crawl occurrence telemetry: each micro-batch's partial
     # sketch sums into the ledger state via foreachBatch; after the
     # stream drains, the ledger sketch must equal a from-scratch batch
-    # sketch of everything seen — counter additivity doing real work
+    # sketch of everything seen — counter additivity doing real work.
+    # The FIRST micro-batch is FORCED (via file mtimes — the file
+    # source processes oldest-first) to contain only gram-free docs,
+    # so its partial sketch is empty and the sink's if_empty="skip"
+    # guard is exercised, not dodged: without it, save_cms_sketch
+    # raises inside foreachBatch and kills the stream (the round-13
+    # order-dependent flake).
+    import os
     from datetime import datetime, timezone
 
     from kamu_cli_spark.dataset import Dataset
@@ -163,13 +182,17 @@ def test_streaming_incremental_sketch(spark, tmp_path):
 
     df = _mk(spark)
     src = str(tmp_path / "stream_src")
-    df.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
-    df.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    gram_free = df.filter(F.col("doc_id").isin(4, 5))  # "", "single"
+    grammy = df.filter(~F.col("doc_id").isin(4, 5))
+    f1 = _one_file_write(gram_free, src)
+    f2 = _one_file_write(grammy, src, mode="append")
+    os.utime(f1, (1_000_000_000, 1_000_000_000))  # strictly oldest
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
     ds = Dataset.create(
         str(tmp_path), "cms",
         system_time=datetime(2024, 4, 1, tzinfo=timezone.utc).isoformat(),
     )
-    state = {"n": 0}
+    state = {"committed": 0, "skipped": 0}
 
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -177,23 +200,63 @@ def test_streaming_incremental_sketch(spark, tmp_path):
         part = cms_gram_sketch(batch_df, "text", n=2, depth=3, width=128)
         prev = load_cms_sketch(batch_df.sparkSession, ds)
         merged = part if prev is None else cms_merge(prev, part)
-        state["n"] += 1
-        t = datetime(2024, 4, 1 + state["n"], tzinfo=timezone.utc)
-        save_cms_sketch(
-            batch_df.sparkSession, ds, merged,
-            system_time=t, source_event_time=t,
+        t = datetime(
+            2024, 4, 2 + state["committed"], tzinfo=timezone.utc
         )
+        res = save_cms_sketch(
+            batch_df.sparkSession, ds, merged,
+            system_time=t, source_event_time=t, if_empty="skip",
+        )
+        state["committed" if res is not None else "skipped"] += 1
 
     stream = spark.readStream.schema(df.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination(180)
-    assert state["n"] >= 1
+    # the gram-free first batch must have hit the skip guard, and the
+    # grammy batch must have committed
+    assert state["skipped"] >= 1
+    assert state["committed"] >= 1
     final = load_cms_sketch(spark, ds)
     whole = cms_gram_sketch(df, "text", n=2, depth=3, width=128)
     assert final.exceptAll(whole).count() == 0
     assert whole.exceptAll(final).count() == 0
+
+
+def test_save_empty_sketch_raise_vs_skip(spark, tmp_path):
+    # batch contract: empty sketch raises by default, skips (returns
+    # None, no commit) with if_empty="skip"; bad mode rejected
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from kamu_cli_spark.dataset import Dataset
+    from kamu_cli_spark.model_store import load_cms_sketch, save_cms_sketch
+
+    empty = cms_gram_sketch(
+        _mk(spark, [(0, ""), (1, "single")]), "text", n=2, depth=3, width=128
+    )
+    t = datetime(2024, 4, 2, tzinfo=timezone.utc)
+    ds = Dataset.create(
+        str(tmp_path), "cms",
+        system_time=datetime(2024, 4, 1, tzinfo=timezone.utc).isoformat(),
+    )
+    with pytest.raises(ValueError, match="empty sketch"):
+        save_cms_sketch(spark, ds, empty, system_time=t, source_event_time=t)
+    assert (
+        save_cms_sketch(
+            spark, ds, empty, system_time=t, source_event_time=t,
+            if_empty="skip",
+        )
+        is None
+    )
+    assert load_cms_sketch(spark, ds) is None  # nothing committed
+    with pytest.raises(ValueError, match="if_empty"):
+        save_cms_sketch(
+            spark, ds, empty, system_time=t, source_event_time=t,
+            if_empty="maybe",
+        )
 
 
 def test_probe_reserved_columns_raise(spark):
