@@ -189,12 +189,31 @@ def asof_join_broadcast(
     if prune_right_by_left_keys:
         keys = F.broadcast(left.select(*on).distinct())
         right = right.join(keys, on, "left_semi")
+    # pandas conversion folds SQL NULL and real float NaN into the
+    # same NaN, but the union+window path orders them OPPOSITELY
+    # (null first, NaN greater than every value) — so genuine NaN
+    # event times are detected JVM-side (where isnan still sees the
+    # difference) and rejected rather than silently diverging
+    # between the two physically-equivalent paths (ADVICE r13).
+    # Same trap for integral time columns: a null forces the int64 ->
+    # float64 round-trip, which is lossy past 2^53 — checked
+    # post-collect on the bounded frame and in-kernel per batch.
+    t_sql = {f.name: f.dataType.simpleString() for f in right.schema.fields}[
+        right_time
+    ]
+    lt_sql = {f.name: f.dataType.simpleString() for f in left.schema.fields}[
+        left_time
+    ]
+    FLOATS, INTS = ("float", "double"), ("tinyint", "smallint", "int", "bigint")
+    probe_cols = [*on, right_time, *right_values]
+    if t_sql in FLOATS:
+        probe_cols.append(F.isnan(F.col(right_time)).alias("__tnan"))
     # guard and collect in ONE job: pull at most max_right_rows + 1
     # rows — the limit stops the transfer before an unbounded right
     # side can reach the driver, and the sentinel row proves the
     # overflow without a separate count() evaluation of the pipeline
     rp = (
-        right.select(*on, right_time, *right_values)
+        right.select(*probe_cols)
         .limit(max_right_rows + 1)
         .toPandas()
     )
@@ -204,6 +223,26 @@ def asof_join_broadcast(
             f"{max_right_rows} — it is not a bounded dimension; use "
             f"asof_join (union+window) or prune_right_by_left_keys=True"
         )
+    if "__tnan" in rp.columns:
+        if rp["__tnan"].fillna(False).astype(bool).any():
+            raise ValueError(
+                f"asof_join_broadcast: right time column {right_time!r} "
+                "contains real NaN values (distinct from SQL NULL) — the "
+                "kernel cannot order them consistently with the "
+                "union+window path; filter or NULL them first"
+            )
+        rp = rp.drop(columns="__tnan")
+    if t_sql in INTS:
+        arr = rp[right_time].to_numpy()
+        if arr.dtype.kind == "f":
+            vals = arr[~np.isnan(arr)]
+            if len(vals) and np.abs(vals).max() > 2.0**53:
+                raise ValueError(
+                    f"asof_join_broadcast: nullable integer time column "
+                    f"{right_time!r} has magnitudes beyond 2^53 — the "
+                    "null forces a lossy int64->float64 round-trip; "
+                    "cast to timestamp or drop the nulls first"
+                )
     # nulls FIRST to match the window path's asc_nulls_first ordering:
     # a null right_time acts as the earliest fallback row. The default
     # na_position='last' would leave the per-key times array unsorted
@@ -213,9 +252,10 @@ def asof_join_broadcast(
     def _times64(series: pd.Series) -> "np.ndarray":
         # datetime columns compare as int64 ns (NaT -> int64 min, i.e.
         # sorts first, matching asof_join's asc_nulls_first); float
-        # NaN -> -inf for the same reason; other numeric event times
-        # pass through as-is (searchsorted only needs a total order
-        # shared by both sides)
+        # NaN -> -inf for the same reason — safe because real NaN
+        # values were rejected JVM-side above, so any NaN here IS a
+        # SQL NULL; other numeric event times pass through as-is
+        # (searchsorted only needs a total order shared by both sides)
         arr = series.to_numpy()
         if arr.dtype.kind == "M":
             return arr.astype("datetime64[ns]").astype("int64")
@@ -266,6 +306,28 @@ def asof_join_broadcast(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # same NaN / 2^53 hazards as the right side, per batch
+            # (the __lnan flag is computed JVM-side where NULL and
+            # NaN are still distinguishable)
+            if "__lnan" in pdf.columns:
+                if pdf["__lnan"].fillna(False).astype(bool).any():
+                    raise ValueError(
+                        f"asof_join_broadcast: left time column "
+                        f"{left_time!r} contains real NaN values "
+                        "(distinct from SQL NULL); filter or NULL "
+                        "them first"
+                    )
+            if lt_sql in INTS:
+                la = pdf[left_time].to_numpy()
+                if la.dtype.kind == "f":
+                    lv = la[~np.isnan(la)]
+                    if len(lv) and np.abs(lv).max() > 2.0**53:
+                        raise ValueError(
+                            f"asof_join_broadcast: nullable integer "
+                            f"time column {left_time!r} has magnitudes "
+                            "beyond 2^53 — lossy int64->float64 "
+                            "round-trip"
+                        )
             t64 = _times64(pdf[left_time])
             res = {c: np.empty(len(pdf), dtype=object) for c in right_values}
             for key, gidx in pdf.groupby(list(on), dropna=False).indices.items():
@@ -288,7 +350,10 @@ def asof_join_broadcast(
             out.columns = out_names
             yield out
 
-    src = left.select(*on, left_time, *left_extra)
+    src_cols = [*on, left_time, *left_extra]
+    if lt_sql in FLOATS:
+        src_cols.append(F.isnan(F.col(left_time)).alias("__lnan"))
+    src = left.select(*src_cols)
     return spread(src).mapInPandas(kernel, out_schema)
 
 

@@ -130,6 +130,14 @@ def bm25_score(
         raise ValueError(f"bm25: unknown idf_mode {idf_mode!r}")
     use_ln = idf_mode == "ln"
     n_docs, s_tokens = int(stats["n_docs"]), int(stats["s_tokens"])
+    if use_ln and s_tokens == 0:
+        # a stats artifact fitted on an empty / all-empty-text corpus:
+        # avgdl is undefined (the exact_int path only divides lazily
+        # for docs that have tokens, so it never trips this)
+        raise ValueError(
+            "bm25: idf_mode='ln' needs corpus stats with s_tokens > 0 "
+            "(avgdl undefined on an empty or all-empty-text corpus)"
+        )
     if use_ln:
         idf = {
             t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))

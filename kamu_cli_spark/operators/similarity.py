@@ -1144,26 +1144,33 @@ def _with_buckets(
 
     @pandas_udf(out_t)
     def _norm_buckets(vs: pd.Series) -> pd.DataFrame:
-        if len(vs) == 0:
-            return pd.DataFrame(
-                {
-                    "n": pd.Series([], dtype=np.float64),
-                    "b": pd.Series([], dtype=object),
-                }
+        # null vectors emit a null-fielded struct (norm null, buckets
+        # null) so they flow through like the replaced JVM norm/bucket
+        # expressions did — posexplode then drops them from candidate
+        # generation — instead of crashing np.stack (ADVICE r13)
+        valid = np.fromiter(
+            (x is not None for x in vs), dtype=bool, count=len(vs)
+        )
+        n_out = pd.Series([None] * len(vs), dtype=object)
+        b_out = pd.Series([None] * len(vs), dtype=object)
+        if valid.any():
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in vs[valid]]
             )
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
-        acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
-        nrm = np.zeros(V.shape[0], dtype=np.float64)
-        for d in range(P.shape[1]):
-            col = V[:, d]
-            acc += col[:, None] * P[:, d][None, :]
-            nrm += col * col
-        bits = acc >= 0.0
-        buckets = (
-            bits.reshape(len(V), num_tables, num_planes)
-            * pow2[None, None, :]
-        ).sum(axis=2).astype(np.int32)
-        return pd.DataFrame({"n": np.sqrt(nrm), "b": list(buckets)})
+            acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+            nrm = np.zeros(V.shape[0], dtype=np.float64)
+            for d in range(P.shape[1]):
+                col = V[:, d]
+                acc += col[:, None] * P[:, d][None, :]
+                nrm += col * col
+            bits = acc >= 0.0
+            buckets = (
+                bits.reshape(len(V), num_tables, num_planes)
+                * pow2[None, None, :]
+            ).sum(axis=2).astype(np.int32)
+            n_out.iloc[np.flatnonzero(valid)] = list(np.sqrt(nrm))
+            b_out.iloc[np.flatnonzero(valid)] = list(buckets)
+        return pd.DataFrame({"n": n_out, "b": b_out})
 
     dotted = df.select(
         F.col(id_in).alias(id_out),

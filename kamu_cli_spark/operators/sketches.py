@@ -293,6 +293,7 @@ def cms_probe(
     gram_col: str = "gram",
     depth: int = 4,
     width: int = 4096,
+    validate: bool = True,
 ) -> DataFrame:
     """Estimate each probe gram's occurrence count from the sketch:
     est = min over rows of counter[bucket_r(gram)], entirely IN-PLAN
@@ -300,13 +301,42 @@ def cms_probe(
     broadcast-friendly equi join against the bounded sketch, a
     min aggregate. Probe grams the corpus never saw estimate 0.
     Probe columns ride through to the output; the names ``cnt``,
-    ``__r`` and ``__bucket`` are reserved for the join plumbing."""
+    ``__r`` and ``__bucket`` are reserved for the join plumbing.
+
+    ``validate`` (default True) runs one bounded aggregate over the
+    (<= depth x width row) sketch and raises if depth/width disagree
+    with its actual geometry: probing a depth-d sketch with a larger
+    depth makes the extra rows miss the join and min() silently
+    return 0 — INVERTING the never-undercount guarantee — and a width
+    mismatch rehashes grams into the wrong buckets. Every gram
+    increments one counter per row, so any non-empty sketch has mass
+    in all rows: max(row)+1 == true depth. Width can only be bounded
+    from below (max(bucket) < width is necessary, not sufficient), so
+    an equal-width contract remains on the caller; pass
+    ``validate=False`` only in hot loops that already checked once."""
     reserved = {"cnt", "__r", "__bucket"} & set(probes.columns)
     if reserved:
         raise ValueError(
             f"cms_probe: probe columns {sorted(reserved)} collide with "
             "the sketch-join plumbing; rename them first"
         )
+    if validate:
+        geo = sketch.agg(
+            F.max("row").alias("mr"), F.max("bucket").alias("mb")
+        ).head()
+        if geo["mr"] is not None:  # empty sketch = sketch of empty corpus
+            if int(geo["mr"]) + 1 != depth:
+                raise ValueError(
+                    f"cms_probe: depth={depth} but the sketch has "
+                    f"{int(geo['mr']) + 1} counter rows — probing with "
+                    "the wrong depth silently undercounts"
+                )
+            if int(geo["mb"]) >= width:
+                raise ValueError(
+                    f"cms_probe: width={width} but the sketch has a "
+                    f"bucket index {int(geo['mb'])} — width mismatch "
+                    "rehashes grams into the wrong buckets"
+                )
     rows = F.broadcast(
         sketch.sparkSession.range(depth).select(F.col("id").alias("__r"))
     )

@@ -288,3 +288,73 @@ def test_null_right_time_strict(spark):
         left, right, on=["k"], left_time="t", right_time="rt", strict=True
     )
     assert out.collect()[0]["v"] == 7
+
+
+def test_real_nan_time_rejected_both_sides(spark):
+    # ADVICE r13: pandas folds SQL NULL and real float NaN into the
+    # same NaN, but the window path orders them oppositely (null
+    # first, NaN last) — real NaN in a double time column is now
+    # rejected JVM-side instead of silently diverging between paths
+    import pytest
+
+    nan = float("nan")
+    left_ok = spark.createDataFrame([(1, 5.0)], "k int, t double")
+    right_nan = spark.createDataFrame(
+        [(1, nan, 7), (1, 1.0, 1)], "k int, rt double, v int"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        asof_join_broadcast(
+            left_ok, right_nan, on=["k"], left_time="t", right_time="rt"
+        )
+    left_nan = spark.createDataFrame([(1, nan), (1, 5.0)], "k int, t double")
+    right_ok = spark.createDataFrame([(1, 1.0, 1)], "k int, rt double, v int")
+    with pytest.raises(Exception, match="NaN"):
+        asof_join_broadcast(
+            left_nan, right_ok, on=["k"], left_time="t", right_time="rt"
+        ).collect()
+    # SQL NULL double times stay fine and both paths agree
+    left_null = spark.createDataFrame(
+        [(1, None), (1, 5.0)], "k int, t double"
+    )
+    right_null = spark.createDataFrame(
+        [(1, None, 9), (1, 1.0, 1)], "k int, rt double, v int"
+    )
+    _both_equal(
+        left_null, right_null, on=["k"], left_time="t", right_time="rt"
+    )
+
+
+def test_nullable_bigint_time_past_2p53_rejected(spark):
+    # ADVICE r13: a null in an integer time column forces the pandas
+    # int64->float64 round-trip, lossy past 2^53 — rejected up front
+    import pytest
+
+    big = (1 << 53) + 3
+    left = spark.createDataFrame([(1, 5)], "k int, t bigint")
+    right = spark.createDataFrame(
+        [(1, None, 0), (1, big, 1)], "k int, rt bigint, v int"
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        asof_join_broadcast(
+            left, right, on=["k"], left_time="t", right_time="rt"
+        )
+    # the left-side check is per Arrow batch — the lossy float64
+    # conversion only happens in batches that contain BOTH a null and
+    # a big value, so interleave enough of each that every partition
+    # sees both after spread()'s round-robin repartition
+    left_bad = spark.createDataFrame(
+        [(1, None if i % 2 else big) for i in range(2000)], "k int, t bigint"
+    )
+    right_ok = spark.createDataFrame([(1, 1, 1)], "k int, rt bigint, v int")
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join_broadcast(
+            left_bad, right_ok, on=["k"], left_time="t", right_time="rt"
+        ).collect()
+    # nulls with magnitudes inside 2^53 remain fine and bit-identical
+    left_ok = spark.createDataFrame([(1, None), (1, 5)], "k int, t bigint")
+    right_small = spark.createDataFrame(
+        [(1, None, 9), (1, 1, 1)], "k int, rt bigint, v int"
+    )
+    _both_equal(
+        left_ok, right_small, on=["k"], left_time="t", right_time="rt"
+    )

@@ -275,3 +275,26 @@ def test_invalid_params_raise(spark):
     for kw in ({"n": 0}, {"depth": 0}, {"width": 0}):
         with pytest.raises(ValueError, match=">= 1"):
             cms_gram_sketch(df, "text", **kw)
+
+
+def test_probe_geometry_mismatch_raises(spark):
+    # ADVICE r13: probing with depth > sketch depth made the extra
+    # rows miss the left join and min() return 0 — silently inverting
+    # never-undercount; width below the sketch's max bucket rehashes
+    # grams into the wrong buckets. Both now raise up front.
+    import pytest
+
+    sk = cms_gram_sketch(_mk(spark), "text", n=2, depth=3, width=4096)
+    probes = spark.createDataFrame([("the quick",)], "gram string")
+    with pytest.raises(ValueError, match="depth"):
+        cms_probe(sk, probes, depth=4, width=4096)
+    with pytest.raises(ValueError, match="width"):
+        cms_probe(sk, probes, depth=3, width=8)
+    # validate=False restores the unchecked hot path
+    cms_probe(sk, probes, depth=4, width=4096, validate=False).collect()
+    # empty sketch: any geometry is fine, estimates are 0
+    empty = cms_gram_sketch(
+        _mk(spark, [(0, "")]), "text", n=2, depth=3, width=4096
+    )
+    got = cms_probe(empty, probes, depth=4, width=64).collect()
+    assert got[0]["est_cnt"] == 0

@@ -277,3 +277,24 @@ WHERE rn <= 10
         grn, gh, gs = got[key]
         assert (grn, gh) == (rn, h), (key, got[key], want[key])
         assert gs == pytest.approx(s, rel=1e-9)
+
+
+def test_bm25_ln_empty_corpus_stats_raises(spark):
+    from kamu_cli_spark.operators.retrieval import bm25_score
+    # ADVICE r13: idf_mode='ln' computes avgdl eagerly at the driver;
+    # stats fitted on an all-empty-text corpus (s_tokens == 0) must
+    # raise a clear ValueError, not ZeroDivisionError
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    stats = {"n_docs": 3, "s_tokens": 0, "dfreq": {"x": 1}}
+    with pytest.raises(ValueError, match="s_tokens"):
+        bm25_score(df, [(0, ["x"])], stats, idf_mode="ln")
+    # the exact_int path only divides lazily for docs with tokens and
+    # keeps working (empty-text docs emit nothing)
+    assert (
+        bm25_score(
+            spark.createDataFrame([(0, "")], "doc_id long, text string"),
+            [(0, ["x"])],
+            stats,
+        ).count()
+        == 0
+    )
