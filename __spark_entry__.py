@@ -126,6 +126,11 @@ LIMIT 10
 """
 
 
+# Catalyst-stats bar for q5's customer-dim broadcast (see q_tpch_q5):
+# the probe is the 2-column customer scan estimate, ~93 MB at sf100.
+_Q5_DIM_MAX_BYTES = 128 * 1024 * 1024
+
+
 def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     r = load_table(spark, sf, "region")
     n = load_table(spark, sf, "nation")
@@ -138,15 +143,24 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     # shuffling on custkey (Catalyst's default plan exchanged
     # orders-shaped data TWICE — once on custkey for the customer SMJ,
     # once on orderkey for the lineitem SMJ). One exchange per fact
-    # table is the floor and this hint reaches it: sf10 12.7 -> 8.4 s,
+    # table is the floor and the hint reaches it: sf10 12.7 -> 8.4 s,
     # sf1 3.3 -> 2.1 s, sf0.1 unchanged (interleaved A/B r13). The
     # projection is ~24 B/customer — a 15 M-customer sf100 corpus
-    # broadcasts ~360 MB, still inside Spark's limits; past that a
-    # planner should drop the hint and take the custkey exchange.
-    dim = F.broadcast(
+    # broadcasts ~360 MB, still inside Spark's limits. The hint is
+    # COST-BASED (r14, VERDICT r13 #4): broadcast_if_small probes the
+    # column-pruned CUSTOMER scan (the only dim input that grows with
+    # sf; the join plan's own stats are a useless child-product) and
+    # drops the hint past _Q5_DIM_MAX_BYTES — ~93 KB at sf0.1, ~93 MB
+    # at sf100, so the 128 MB bar keeps the measured win through sf100
+    # and auto-falls back to the custkey exchange beyond.
+    from kamu_cli_spark.operators.util import broadcast_if_small
+
+    dim = broadcast_if_small(
         r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
         .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "c_nationkey", "n_name")
+        .select("c_custkey", "c_nationkey", "n_name"),
+        _Q5_DIM_MAX_BYTES,
+        probe=c.select("c_custkey", "c_nationkey"),
     )
     return (
         o.join(dim, F.col("o_custkey") == F.col("c_custkey"))

@@ -115,6 +115,25 @@ class TestJoinStrategy:
         # the two fact-side orderkey exchanges + the final agg.
         assert p.count("Exchange hashpartitioning") <= 3, p
 
+    def test_q5_dim_broadcast_is_cost_based(self, spark, monkeypatch):
+        # VERDICT r13 #4: the hint must drop ITSELF past the
+        # documented bound. Disable Catalyst's own auto-broadcast so
+        # the hint is the only broadcast source (at sf0.001 everything
+        # auto-broadcasts and would mask the fallback): with the bar
+        # forced below the customer scan estimate the custkey hash
+        # exchange returns; with the real bar the hint still fires.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hinted = plan(spark, "tpch_q5")
+            assert "BroadcastHashJoin" in hinted
+            assert "hashpartitioning(o_custkey" not in hinted
+            monkeypatch.setattr(entry, "_Q5_DIM_MAX_BYTES", 1)
+            dropped = plan(spark, "tpch_q5")
+            assert "hashpartitioning(o_custkey" in dropped, dropped
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     def test_snapshot_cdc_full_outer_is_sort_merge(self, spark):
         # broadcast is semantically impossible for full outer — the
         # planner must pick SMJ/shuffled-hash, never nested-loop
