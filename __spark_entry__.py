@@ -4714,6 +4714,98 @@ WHERE rn <= 5
 O_BM25 = _o_bm25()
 
 
+def q_documents_bm25_ln(spark: SparkSession, sf: str) -> DataFrame:
+    """Standard ln-idf BM25 (retrieval.py:bm25_score idf_mode='ln',
+    Lucene-smoothed log idf, float k1=1.2/b=0.75) top-5 per query —
+    the multi-term-faithful mode VERDICT r13 #5 asked for a graded
+    row on. Float scores can't bitwise-hash across engines, so the
+    score is rounded to e6 (floor(x*1e6+0.5), the covariance-eigh
+    precedent) and the ranking runs over the ROUNDED integer in both
+    engines, removing float-order ties from the comparison; residual
+    cross-engine risk is a score landing within ~1 ulp of a rounding
+    boundary. Same plan shape as documents_bm25: stats pass + ONE
+    stateless Arrow scoring kernel + the (query, doc) window."""
+    from kamu_cli_spark.operators.retrieval import (
+        bm25_corpus_stats,
+        bm25_score,
+    )
+
+    d = load_table(spark, sf, "documents")
+    stats = bm25_corpus_stats(d, _BM25_QUERIES)
+    sc = bm25_score(d, _BM25_QUERIES, stats, idf_mode="ln").withColumn(
+        "score_e6", F.floor(F.col("score") * 1000000 + 0.5).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "n_terms_hit",
+            "score_e6",
+        )
+    )
+
+
+def _o_bm25_ln() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    # float-expression association mirrors the kernel exactly:
+    # denom = tf + (k1*(1-b) + (k1*b*n/s) * dl) — the inner parens
+    # matter at ulp level before the e6 rounding
+    return rf"""
+WITH q(query_id, term) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
+),
+tf AS (
+  SELECT dl.doc_id, dl.dl, v.term,
+         CAST(len(list_filter(dl.w, x -> x = v.term)) AS BIGINT) AS tf
+  FROM dl CROSS JOIN (SELECT DISTINCT term FROM q) v
+),
+tfp AS (SELECT * FROM tf WHERE tf > 0),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+sc AS (
+  SELECT qq.query_id, p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         sum(
+           ln(1 + (st.n - c.df + 0.5) / (c.df + 0.5))
+           * (p.tf * 2.2
+              / (p.tf + (1.2 * 0.25 + (1.2 * 0.75 * st.n / st.s) * p.dl)))
+         ) AS score
+  FROM tfp p JOIN dfc c USING (term) JOIN q qq USING (term)
+  CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rn AS BIGINT) AS rank, n_terms_hit, score_e6
+FROM (
+  SELECT query_id, doc_id, n_terms_hit,
+         CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC, doc_id
+         ) AS rn
+  FROM sc
+)
+WHERE rn <= 5
+"""
+
+
+O_BM25_LN = _o_bm25_ln()
+
+
 def q_embeddings_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-integer second-moment (covariance) matrix of the
     embedding corpus (vector_stats.py:covariance_moments) — the PCA /
@@ -5368,7 +5460,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_contaminated_spans": q_documents_contaminated_spans,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "documents_bpe_merges": q_documents_bpe_merges,
-        "documents_bpe_fertility": q_documents_bpe_fertility,
+        # r14 rotation (VERDICT r13 #2): documents_collocations —
+        # the one registry family with no driver-graded row — takes
+        # position 50 from documents_bpe_fertility, whose graded
+        # same-family sibling documents_bpe_merges stays above.
+        "documents_collocations": q_documents_collocations,
         "documents_domain_mix": q_documents_domain_mix,
         "documents_token_curriculum": q_documents_token_curriculum,
         "documents_chunk": q_documents_chunk,
@@ -5422,10 +5518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_vocab_coverage": q_documents_vocab_coverage,
         "documents_tfidf_topk": q_documents_tfidf_topk,
         "documents_cross_bloom": q_documents_cross_bloom,
-        # documents_collocations (NEW r13: exact-integer PMI phrase
-        # induction — no sibling anywhere) tails this round; first
-        # round-14 rotation candidate.
-        "documents_collocations": q_documents_collocations,
+        # documents_bpe_fertility rotated below the driver window in
+        # r14 (graded green r13; sibling documents_bpe_merges still
+        # graded); documents_bm25_ln (NEW r14) tails with the graded
+        # exact-int documents_bm25 as its sibling.
+        "documents_bpe_fertility": q_documents_bpe_fertility,
+        "documents_bm25_ln": q_documents_bm25_ln,
         "cumulative_revenue": q_cumulative_revenue,
         "events_json_props": q_events_json_props,
         "documents_gram_novelty": q_documents_gram_novelty,
@@ -5536,6 +5634,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cluster_quality": O_CLUSTER_QUALITY,
         "documents_bpe_fertility": O_BPE_FERTILITY,
         "documents_bm25": O_BM25,
+        "documents_bm25_ln": O_BM25_LN,
         "embeddings_covariance": O_EMB_COVARIANCE,
         "documents_mixture_rebalance": O_MIXTURE_REBALANCE,
         "documents_lm_buckets": O_LM_BUCKETS,
