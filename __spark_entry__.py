@@ -5274,6 +5274,81 @@ FROM sk GROUP BY source
 """
 
 
+def q_documents_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality via a HyperLogLog
+    register file (sketches.py:hll_shingle_sketch, NEW r14) — the
+    KMV family's fixed-state sibling: m = 4096 registers per source
+    regardless of corpus size or skew, merge = per-register max, and
+    a ZERO-Python plan (array-expression shingles under codegen,
+    map-side partial max, one bounded exchange). Estimator is the
+    classic alpha_m harmonic mean with linear-counting correction;
+    the inverse-power sum is exact-integer so both engines hash-match
+    bit for bit, and the single float division + ln round through
+    floor(x+0.5)."""
+    from kamu_cli_spark.operators.sketches import (
+        hll_estimate,
+        hll_shingle_sketch,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sk = hll_shingle_sketch(d, "source", "text", p=12, shingle_n=3)
+    return hll_estimate(sk, "source", p=12)
+
+
+# p=12: register = u DIV 2^48, 48 rank bits (rho in 1..49), scaled
+# inverse sum in units of 2^-49. The alpha*m^2*2^49 numerator is
+# folded to one double literal so both engines perform the identical
+# single division (mirrors hll_estimate exactly).
+_HLL_NUMER = repr((0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 * float(1 << 49))
+
+O_HLL_DISTINCT = rf"""
+WITH words AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents WHERE source IS NOT NULL
+),
+g AS (
+  SELECT source, array_to_string(w[i:i + 2], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+u AS (
+  SELECT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u FROM g
+),
+r AS (
+  SELECT source, u // 281474976710656 AS register,
+         u % 281474976710656 AS w
+  FROM u
+),
+rho AS (
+  SELECT source, register,
+         CASE WHEN w = 0 THEN 49
+              ELSE instr(lpad(bin(w), 48, '0'), '1') END AS rho
+  FROM r
+),
+sk AS (SELECT source, register, max(rho) AS rho FROM rho GROUP BY 1, 2),
+ag AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS pres
+  FROM sk GROUP BY 1
+)
+SELECT source, n_registers,
+       CAST(4096 - n_registers AS BIGINT) AS zeros,
+       CAST((4096 - n_registers) * 562949953421312 + pres AS BIGINT)
+         AS inv_sum_scaled,
+       CAST(floor(
+         CASE WHEN 4096 - n_registers > 0
+                   AND {_HLL_NUMER}
+                       / ((4096 - n_registers) * 562949953421312 + pres)
+                       <= 10240.0
+              THEN 4096 * ln(4096 / (4096 - n_registers))
+              ELSE {_HLL_NUMER}
+                   / ((4096 - n_registers) * 562949953421312 + pres)
+         END + 0.5) AS BIGINT) AS est_distinct
+FROM ag
+"""
+
+
 def q_documents_gram_saturation(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus diversity / dedup-saturation curve
     (dedup.py:gram_saturation): every distinct 3-gram attributed to
@@ -5524,6 +5599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-int documents_bm25 as its sibling.
         "documents_bpe_fertility": q_documents_bpe_fertility,
         "documents_bm25_ln": q_documents_bm25_ln,
+        # documents_hll_distinct (NEW r14: fixed-state HyperLogLog
+        # twin of the graded documents_kmv_distinct) tails; rotation
+        # candidate for round 15.
+        "documents_hll_distinct": q_documents_hll_distinct,
         "cumulative_revenue": q_cumulative_revenue,
         "events_json_props": q_events_json_props,
         "documents_gram_novelty": q_documents_gram_novelty,
@@ -5626,6 +5705,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_source_influence": O_SOURCE_INFLUENCE,
         "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_kmv_distinct": O_KMV_DISTINCT,
+        "documents_hll_distinct": O_HLL_DISTINCT,
         "documents_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
         "documents_collocations": O_COLLOCATIONS,
         "embeddings_kcenter": _o_kcenter(),

@@ -560,6 +560,68 @@ def save_cms_sketch(
     )
 
 
+def save_hll_sketch(
+    spark: SparkSession,
+    dataset: Dataset,
+    sketch: DataFrame,
+    system_time: Any = None,
+    source_event_time: Any = None,
+    if_empty: str = "raise",
+) -> dict | None:
+    """Commit a HyperLogLog register file
+    (:func:`~kamu_cli_spark.operators.sketches.hll_shingle_sketch`
+    output) as one snapshot poll of `dataset` (PK = (source,
+    register), compare column rho — a re-sketch CORRECTS a register
+    whose max rank grew, exactly the CDC semantics a max-register
+    sketch wants). Same telemetry economics as the KMV/CMS datasets:
+    yesterday's ledger state maxes with today's partial via
+    :func:`~kamu_cli_spark.operators.sketches.hll_merge` without
+    rescanning yesterday's corpus. ``if_empty``: ``"raise"``
+    (default) or ``"skip"`` — streaming foreachBatch sinks MUST use
+    ``"skip"`` (a shingle-free micro-batch yields an empty partial;
+    raising inside foreachBatch kills the stream)."""
+    if if_empty not in ("raise", "skip"):
+        raise ValueError(f"if_empty must be 'raise' or 'skip', got {if_empty!r}")
+    cols = set(sketch.columns)
+    if cols != {"source", "register", "rho"}:
+        raise ValueError(
+            f"expected (source, register, rho) sketch rows, got {sorted(cols)}"
+        )
+    # same materialize-before-commit rule as the KMV/CMS savers: the
+    # incremental pattern's input lineage reads the dataset being
+    # written
+    sketch = sketch.select("source", "register", "rho").localCheckpoint(
+        eager=True
+    )
+    if not sketch.head(1):
+        if if_empty == "skip":
+            return None
+        raise ValueError("refusing to commit an empty sketch")
+    w = DataWriter(dataset, MergeStrategySnapshot(["source", "register"]))
+    return w.write(
+        spark,
+        sketch.select("source", "register", "rho"),
+        system_time=system_time,
+        source_event_time=source_event_time,
+    )
+
+
+def load_hll_sketch(
+    spark: SparkSession,
+    dataset: Dataset,
+    as_of: str | None = None,
+) -> DataFrame | None:
+    """The register file's latest state (or as-of a pinned block) as
+    the (source, register, rho) frame hll_merge/hll_estimate consume
+    — still distributed; <= |strata| x 2^p rows never touch the
+    driver. None if absent."""
+    df = dataset.read(spark, as_of)
+    if df is None:
+        return None
+    state = project_changelog(df, ["source", "register"], dataset.vocab)
+    return state.select("source", "register", "rho")
+
+
 def load_cms_sketch(
     spark: SparkSession,
     dataset: Dataset,

@@ -354,3 +354,151 @@ def cms_probe(
         .groupBy(*probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+
+def _hll_wbits(p: int) -> int:
+    """Suffix width for a 60-bit hash split as p register-index bits +
+    (60-p) rank bits. p <= 13 keeps the estimator's 2^(wbits+1)-scaled
+    inverse-power sums inside BIGINT (m * 2^(wbits+1) <= 2^61)."""
+    if not 4 <= p <= 13:
+        raise ValueError(f"hll: p must be in [4, 13], got {p}")
+    return 60 - p
+
+
+def hll_shingle_sketch(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    p: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-stratum HyperLogLog sketch (Flajolet et al. 2007) of
+    distinct text shingles: (stratum, register, rho) rows — for each
+    of the m = 2^p registers that saw at least one shingle, the max
+    leading-zero rank observed. The KMV sketch's sibling with the
+    opposite trade: KMV keeps k exact hash VALUES (mergeable by
+    top-k, supports exact below-k counts), HLL keeps a FIXED m-bounded
+    register file whose size never grows with k or skew and merges by
+    simple per-register max — the shape that composes per-day
+    artifacts at 100 TB with a bounded, data-independent state.
+
+    House determinism contract: the same md5 15-hex-char prefix hash
+    as the KMV/dedup shinglers (u in [0, 2^60)); register = top p
+    bits, rho = 1-based position of the first 1-bit in the remaining
+    60-p bits (60-p+1 when all zero) — exact integers end to end, so
+    Spark and any md5-capable ANSI engine produce bit-identical
+    register files. No reference counterpart (kamu-cli has no sketch
+    operators); Spark-first new ground like KMV/CMS.
+
+    Plan shape (scale audit): ZERO Python — tokenize/shingle are
+    array expressions under whole-stage codegen, the explode feeds a
+    map-side partial max aggregate, and the only exchange carries
+    <= |partitions| x |strata| x m bounded rows (m = 4096 at the
+    default p=12: ~KB). The corpus-sized gram stream never shuffles."""
+    wbits = _hll_wbits(p)
+    if shingle_n < 1:
+        raise ValueError(f"hll: shingle_n must be >= 1, got {shingle_n}")
+    t = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    nsh = F.size(t) - (shingle_n - 1)
+    grams = F.when(
+        nsh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nsh),
+            lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        spread(
+            df.filter(F.col(strata_col).isNotNull()).select(
+                strata_col, text_col
+            )
+        )
+        .select(F.col(strata_col), F.explode(grams).alias("gram"))
+        .select(
+            strata_col,
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("u"),
+        )
+        .selectExpr(
+            strata_col,
+            f"u DIV {1 << wbits} AS register",
+            f"u % {1 << wbits} AS w",
+        )
+        .selectExpr(
+            strata_col,
+            "register",
+            f"CASE WHEN w = 0 THEN {wbits + 1} "
+            f"ELSE instr(lpad(bin(w), {wbits}, '0'), '1') END AS rho",
+        )
+        .groupBy(strata_col, "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, strata_col: str = "source") -> DataFrame:
+    """Per-register max of two HLL register files (same p) — exactly
+    the sketch of the concatenated corpora (max is idempotent and
+    commutative, so re-observed data changes nothing; pinned in tests
+    against a from-scratch sketch of the union)."""
+    return (
+        a.unionByName(b)
+        .groupBy(strata_col, "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, strata_col: str = "source", p: int = 12
+) -> DataFrame:
+    """Distinct-count estimate per stratum from an HLL register file:
+    the classic alpha_m * m^2 / sum(2^-rho_j) harmonic estimator with
+    the standard small-range (linear-counting) correction when empty
+    registers remain and the raw estimate is <= 2.5m. Relative error
+    ~1.04/sqrt(m) (~1.6% at p=12).
+
+    Determinism: the inverse-power sum is EXACT-INTEGER — every
+    register contributes 2^(wmax - rho) (absent registers rho=0
+    contribute 2^wmax), scaled by wmax = 60-p+1 so the per-stratum
+    total stays in BIGINT — and the only float steps are one division
+    (the constant numerator alpha*m^2*2^wmax is folded to a single
+    double literal) and the correction's ln, then a floor(x+0.5)
+    round. Cross-engine disagreement would need a score within ~1 ulp
+    of a rounding boundary.
+
+    Output: (stratum, n_registers, zeros, inv_sum_scaled,
+    est_distinct) — a |strata|-row aggregate of the bounded sketch."""
+    wbits = _hll_wbits(p)
+    m, wmax = 1 << p, wbits + 1
+    numer = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << wmax)
+    agg = sketch.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {wmax} - rho)")
+        ).alias("__present_inv"),
+    )
+    zeros = F.lit(m) - F.col("n_registers")
+    inv = (zeros * F.lit(1 << wmax) + F.col("__present_inv")).cast("bigint")
+    raw = F.lit(numer) / F.col("inv_sum_scaled")
+    corrected = F.when(
+        (F.col("zeros") > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(m) * F.log(F.lit(m) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        agg.select(
+            strata_col,
+            "n_registers",
+            zeros.cast("long").alias("zeros"),
+            inv.alias("inv_sum_scaled"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.floor(corrected + F.lit(0.5)).cast("long"),
+        )
+    )
