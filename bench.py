@@ -104,6 +104,9 @@ EXTRA = [
     # round-13 families
     "documents_cms_heavy_hitters",
     "documents_collocations",
+    # round-14 families
+    "documents_bm25_ln",
+    "documents_hll_distinct",
 ]
 
 
