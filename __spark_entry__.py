@@ -5064,9 +5064,14 @@ def q_documents_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), F.asc("gram"))
         .limit(10)
     )
-    return cms_probe(sk, top, "gram", depth=4, width=4096).select(
-        "gram", "exact_cnt", "est_cnt"
-    )
+    # validate=False: the probe's depth/width are the same literals
+    # the sketch was built with three lines up, so the geometry guard
+    # (which exists for sketches loaded from a ledger, where sketch
+    # state and probe params can drift independently) would only add
+    # an eager materialization job to this one-plan query
+    return cms_probe(
+        sk, top, "gram", depth=4, width=4096, validate=False
+    ).select("gram", "exact_cnt", "est_cnt")
 
 
 O_CMS_HEAVY_HITTERS = r"""

@@ -303,17 +303,23 @@ def cms_probe(
     Probe columns ride through to the output; the names ``cnt``,
     ``__r`` and ``__bucket`` are reserved for the join plumbing.
 
-    ``validate`` (default True) runs one bounded aggregate over the
-    (<= depth x width row) sketch and raises if depth/width disagree
-    with its actual geometry: probing a depth-d sketch with a larger
-    depth makes the extra rows miss the join and min() silently
-    return 0 — INVERTING the never-undercount guarantee — and a width
-    mismatch rehashes grams into the wrong buckets. Every gram
-    increments one counter per row, so any non-empty sketch has mass
-    in all rows: max(row)+1 == true depth. Width can only be bounded
-    from below (max(bucket) < width is necessary, not sufficient), so
-    an equal-width contract remains on the caller; pass
-    ``validate=False`` only in hot loops that already checked once."""
+    ``validate`` (default True) raises if depth/width disagree with
+    the sketch's actual geometry: probing a depth-d sketch with a
+    larger depth makes the extra rows miss the join and min()
+    silently return 0 — INVERTING the never-undercount guarantee —
+    and a width mismatch rehashes grams into the wrong buckets. Every
+    gram increments one counter per row, so any non-empty sketch has
+    mass in all rows: max(row)+1 == true depth. Width can only be
+    bounded from below (max(bucket) < width is necessary, not
+    sufficient), so an equal-width contract remains on the caller.
+    The check is eager, so the (KB-sized, <= depth x width row)
+    sketch is materialized ONCE via localCheckpoint and the probe
+    join reads the checkpoint — the corpus behind a lazy sketch
+    lineage is still scanned exactly once, not once per consumer
+    (cost parity with validate=False pinned in the bench floors).
+    Pass ``validate=False`` to keep the probe fully lazy/in-plan
+    (hot loops that already checked, or a sketch you materialized
+    yourself)."""
     reserved = {"cnt", "__r", "__bucket"} & set(probes.columns)
     if reserved:
         raise ValueError(
@@ -321,6 +327,7 @@ def cms_probe(
             "the sketch-join plumbing; rename them first"
         )
     if validate:
+        sketch = sketch.localCheckpoint(eager=True)
         geo = sketch.agg(
             F.max("row").alias("mr"), F.max("bucket").alias("mb")
         ).head()
