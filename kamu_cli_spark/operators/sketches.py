@@ -381,6 +381,7 @@ def hll_shingle_sketch(
     text_col: str = "text",
     p: int = 12,
     shingle_n: int = 3,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-stratum HyperLogLog sketch (Flajolet et al. 2007) of
     distinct text shingles: (stratum, register, rho) rows — for each
@@ -396,18 +397,37 @@ def hll_shingle_sketch(
     as the KMV/dedup shinglers (u in [0, 2^60)); register = top p
     bits, rho = 1-based position of the first 1-bit in the remaining
     60-p bits (60-p+1 when all zero) — exact integers end to end, so
-    Spark and any md5-capable ANSI engine produce bit-identical
-    register files. No reference counterpart (kamu-cli has no sketch
-    operators); Spark-first new ground like KMV/CMS.
+    both engines below and any md5-capable ANSI engine produce
+    bit-identical register files (equality pinned in tests). No
+    reference counterpart (kamu-cli has no sketch operators);
+    Spark-first new ground like KMV/CMS.
 
-    Plan shape (scale audit): ZERO Python — tokenize/shingle are
-    array expressions under whole-stage codegen, the explode feeds a
-    map-side partial max aggregate, and the only exchange carries
+    ``engine`` (both produce identical rows):
+
+    - ``"arrow"`` (default, the scale path): ONE fused mapInPandas
+      pass — tokenize, shingle, memoized md5 per DISTINCT gram per
+      partition, and an m-byte register file per stratum updated in
+      place; only the nonzero registers leave the worker. The
+      profiled all-JVM plan spent ~90% of its sf10 time materializing
+      the exploded gram strings (15 of 16.5 s; md5+rho were ~1.5 s),
+      the same reason the KMV/CMS kernels are fused: 19.7 -> ~2 s at
+      sf10.
+    - ``"sql"``: ZERO Python — tokenize/shingle as array expressions
+      under whole-stage codegen, explode feeding a map-side partial
+      max. The cross-engine-auditable form (it IS the oracle SQL's
+      plan) and the fallback where Python workers are unavailable.
+
+    Plan shape (scale audit, either engine): the corpus-sized gram
+    stream never shuffles; the only exchange carries
     <= |partitions| x |strata| x m bounded rows (m = 4096 at the
-    default p=12: ~KB). The corpus-sized gram stream never shuffles."""
+    default p=12: ~KB)."""
     wbits = _hll_wbits(p)
     if shingle_n < 1:
         raise ValueError(f"hll: shingle_n must be >= 1, got {shingle_n}")
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"hll: engine must be 'arrow' or 'sql', got {engine!r}")
+    if engine == "arrow":
+        return _hll_sketch_arrow(df, strata_col, text_col, p, shingle_n)
     t = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda x: x != F.lit(""),
@@ -446,6 +466,88 @@ def hll_shingle_sketch(
         )
         .groupBy(strata_col, "register")
         .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def _hll_sketch_arrow(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str,
+    p: int,
+    shingle_n: int,
+) -> DataFrame:
+    """The fused Arrow pass behind hll_shingle_sketch(engine='arrow'):
+    per-partition m-byte register files (rho <= 49 fits uint8) with
+    md5 memoized per distinct gram — the KMV-kernel memo pattern —
+    then the same bounded partial-max exchange as the SQL form."""
+    import hashlib
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    wbits = 60 - p
+    m, mask = 1 << p, (1 << wbits) - 1
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = f"{strata_col} string, register bigint, rho int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        regs: dict[str, np.ndarray] = {}
+        # gram -> (register << 6 | rho) packed int (rho <= 49 < 64);
+        # md5 runs once per DISTINCT gram per partition, and the
+        # per-occurrence cost is one dict lookup + list append (the
+        # KMV-kernel memo pattern, int-encoded so the fold below is a
+        # vectorized int64 unique, not a string sort)
+        memo: dict[str, int] = {}
+
+        def packed(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                u = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                w = u & mask
+                rho = (wbits + 1) if w == 0 else wbits - w.bit_length() + 1
+                v = ((u >> wbits) << 6) | rho
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            per: dict[str, list[int]] = {}
+            for s, txt in zip(pdf[strata_col], pdf[text_col]):
+                if s is None:
+                    continue
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                if len(toks) < shingle_n:
+                    continue
+                lst = per.setdefault(s, [])
+                lst.extend(
+                    packed(" ".join(toks[j : j + shingle_n]))
+                    for j in range(len(toks) - shingle_n + 1)
+                )
+            for s, vals in per.items():
+                r = regs.get(s)
+                if r is None:
+                    r = regs[s] = np.zeros(m, dtype=np.uint8)
+                uniq = np.unique(np.asarray(vals, dtype=np.int64))
+                np.maximum.at(
+                    r, uniq >> 6, (uniq & 63).astype(np.uint8)
+                )
+        for s, r in regs.items():
+            nz = np.flatnonzero(r)
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        strata_col: s,
+                        "register": nz.astype(np.int64),
+                        "rho": r[nz].astype(np.int32),
+                    }
+                )
+
+    partials = spread(
+        df.filter(F.col(strata_col).isNotNull()).select(strata_col, text_col)
+    ).mapInPandas(kernel, out_schema)
+    return partials.groupBy(strata_col, "register").agg(
+        F.max("rho").cast("int").alias("rho")
     )
 
 

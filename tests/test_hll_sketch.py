@@ -110,15 +110,36 @@ def test_linear_counting_exact_for_tiny_corpus(spark):
     assert est[0]["est_distinct"] == 2
 
 
-def test_plan_zero_python_one_bounded_exchange(spark):
-    # the whole pipeline stays JVM-side: codegen shingles, map-side
-    # partial max, one hash exchange of bounded register partials
-    sk = hll_shingle_sketch(_docs(spark))
+def test_sql_engine_matches_arrow_engine(spark):
+    # the two physical forms must produce the identical register file
+    # (the SQL form is the cross-engine-auditable twin of the fused
+    # Arrow default, and IS the oracle's plan)
+    docs = _docs(spark)
+    assert _rows(hll_shingle_sketch(docs, engine="arrow")) == _rows(
+        hll_shingle_sketch(docs, engine="sql")
+    )
+
+
+def test_sql_plan_zero_python_one_bounded_exchange(spark):
+    # engine='sql' stays JVM-side: codegen shingles, map-side partial
+    # max, one hash exchange of bounded register partials
+    sk = hll_shingle_sketch(_docs(spark), engine="sql")
     p = sk._jdf.queryExecution().executedPlan().toString()
     # the explode (Generate) is expected — it feeds the map-side
     # partial max and never shuffles; what must not appear is Python
     # or any join, and the only keyed exchange carries register rows
     for forbidden in ("BatchEvalPython", "MapInPandas", "Join"):
+        assert forbidden not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_arrow_plan_one_fused_pass(spark):
+    # the default engine is ONE mapInPandas (no exploded gram table,
+    # no join); only register partials reach the exchange
+    sk = hll_shingle_sketch(_docs(spark), engine="arrow")
+    p = sk._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") == 1
+    for forbidden in ("Join", "Generate", "Expand"):
         assert forbidden not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
 
@@ -132,6 +153,8 @@ def test_invalid_params_raise(spark):
             hll_shingle_sketch(df, p=bad_p)
     with pytest.raises(ValueError, match="shingle_n"):
         hll_shingle_sketch(df, shingle_n=0)
+    with pytest.raises(ValueError, match="engine"):
+        hll_shingle_sketch(df, engine="pandas")
 
 
 def test_ledger_round_trip_and_incremental_merge(spark, tmp_path):
