@@ -5354,6 +5354,87 @@ FROM ag
 """
 
 
+def q_documents_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source overlap matrix FROM SKETCHES ALONE
+    (sketches.py:kmv_pair_overlap, NEW r14): per source pair, the
+    KMV-estimated Jaccard and distinct-intersection of their shingle
+    sets — the "which sources duplicate each other" audit a curation
+    pipeline runs per ingest day from the KB-sized ledger sketch
+    artifacts, never a corpus-vs-corpus join. Exact-integer
+    estimator; every frame after the one sketch pass is sketch-sized
+    (|pairs| x 2k rows)."""
+    from kamu_cli_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_shingle_sketch,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sk = kmv_shingle_sketch(d, "source", "text", k=256, shingle_n=3)
+    return kmv_pair_overlap(sk, "source", k=256)
+
+
+O_SOURCE_OVERLAP = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents WHERE source IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words WHERE len(w) >= 3
+  )
+),
+u AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u
+  FROM sh
+),
+rk AS (
+  SELECT source, u,
+         row_number() OVER (PARTITION BY source ORDER BY u) AS r
+  FROM u
+),
+sk AS (SELECT source, u FROM rk WHERE r <= 256),
+st AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT x.source AS a, y.source AS b
+  FROM st x JOIN st y ON x.source < y.source
+),
+mem AS (
+  SELECT p.a, p.b, s.u,
+         max(CASE WHEN s.source = p.a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source = p.a OR s.source = p.b
+  GROUP BY 1, 2, 3
+),
+su AS (
+  SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY u) AS rk2
+  FROM mem
+),
+ag AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+         max(u) AS kth_u,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+  FROM su WHERE rk2 <= 256 GROUP BY 1, 2
+),
+est AS (
+  SELECT a, b, n_union_sketch, n_common,
+         CAST(1000000 * n_common // n_union_sketch AS BIGINT) AS jaccard_e6,
+         CAST(CASE WHEN n_union_sketch < 256 THEN n_union_sketch
+                   ELSE CAST(255 AS HUGEINT) * 1152921504606846976
+                        // (kth_u + 1) END AS BIGINT) AS union_est
+  FROM ag
+)
+SELECT a, b, n_union_sketch, n_common, jaccard_e6, union_est,
+       CAST(CAST(n_common AS HUGEINT) * union_est // n_union_sketch
+            AS BIGINT) AS inter_est
+FROM est
+"""
+
+
 def q_documents_gram_saturation(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus diversity / dedup-saturation curve
     (dedup.py:gram_saturation): every distinct 3-gram attributed to
@@ -5604,10 +5685,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-int documents_bm25 as its sibling.
         "documents_bpe_fertility": q_documents_bpe_fertility,
         "documents_bm25_ln": q_documents_bm25_ln,
-        # documents_hll_distinct (NEW r14: fixed-state HyperLogLog
-        # twin of the graded documents_kmv_distinct) tails; rotation
-        # candidate for round 15.
+        # documents_hll_distinct + documents_source_overlap (NEW r14:
+        # fixed-state HyperLogLog twin of the graded
+        # documents_kmv_distinct; sketch-only cross-source Jaccard on
+        # the same KMV artifacts) tail; round-15 rotation candidates.
         "documents_hll_distinct": q_documents_hll_distinct,
+        "documents_source_overlap": q_documents_source_overlap,
         "cumulative_revenue": q_cumulative_revenue,
         "events_json_props": q_events_json_props,
         "documents_gram_novelty": q_documents_gram_novelty,
@@ -5711,6 +5794,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_gram_saturation": O_GRAM_SATURATION,
         "documents_kmv_distinct": O_KMV_DISTINCT,
         "documents_hll_distinct": O_HLL_DISTINCT,
+        "documents_source_overlap": O_SOURCE_OVERLAP,
         "documents_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
         "documents_collocations": O_COLLOCATIONS,
         "embeddings_kcenter": _o_kcenter(),

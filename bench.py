@@ -107,6 +107,7 @@ EXTRA = [
     # round-14 families
     "documents_bm25_ln",
     "documents_hll_distinct",
+    "documents_source_overlap",
 ]
 
 

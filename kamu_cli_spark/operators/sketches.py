@@ -158,6 +158,102 @@ def kmv_estimate(
     )
 
 
+def kmv_pair_overlap(
+    sketch: DataFrame, strata_col: str = "source", k: int = 256
+) -> DataFrame:
+    """Cross-stratum overlap telemetry FROM SKETCHES ALONE — for every
+    unordered stratum pair (a < b), estimate the Jaccard similarity
+    and distinct-intersection size of their shingle sets without ever
+    joining the corpora (Beyer et al. 2007 / Bar-Yossef et al. 2002):
+    the "how much does source A duplicate source B" question a 100 TB
+    curation pipeline asks per ingest day, answered from the KB-sized
+    per-day KMV artifacts the ledger already stores.
+
+    Estimator (exact-integer end to end): S_U = the k smallest
+    distinct hashes of S_a ∪ S_b — which IS the KMV sketch of the
+    union, so `union_est` reuses the kmv_estimate formula — and for
+    any u in S_U, membership in A is decided EXACTLY by u ∈ S_a (u is
+    among the k smallest of the union, so a fortiori among the k
+    smallest of A). Then jaccard_e6 = 1e6 * |S_U ∩ S_a ∩ S_b| DIV
+    |S_U| and inter_est = (n_common * union_est) DIV n_union (error
+    ~1/sqrt(k) on the Jaccard). Hash equality implies shingle
+    equality up to md5-prefix collisions (~2^-60, the house-wide
+    caveat).
+
+    Plan shape (scale audit): every frame here is SKETCH-sized — the
+    pair table is a broadcast cross of the |strata| dimension
+    (bounded by the sketch contract), the membership fold and the
+    per-pair top-k (WindowGroupLimit) touch <= |pairs| x 2k rows.
+    Nothing data-sized exists anywhere in the plan: the (KB-sized,
+    <= k x |strata| row) sketch is materialized ONCE via
+    localCheckpoint, because this operator consumes it three times —
+    a lazy corpus-backed lineage would otherwise rescan the corpus
+    per consumer (plan-pinned in tests)."""
+    sketch = sketch.select(strata_col, "u").localCheckpoint(eager=True)
+    s = sketch.select(F.col(strata_col).alias("__s"), "u")
+    strata = s.select(F.col("__s").alias("a")).distinct()
+    pairs = F.broadcast(strata).crossJoin(
+        F.broadcast(strata.select(F.col("a").alias("b")))
+    ).filter(F.col("a") < F.col("b"))
+    sides = [
+        pairs.join(s, s["__s"] == F.col(side)).select(
+            "a",
+            "b",
+            "u",
+            F.lit(1 if side == "a" else 0).alias("in_a"),
+            F.lit(0 if side == "a" else 1).alias("in_b"),
+        )
+        for side in ("a", "b")
+    ]
+    members = (
+        sides[0]
+        .unionByName(sides[1])
+        .groupBy("a", "b", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("a", "b").orderBy(F.col("u").asc())
+    su = members.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    big = str((k - 1) * _HASH_SPAN)
+    return (
+        su.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_sketch"),
+            F.max("u").alias("kth_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+        )
+        .withColumn(
+            "union_est",
+            F.when(
+                F.col("n_union_sketch") < k, F.col("n_union_sketch")
+            ).otherwise(
+                F.expr(
+                    f"CAST(CAST('{big}' AS DECIMAL(38,0)) DIV"
+                    " (kth_u + 1) AS BIGINT)"
+                )
+            ),
+        )
+        .withColumn(
+            "jaccard_e6",
+            F.expr("1000000 * n_common DIV n_union_sketch"),
+        )
+        .withColumn(
+            "inter_est",
+            # DECIMAL(38,0): n_common * union_est can exceed BIGINT
+            # when the union sketch is degenerate (tiny kth_u)
+            F.expr(
+                "CAST(CAST(n_common AS DECIMAL(38,0)) * union_est"
+                " DIV n_union_sketch AS BIGINT)"
+            ),
+        )
+        .select(
+            "a", "b", "n_union_sketch", "n_common",
+            "jaccard_e6", "union_est", "inter_est",
+        )
+    )
+
+
 def _cms_bucket_col(row_col, gram_col, width: int):
     """The shared CMS bucket hash as a JVM expression: first 32 md5
     bits of 'cms<row>|<gram>' mod width — identical in the Arrow

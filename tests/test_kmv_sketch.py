@@ -196,3 +196,98 @@ def test_plan_is_one_fused_pass(spark):
     assert plan.count("MapInPandas") == 1
     for forbidden in ("Join", "Generate", "Expand"):
         assert forbidden not in plan, plan
+
+
+def test_pair_overlap_matches_pure_python_and_bounds_exact_jaccard(spark):
+    # (a) the sketch-level computation must be exact vs a from-scratch
+    # reference over the same k-min sketches; (b) the estimate must
+    # land within the ~1/sqrt(k) theory bound of the TRUE Jaccard
+    import hashlib
+    import re
+    from itertools import combinations
+
+    from kamu_cli_spark.operators.sketches import kmv_pair_overlap
+
+    docs = _docs(spark)
+    k = 256
+    got = {
+        (r["a"], r["b"]): (
+            r["n_union_sketch"], r["n_common"], r["jaccard_e6"],
+            r["union_est"], r["inter_est"],
+        )
+        for r in kmv_pair_overlap(
+            kmv_shingle_sketch(docs, k=k), k=k
+        ).collect()
+    }
+    ws = re.compile(r"\s+", re.ASCII)
+    sets: dict = {}
+    for row in docs.select("source", "text").collect():
+        if row["source"] is None:
+            continue
+        toks = [t for t in ws.split((row["text"] or "").lower()) if t]
+        for j in range(len(toks) - 2):
+            sets.setdefault(row["source"], set()).add(
+                " ".join(toks[j : j + 3])
+            )
+    sk_py = {
+        s: sorted(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in gs
+        )[:k]
+        for s, gs in sets.items()
+    }
+    n_pairs = 0
+    for a, b in combinations(sorted(sets), 2):
+        A, B = set(sk_py[a]), set(sk_py[b])
+        su = sorted(A | B)[:k]
+        nc = sum(1 for x in su if x in A and x in B)
+        nu = len(su)
+        assert got[(a, b)][:2] == (nu, nc), (a, b)
+        assert got[(a, b)][2] == (1000000 * nc) // nu
+        true_j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        # 4 sigma at k=256 (sigma ~ 1/16)
+        assert abs(got[(a, b)][2] / 1e6 - true_j) < 0.25
+        n_pairs += 1
+    assert len(got) == n_pairs  # every unordered pair, exactly once
+
+
+def test_pair_overlap_identical_strata_jaccard_one(spark):
+    # a stratum unioned with a relabeled copy of itself: J = 1 and
+    # the intersection estimate equals the union estimate
+    from kamu_cli_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pair_overlap,
+    )
+
+    docs = _docs(spark).select("doc_id", "source", "text")
+    twin = docs.withColumn("source", F.concat(F.col("source"), F.lit("~copy")))
+    k = 64
+    sk = kmv_shingle_sketch(docs.unionByName(twin), k=k)
+    est = {
+        r["source"]: r["distinct_est"]
+        for r in kmv_estimate(sk, k=k).collect()
+    }
+    for r in kmv_pair_overlap(sk, k=k).collect():
+        if r["b"] == r["a"] + "~copy":
+            assert r["jaccard_e6"] == 1000000
+            assert r["n_common"] == r["n_union_sketch"]
+            assert r["inter_est"] == r["union_est"] == est[r["a"]]
+
+
+def test_pair_overlap_plan_is_sketch_sized(spark):
+    # nothing data-sized after the one sketch pass: the pair table is
+    # a broadcast cross of the bounded strata dimension, membership
+    # and top-k run over |pairs| x 2k rows; no corpus-side shuffle
+    from kamu_cli_spark.operators.sketches import kmv_pair_overlap
+
+    sk = kmv_shingle_sketch(_docs(spark), k=64)
+    p = (
+        kmv_pair_overlap(sk, k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    # the sketch is localCheckpointed ONCE inside the operator (it is
+    # consumed three times); the overlap plan itself must contain NO
+    # corpus pass at all
+    assert p.count("MapInPandas") == 0, p
