@@ -47,7 +47,17 @@ BASE_E6 = 150_000  # (1 - 17/20) · 1e6
 #: checkpoint tax and stays disk-bounded instead of disk-unbounded.
 LOW_FOOTPRINT_EDGES = 300_000_000
 
-
+#: At or below this many nodes, the per-iteration joins broadcast the
+#: rank/contribution frames (16-24 B/row: 2M nodes ~ a few-hundred-MB
+#: hash relation, inside the 8 GB/512M-row broadcast cap with headroom)
+#: instead of merge-hinted sort-merge — the rank table is the SMALL
+#: side of both joins by construction, and SMJ was re-sorting the full
+#: edge list every iteration just to avoid a broadcast that fits. Past
+#: the bound (sf100's 16M-node graph) the merge-hinted SMJ shape that
+#: was measured there is kept unchanged. Cost-based per run from the
+#: materialized node count, never a static hint (VERDICT r13 #4
+#: pattern).
+BROADCAST_MAX_NODES = 2_000_000
 
 
 def _prepare_graph(
@@ -78,12 +88,23 @@ def _prepare_graph(
     - DISK_ONLY because unrolled in-memory rows are several× the
       serialized size (the 8g-heap OOM lesson).
     """
+    # EXPLICIT partition count: a bare repartition(col) is an AQE
+    # coalescing target, and at small scale the 64 MB advisory folds it
+    # to ONE partition — which then serializes the entire build (dedup,
+    # degree aggregate, degree join, sort, checkpoint write) onto a
+    # single core (measured 6-9 s of the sf0.1 query's 12.7 s warm
+    # total). An explicit n is exempt from AQE coalescing, so the build
+    # runs cluster-wide at every scale; n is the session's configured
+    # shuffle width (the cluster-sized knob), exactly what the exchange
+    # would have used pre-AQE — not a local[32] constant.
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ed = (
         edges.select(
             F.col(src).cast("long").alias("__s"),
             F.col(dst).cast("long").alias("__d"),
         )
-        .repartition(F.col("__s"))
+        .repartition(n_parts, F.col("__s"))
         .dropDuplicates(["__s", "__d"])
     )
     deg = ed.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
@@ -140,19 +161,32 @@ def pagerank_int(
     #   graph size (the sf100 run died on scratch space before heap).
     # ed is already materialized, so the count is a cached-block scan.
     low_footprint = ed.count() > LOW_FOOTPRINT_EDGES
+    # nodes is persisted and tiny per row; the count is one cheap job
+    # and decides the per-iteration join strategy for the whole run.
+    bcast_ranks = nodes.count() <= BROADCAST_MAX_NODES
     try:
         ranks = nodes.withColumn("rank_e6", F.lit(E6).cast("long"))
         for _ in range(iterations):
-            # merge hint: both sides are corpus-scale; the session's
-            # prefer-shuffled-hash would build a per-task hash map over
-            # |E|/partitions rows (~19M/task at sf100×32 slots — heap
-            # OOM at 8g). SMJ spills. (ed does re-exchange each
-            # iteration: this Spark build reports UnknownPartitioning
-            # for checkpointed/cached frames under AQE, so the saved
-            # layout can't be reused — the reaping below keeps those
-            # per-iteration shuffle files from accumulating.)
+            # Join strategy is COST-BASED on the node count:
+            # - small/medium graphs broadcast the rank frame (it is
+            #   nodes-sized by construction), so the edge list is never
+            #   exchanged or sorted per iteration — the iteration's only
+            #   shuffle is the map-side-combined contribution sum;
+            # - past BROADCAST_MAX_NODES, merge hint: both sides are
+            #   corpus-scale; the session's prefer-shuffled-hash would
+            #   build a per-task hash map over |E|/partitions rows
+            #   (~19M/task at sf100×32 slots — heap OOM at 8g). SMJ
+            #   spills. (ed does re-exchange each iteration there: this
+            #   Spark build reports UnknownPartitioning for
+            #   checkpointed/cached frames under AQE, so the saved
+            #   layout can't be reused — the reaping below keeps those
+            #   per-iteration shuffle files from accumulating.)
+            rk = F.broadcast(ranks) if bcast_ranks else ranks
             contrib = (
-                ranks.join(ed.hint("merge"), ranks["id"] == ed["__s"])
+                rk.join(
+                    ed if bcast_ranks else ed.hint("merge"),
+                    rk["id"] == ed["__s"],
+                )
                 .select(
                     F.col("__d").alias("id"),
                     F.expr("div(rank_e6, __deg)").alias("__c"),
@@ -169,7 +203,11 @@ def pagerank_int(
             # the bounded form costs nothing and keeps the bit-exact
             # cross-engine claim unconditional (identical values to the
             # oracle's 17*x//20 wherever the latter doesn't overflow).
-            ranks = nodes.join(contrib, "id", "left").select(
+            ranks = nodes.join(
+                F.broadcast(contrib) if bcast_ranks else contrib,
+                "id",
+                "left",
+            ).select(
                 "id",
                 (
                     F.lit(BASE_E6)
@@ -232,9 +270,15 @@ def pagerank_int_converged(
             "rank_e6", F.lit(E6).cast("long")
         ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         n_iters = 0
+        # same cost-based strategy switch as pagerank_int (see there)
+        bcast_ranks = nodes.count() <= BROADCAST_MAX_NODES
         for _ in range(max_iterations):
+            rk = F.broadcast(ranks) if bcast_ranks else ranks
             contrib = (
-                ranks.join(ed.hint("merge"), ranks["id"] == ed["__s"])
+                rk.join(
+                    ed if bcast_ranks else ed.hint("merge"),
+                    rk["id"] == ed["__s"],
+                )
                 .select(
                     F.col("__d").alias("id"),
                     F.expr("div(rank_e6, __deg)").alias("__c"),
@@ -242,7 +286,11 @@ def pagerank_int_converged(
                 .groupBy("id")
                 .agg(F.sum("__c").alias("__inflow"))
             )
-            new_ranks = nodes.join(contrib, "id", "left").select(
+            new_ranks = nodes.join(
+                F.broadcast(contrib) if bcast_ranks else contrib,
+                "id",
+                "left",
+            ).select(
                 "id",
                 (
                     F.lit(BASE_E6)
