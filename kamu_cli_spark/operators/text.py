@@ -765,32 +765,72 @@ def dsir_weights(
     `raw_corpus` defaults to `df` itself — the usual DSIR setup where
     the raw LM is fit on the pool being selected from.
 
-    Plan: two :func:`ngram_lm_fit` models (each one Arrow scan +
-    vocab-sized shuffles) + two :func:`ngram_lm_score` passes over
-    `df` + one id-equi-join — everything inherits the LM family's
-    scale shape; nothing new shuffles."""
-    raw = raw_corpus if raw_corpus is not None else df
+    Plan (r14 fusion): ONE keyed Arrow bigram scan of `df` feeds
+    everything df-shaped — the former two-score shape tokenized the
+    pool twice and, in the default setup, a third time for the raw-LM
+    fit. Both models attach to that one count table as two LEFT
+    vocab-equi-joins, both familiarity sums fold in ONE map-side-
+    combined aggregate by doc, and when `raw_corpus` is `df` the raw
+    LM's pair counts are the per-doc counts summed (exactly the counts
+    the unkeyed fit scan produced — the scan is pure restructuring),
+    so no second pool scan exists at all. The target corpus keeps its
+    own :func:`ngram_lm_fit`. Integer arithmetic is unchanged
+    term-for-term, so every output is bit-identical to the unfused
+    form."""
     t_lm = ngram_lm_fit(target_corpus, text_col=text_col, lowercase=lowercase)
-    r_lm = ngram_lm_fit(raw, text_col=text_col, lowercase=lowercase)
-    t_s = ngram_lm_score(df, t_lm, id_col=id_col, text_col=text_col,
-                         lowercase=lowercase).select(
-        F.col(id_col),
-        F.col("n_bigrams"),
-        F.col("familiarity_e6").alias("target_fam_e6"),
+    occ = _bigram_counts_arrow(df, id_col, text_col, lowercase)
+    if raw_corpus is None:
+        pair_n = occ.groupBy("w1", "w2").agg(F.sum("c").alias("pair_n"))
+        ctx_n = pair_n.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
+        r_lm = pair_n.join(ctx_n, "w1").select(
+            "w1",
+            "w2",
+            F.expr("div(1000000 * pair_n, ctx_n)").cast("long").alias(
+                "cond_e6"
+            ),
+        )
+    else:
+        r_lm = ngram_lm_fit(raw_corpus, text_col=text_col,
+                            lowercase=lowercase)
+    scored = (
+        occ.join(
+            t_lm.select(
+                "w1", "w2", F.col("cond_e6").alias("__tc")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            r_lm.select(
+                "w1", "w2", F.col("cond_e6").alias("__rc")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.col("c") * F.coalesce(F.col("__tc"), F.lit(0))
+            ).alias("__ts"),
+            F.sum(
+                F.col("c") * F.coalesce(F.col("__rc"), F.lit(0))
+            ).alias("__rs"),
+        )
     )
-    r_s = ngram_lm_score(df, r_lm, id_col=id_col, text_col=text_col,
-                         lowercase=lowercase).select(
-        F.col(id_col),
-        F.col("familiarity_e6").alias("raw_fam_e6"),
-    )
-    return t_s.join(r_s, id_col).select(
+    fam = lambda col: F.when(  # noqa: E731
+        F.col("n_bigrams") > 0,
+        F.expr(f"div(coalesce({col}, 0L), n_bigrams)"),
+    ).otherwise(F.lit(0)).cast("long")
+    totals = df.select(F.col(id_col))
+    return totals.join(scored, id_col, "left").select(
         id_col,
-        "n_bigrams",
-        "target_fam_e6",
-        "raw_fam_e6",
-        (F.col("target_fam_e6") - F.col("raw_fam_e6")).alias(
-            "dsir_weight_e6"
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
         ),
+        fam("__ts").alias("target_fam_e6"),
+        fam("__rs").alias("raw_fam_e6"),
+        (fam("__ts") - fam("__rs")).cast("long").alias("dsir_weight_e6"),
     )
 
 
