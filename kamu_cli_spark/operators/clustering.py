@@ -356,15 +356,16 @@ def kmeans_fit(
         raise ValueError("n_updates must be non-negative")
     # Widen BEFORE persisting: every pass is compute-bound (O(k·dim)
     # per row), and a 512 MB parquet scans into ~6 partitions — the
-    # k=6400 updates ran 6-wide on 32 cores until this. Unlike
-    # util.spread (byte-sized for scan-bound ops), the rule here is
-    # partition count vs parallelism: at real scale the scan already
-    # yields thousands of partitions and this is a no-op, so the
-    # repartition only ever touches inputs too narrow to saturate.
-    qdf = df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe"))
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if not df.isStreaming and qdf.rdd.getNumPartitions() < target:
-        qdf = qdf.repartition(target)
+    # k=6400 updates ran 6-wide on 32 cores until this. At real scale
+    # the scan already yields thousands of partitions and the widen is
+    # a no-op; the decision reads Catalyst stats, not the RDD (see
+    # util.widen_if_narrow).
+    from kamu_cli_spark.operators.util import widen_if_narrow
+
+    qdf = widen_if_narrow(
+        df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe")),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         seed_rows = qdf.orderBy(id_col).limit(k).collect()  # bounded: k rows
@@ -401,14 +402,16 @@ def kmeans_apply(
     stateless Arrow pass), so it runs identically on batch and
     STREAMING DataFrames — fit on the curated corpus, score the live
     crawl as it arrives."""
-    qdf = df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe"))
     # same widening as the fit: scoring is O(k·dim) per row, and a
     # narrow batch scan would run it 6-wide on 32 cores (streams keep
-    # their micro-batch partitioning)
-    if not df.isStreaming:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if qdf.rdd.getNumPartitions() < target:
-            qdf = qdf.repartition(target)
+    # their micro-batch partitioning; widen_if_narrow passes them
+    # through)
+    from kamu_cli_spark.operators.util import widen_if_narrow
+
+    qdf = widen_if_narrow(
+        df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe")),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     if not centroids:  # empty model: null assignment, same schema
         return qdf.select(
             id_col,

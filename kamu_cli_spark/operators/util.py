@@ -73,6 +73,41 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def widen_if_narrow(df: DataFrame, target: int) -> DataFrame:
+    """Round-robin-repartition a COMPUTE-BOUND operator's input to
+    `target` when its scan would otherwise yield fewer partitions
+    (k-means assignment/update passes are O(k·dim) per row — a narrow
+    parquet scan ran them 6-wide on 32 cores). Unlike :func:`spread`
+    (byte-sized for scan-bound ops), the rule is partition count vs
+    parallelism: widen while the Catalyst size estimate says the scan
+    packs under `target` maxPartitionBytes splits, i.e. while the
+    shuffle it costs is bounded by target × split size. At real scale
+    the estimate clears the bar and this is a no-op.
+
+    The estimate is the same tens-of-ms logical-stats read as
+    :func:`spread` — NOT ``df.rdd.getNumPartitions()``, which forces
+    full physical planning plus RDD materialization per call (>0.1-1 s
+    of driver time, twice per kmeans_assign query). Unknown stats fall
+    back to the partition-count probe."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if size >= target * max_split:
+        return df
+    return df.repartition(target)
+
+
 # id(df) -> (df, count). Keyed by OBJECT identity, not plan equality:
 # the same object always denotes the same immutable relation snapshot
 # (sources/testdata.py hands out one cached DataFrame per table), while
