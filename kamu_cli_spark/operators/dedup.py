@@ -256,17 +256,38 @@ def gram_novelty(
     reference — the "how much of this is actually new text" signal
     novelty-aware sampling and refresh prioritization consume.
 
-    Composes the Arrow shingler with the broadcast Bloom bitmap:
-    reference shingles index into n_bits (default: derived at ~16 bits
-    per DISTINCT reference gram); crawl shingles test
-    membership map-side (k broadcast joins, no gram ever shuffles
-    before the per-doc aggregate). Returns (id, n_grams, n_novel,
-    novelty_e6). Bloom false positives deflate novelty by < ~1% when
-    sized right and are fully DETERMINISTIC given (n_bits, n_hashes) —
-    the DuckDB oracle reproduces the identical values, so the measure
-    is engine-portable despite being approximate. Docs with fewer than
-    `shingle_n` tokens have no grams and are absent from the output
-    (same rule as the MinHash family)."""
+    The reference bitmap builds exactly as before (Arrow shingler →
+    one map-side-combined bit_or shuffle into ≤ n_bits/62 int64
+    words), but the crawl side is ONE fused stateless Arrow pass
+    (r14): the bitmap — the same bounded artifact bloom_membership
+    used to BROADCAST into 7 joins — folds into a dense numpy word
+    array, rides an sc.broadcast, and shingling + all k membership
+    probes + the per-doc novelty fold happen inside the shingler
+    kernel, so no crawl gram is ever materialized JVM-side and NOTHING
+    shuffles after the scan (the former shape exploded one row per
+    distinct gram per doc, ran n_hashes broadcast joins over them, and
+    exchanged the flagged rows into a per-doc aggregate). Hashing is
+    the identical md5-prefix recipe (`_bloom_pos`'s 15-hex-char
+    window), memoized per distinct gram per task; the novelty division
+    is the same IEEE double floor(n·1e6/g + 0.5). Output is
+    bit-identical and now stream-legal.
+
+    Returns (id, n_grams, n_novel, novelty_e6). Bloom false positives
+    deflate novelty by < ~1% when sized right and are fully
+    DETERMINISTIC given (n_bits, n_hashes) — the DuckDB oracle
+    reproduces the identical values, so the measure is engine-portable
+    despite being approximate. Docs with fewer than `shingle_n` tokens
+    have no grams and are absent from the output (same rule as the
+    MinHash family)."""
+    import hashlib
+    import math
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    _check_bloom_params(n_bits if n_bits is not None else 1, n_hashes)
     ref_grams = (
         explode_shingles_arrow(reference, id_col, text_col, n=shingle_n, distinct=True)
         .select("gram")
@@ -282,19 +303,77 @@ def gram_novelty(
     words = bloom_bit_words(
         ref_grams, n_bits=n_bits, n_hashes=n_hashes, key_col="gram"
     )
-    crawl_grams = explode_shingles_arrow(
-        corpus, id_col, text_col, n=shingle_n, distinct=True
-    )
-    flagged = bloom_membership(
-        crawl_grams, words, n_bits=n_bits, n_hashes=n_hashes, key_col="gram"
-    )
-    novel = F.sum(F.when(~F.col("bloom_hit"), 1).otherwise(0))
-    return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        novel.alias("n_novel"),
-        F.floor(
-            novel * F.lit(1_000_000) / F.count(F.lit(1)) + F.lit(0.5)
-        ).cast("bigint").alias("novelty_e6"),
+    # dense bitmap from the word rows — bounded by the n_bits PARAMETER
+    # (n_bits/8 bytes; 512 KB at the graded 2^22, 1 GiB at the 2^33
+    # documented ceiling), the same boundedness as the broadcast the
+    # join formulation shipped. Arrow-path toPandas, then one
+    # vectorized scatter.
+    wpdf = words.toPandas()
+    wd = np.zeros(n_bits // _BLOOM_WORD_BITS + 1, dtype=np.int64)
+    if len(wpdf):
+        wd[wpdf["word_idx"].to_numpy(dtype=np.int64)] = (
+            wpdf["word"].to_numpy(dtype=np.int64)
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast(wd)
+    ws = re.compile(r"\s+", re.ASCII)
+    wb = _BLOOM_WORD_BITS
+    nb, nh, sn = n_bits, n_hashes, shingle_n
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = bc.value
+        memo: dict[str, bool] = {}
+
+        def hit(g: str) -> bool:
+            v = memo.get(g)
+            if v is None:
+                v = True
+                for i in range(nh):
+                    p = int(
+                        hashlib.md5(
+                            (g + f":{i}").encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    ) % nb
+                    if not (int(bits[p // wb]) >> (p % wb)) & 1:
+                        v = False
+                        break
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            ids, ngs, nvs, nes = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                if len(toks) < sn:
+                    continue
+                seen: set[str] = set()
+                total = novel = 0
+                for j in range(len(toks) - sn + 1):
+                    g = " ".join(toks[j:j + sn])
+                    if g in seen:
+                        continue
+                    seen.add(g)
+                    total += 1
+                    if not hit(g):
+                        novel += 1
+                ids.append(int(i))
+                ngs.append(total)
+                nvs.append(novel)
+                nes.append(math.floor(novel * 1_000_000 / total + 0.5))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_grams": pd.Series(ngs, dtype="int64"),
+                    "n_novel": pd.Series(nvs, dtype="int64"),
+                    "novelty_e6": pd.Series(nes, dtype="int64"),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread as _spread_u
+
+    return _spread_u(corpus.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run,
+        f"{id_col} long, n_grams long, n_novel long, novelty_e6 long",
     )
 
 
