@@ -861,9 +861,16 @@ def lm_familiarity_buckets(
     broadcasts the ≤1e6-row map). Exact at any corpus size."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be positive")
+    # scored is consumed TWICE (histogram side + output join side);
+    # localCheckpoint pins ONE scoring execution of the Python passes
+    # instead of leaning on AQE exchange reuse to dedupe the second
+    # consumption (reuse covers the exchanges but re-plans and re-scans
+    # the non-exchange edges; measured ~0.4 s at sf0.1, and the
+    # materialized frame is one small row per doc — the semantic_dedup
+    # assignment pattern).
     scored = ngram_lm_score(
         df, model, id_col=id_col, text_col=text_col, lowercase=lowercase
-    )
+    ).localCheckpoint()
     hist = scored.groupBy("familiarity_e6").agg(
         F.count(F.lit(1)).alias("__c")
     )
