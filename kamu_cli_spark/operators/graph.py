@@ -64,7 +64,7 @@ def _prepare_graph(
     edges: DataFrame, src: str, dst: str
 ) -> tuple[DataFrame, DataFrame]:
     """(ed, nodes): ed = distinct edges with out-degree pre-joined,
-    hash-partitioned AND sorted by __s, materialized DISK_ONLY via
+    hash-partitioned by __s, materialized DISK_ONLY via
     localCheckpoint. Design constraints learned on the sf100 run
     (1.17B edges, single box):
 
@@ -79,12 +79,14 @@ def _prepare_graph(
       shuffles become garbage the moment ed materializes and the
       cleaner can delete them mid-job; a persist keeps the lineage
       (and its shuffle files) pinned for recompute.
-    - The pre-partitioned sort order would ideally be reused by every
+    - The pre-partitioned layout would ideally be reused by every
       iteration's sort-merge join; this Spark build reports
-      UnknownPartitioning for checkpointed frames under AQE, so each
-      iteration re-exchanges ed — bounded by the per-iteration shuffle
-      reaping, and the one-exchange build still wins (the old shape
-      shuffled the edge list three times just to construct it).
+      UnknownPartitioning for checkpointed frames under AQE, so in the
+      SMJ regime each iteration re-exchanges (and re-sorts) ed —
+      bounded by the per-iteration shuffle reaping, and the
+      one-exchange build still wins (the old shape shuffled the edge
+      list three times just to construct it). That is also why ed is
+      NOT pre-sorted here (see inline note).
     - DISK_ONLY because unrolled in-memory rows are several× the
       serialized size (the 8g-heap OOM lesson).
     """
@@ -108,10 +110,16 @@ def _prepare_graph(
         .dropDuplicates(["__s", "__d"])
     )
     deg = ed.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # No sortWithinPartitions before the checkpoint (r14): the saved
+    # order could only pay off if the iteration joins reused it, and
+    # this Spark build reports UnknownPartitioning for checkpointed
+    # frames under AQE — SMJ re-exchanges AND re-sorts ed per iteration
+    # regardless, and the broadcast regime needs no order at all, so
+    # the build-time sort was a pure write-path tax (a full |E|-row
+    # sort at sf100).
     ed = (
         ed.join(deg, "__s")
         .select("__s", "__d", "__deg")
-        .sortWithinPartitions("__s")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     _reap_shuffles(ed.sparkSession)
