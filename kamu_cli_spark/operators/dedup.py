@@ -1272,56 +1272,296 @@ def strip_duplicate_spans(
     whitespace split, so clean_text is normalized like every other
     text operator here.
 
-    The covered-position set explodes only DUPLICATED windows (L rows
-    per hit, not per token), anti-joins the token table on (id, tok),
-    and re-assembles with an order-preserving collect over a per-doc
-    sort — one extra shuffle over :func:`duplicate_spans`."""
+    The span table (small — duplicated spans only, and already
+    checkpointed by :func:`duplicate_spans`) folds to per-doc [start,
+    end] range arrays (one bounded collect_list exchange), LEFT-joins
+    back onto the docs, and ONE vectorized Arrow map rebuilds every
+    text — the strip_spans_against_corpus batched-rebuild pattern.
+    The r13 formulation instead posexploded EVERY corpus token into a
+    JVM row, anti-joined on (id, tok) and re-collected
+    struct(tok, word) lists with an array_sort: three corpus-token-
+    sized exchanges and ~7× the Arrow kernel's bytes, for the same
+    clean text."""
     spans = duplicate_spans(df, id_col, text_col, min_len)
-    covered = spans.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("tok"),
+
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ranges = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start"), F.col("span_end"))
+        ).alias("__sp")
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            tokens(F.lower(F.col(text_col)))
-        ).alias("tok", "word"),
+    joined = df.select(
+        F.col(id_col), F.col(text_col).cast("string").alias("__txt")
+    ).join(ranges, id_col, "left")
+
+    ws = re.compile(r"\s+", re.ASCII)
+    out_schema = (
+        f"`{id_col}` long, clean_text string, kept_tokens long, "
+        "removed_tokens long"
     )
-    kept = toks.join(covered, [id_col, "tok"], "left_anti")
-    # token counts come from the INPUT, not the posexplode: a
-    # zero-token doc produces no toks rows and would otherwise vanish
-    # from the output entirely (strip_contaminated_spans emits a row
-    # for every input doc — keep the two kernels consistent)
-    n_tok = df.select(
-        F.col(id_col),
-        F.coalesce(
-            F.size(tokens(F.lower(F.col(text_col)))), F.lit(0)
-        ).alias("__n"),
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cleans, kepts, removeds = [], [], [], []
+            for i, txt, sp in zip(pdf[id_col], pdf["__txt"], pdf["__sp"]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n = len(toks)
+                if sp is None or not hasattr(sp, "__len__") or len(sp) == 0:
+                    kept_toks = toks
+                else:
+                    # covered positions via a diff array over the span
+                    # ranges — O(spans + n) per doc in C
+                    delta = np.zeros(n + 1, dtype=np.int32)
+                    for r in sp:
+                        delta[min(int(r["span_start"]), n)] += 1
+                        delta[min(int(r["span_end"]) + 1, n)] -= 1
+                    covered = np.cumsum(delta[:n]) > 0
+                    kept_toks = [
+                        t for t, c in zip(toks, covered) if not c
+                    ]
+                ids.append(int(i))
+                cleans.append(" ".join(kept_toks))
+                kepts.append(len(kept_toks))
+                removeds.append(n - len(kept_toks))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "clean_text": pd.Series(cleans, dtype="object"),
+                    "kept_tokens": pd.Series(kepts, dtype="int64"),
+                    "removed_tokens": pd.Series(removeds, dtype="int64"),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    # AQE coalesces the text⋈ranges join output to ~64 MB partitions —
+    # re-spread before the per-row-heavy rebuild (the
+    # strip_spans_against_corpus lesson)
+    return spread(joined).mapInPandas(run, out_schema)
+
+
+def _span_poly_weights(L: int):
+    """The span family's (pw1, pw2) rolling-polynomial weight vectors —
+    the ONE copy of the md5-seeded odd-multiplier constants every span
+    kernel derives (see :func:`_span_occurrences_arrow` for why these
+    and not per-window md5)."""
+    import hashlib
+
+    import numpy as np
+
+    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
+    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
+    pw1 = np.empty(L, dtype=np.uint64)
+    pw2 = np.empty(L, dtype=np.uint64)
+    a = b = 1
+    for j in range(L - 1, -1, -1):
+        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
+        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
+        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
+        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
+    return pw1, pw2
+
+
+def _span_ref_arrays(rows):
+    """Collected (__kh, __kl) Rows → (KH, KL, kh_unique): the key pairs
+    lexsorted by (kh, kl) as two parallel int64 arrays, 16 B/key — 5M
+    keys is 80 MB, the same driver-artifact class as the
+    contaminated_spans cap, shipped ONCE per executor via
+    `sc.broadcast` instead of the pickled frozenset-of-tuples the r13
+    kernels closed over (hundreds of bytes per key, serialized per
+    task). `kh_unique` (true in practice — kh is a 64-bit hash)
+    enables the fully vectorized membership fast path."""
+    import numpy as np
+
+    kh = np.fromiter(
+        (r["__kh"] for r in rows), dtype=np.int64, count=len(rows)
     )
-    agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("tok"), F.col("word")))
-                ),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("kept_tokens"),
+    kl = np.fromiter(
+        (r["__kl"] for r in rows), dtype=np.int64, count=len(rows)
     )
-    return (
-        n_tok.join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
-            (F.col("__n") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
-                "removed_tokens"
-            ),
-        )
+    order = np.lexsort((kl, kh))
+    kh = kh[order]
+    kl = kl[order]
+    uniq = bool(kh.size < 2 or (np.diff(kh) != 0).all())
+    return kh, kl, uniq
+
+
+def _span_ref_hits(k1, k2, KH, KL, kh_unique):
+    """Ascending window positions i whose (k1[i], k2[i]) key is present
+    in the lexsorted reference arrays — EXACTLY the confirmation semi
+    join's int64-pair equality, evaluated as one vectorized
+    searchsorted over the sorted kh column plus an exact kl compare
+    (with a rare-duplicate linear scan only when distinct reference
+    keys collide on kh)."""
+    import numpy as np
+
+    if KH.size == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.searchsorted(KH, k1)
+    ok = idx < KH.size
+    safe = np.where(ok, idx, 0)
+    cand = ok & (KH[safe] == k1)
+    if kh_unique:
+        return np.nonzero(cand & (KL[safe] == k2))[0]
+    out = []
+    for p in np.nonzero(cand)[0]:
+        j = int(idx[p])
+        while j < KH.size and KH[j] == k1[p]:
+            if KL[j] == k2[p]:
+                out.append(p)
+                break
+            j += 1
+    return np.asarray(out, dtype=np.int64)
+
+
+def _span_audit_map(
+    df: DataFrame, id_col: str, text_col: str, L: int, ref_rows
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens) of every maximal
+    ≥ L-token `df` span whose windows all hit the driver-collected
+    reference key set — ONE stateless Arrow map (shingle → membership
+    → island merge in-kernel, nothing shuffles after the scan).
+    Shared by :func:`contaminated_spans` and the bounded-corpus fast
+    path of :func:`spans_against_corpus`; stream-legal."""
+    import re
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    pw1, pw2 = _span_poly_weights(L)
+    bc = df.sparkSession.sparkContext.broadcast(_span_ref_arrays(ref_rows))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        KH, KL, uniq = bc.value
+        memo: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, starts, ends, lens = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n = len(toks) - L + 1
+                if n <= 0:
+                    continue
+                H = np.fromiter(
+                    (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                W = np.lib.stride_tricks.sliding_window_view(H, L)
+                k1 = (W * pw1).sum(axis=1).view(np.int64)
+                k2 = (W * pw2).sum(axis=1).view(np.int64)
+                hit_pos = _span_ref_hits(k1, k2, KH, KL, uniq)
+                if hit_pos.size == 0:
+                    continue
+                for s, e in _merge_islands_py(hit_pos, L):
+                    ids.append(int(i))
+                    starts.append(s)
+                    ends.append(e)
+                    lens.append(e - s + 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "span_start": pd.Series(starts, dtype="int64"),
+                    "span_end": pd.Series(ends, dtype="int64"),
+                    "span_tokens": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        run,
+        f"`{id_col}` long, span_start long, span_end long, span_tokens long",
+    )
+
+
+def _span_strip_map(
+    df: DataFrame, id_col: str, text_col: str, L: int, ref_rows
+) -> DataFrame:
+    """(id, clean_text, kept_tokens, removed_tokens) with every token
+    covered by a reference-hit window removed — the scrubber twin of
+    :func:`_span_audit_map`, same ONE stateless Arrow map, one output
+    row per input doc. Shared by :func:`strip_contaminated_spans` and
+    the bounded-corpus fast path of
+    :func:`strip_spans_against_corpus`; stream-legal."""
+    import re
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    pw1, pw2 = _span_poly_weights(L)
+    bc = df.sparkSession.sparkContext.broadcast(_span_ref_arrays(ref_rows))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        KH, KL, uniq = bc.value
+        memo: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, cleans, kepts, removeds = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((txt or "").lower()) if t]
+                n = len(toks) - L + 1
+                drop = np.zeros(len(toks), dtype=bool)
+                if n > 0:
+                    H = np.fromiter(
+                        (tok_h(t) for t in toks),
+                        dtype=np.uint64,
+                        count=len(toks),
+                    )
+                    W = np.lib.stride_tricks.sliding_window_view(H, L)
+                    k1 = (W * pw1).sum(axis=1).view(np.int64)
+                    k2 = (W * pw2).sum(axis=1).view(np.int64)
+                    for p in _span_ref_hits(k1, k2, KH, KL, uniq):
+                        drop[p : p + L] = True
+                kept_toks = [t for t, d in zip(toks, drop) if not d]
+                ids.append(int(i))
+                cleans.append(" ".join(kept_toks))
+                kepts.append(len(kept_toks))
+                removeds.append(len(toks) - len(kept_toks))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "clean_text": pd.Series(cleans, dtype="object"),
+                    "kept_tokens": pd.Series(kepts, dtype="int64"),
+                    "removed_tokens": pd.Series(removeds, dtype="int64"),
+                }
+            )
+
+    from kamu_cli_spark.operators.util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        run,
+        f"`{id_col}` long, clean_text string, kept_tokens long, "
+        "removed_tokens long",
     )
 
 
@@ -1352,113 +1592,29 @@ def contaminated_spans(
     rolling-polynomial 128-bit window keys as :func:`duplicate_spans`
     (engine-internal; the DuckDB twin uses md5 strings and must
     produce identical spans — O_CONTAMINATED_SPANS)."""
-    import hashlib
-    import re
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     L = min_len
     rtext = ref_text_col or text_col
-    ref_keys = _span_occurrences_arrow(reference, id_col, rtext, L).select(
-        "__kh", "__kl"
+    # ONE bounded job: keys-only shingle (in-kernel per-batch dedup) →
+    # distinct → limit-collect. The r13 form ran the reference pass
+    # TWICE (a count to enforce the cap, then the collect) and carried
+    # (id, pos) payload it immediately dropped.
+    rows = (
+        _span_keys_arrow(reference, rtext, L)
+        .distinct()
+        .limit(max_reference_windows + 1)
+        .collect()
     )
-    n_ref = ref_keys.distinct().count()
-    if n_ref > max_reference_windows:
+    if len(rows) > max_reference_windows:
         raise ValueError(
-            f"reference has {n_ref} distinct {L}-token windows, over the "
-            f"{max_reference_windows} driver-collect cap — span-level "
-            "contamination is designed for bounded eval/benchmark "
-            "references; pre-filter the reference or raise the cap"
+            f"reference has over {max_reference_windows} distinct "
+            f"{L}-token windows, over the driver-collect cap — "
+            "span-level contamination is designed for bounded "
+            "eval/benchmark references; pre-filter the reference or "
+            "raise the cap"
         )
-    rows = ref_keys.distinct().collect()  # bounded: checked above
-    ref_kh = np.sort(np.array([r["__kh"] for r in rows], dtype=np.int64))
-    ref_pairs = frozenset((r["__kh"], r["__kl"]) for r in rows)
-
-    ws = re.compile(r"\s+", re.ASCII)
-    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
-    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
-    pw1 = np.empty(L, dtype=np.uint64)
-    pw2 = np.empty(L, dtype=np.uint64)
-    a = b = 1
-    for j in range(L - 1, -1, -1):
-        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
-        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
-        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
-        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, int] = {}
-
-        def tok_h(t: str) -> int:
-            v = memo.get(t)
-            if v is None:
-                v = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                )
-                memo[t] = v
-            return v
-
-        for pdf in batches:
-            ids, starts, ends, lens = [], [], [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in ws.split((txt or "").lower()) if t]
-                n = len(toks) - L + 1
-                if n <= 0:
-                    continue
-                H = np.fromiter(
-                    (tok_h(t) for t in toks), dtype=np.uint64, count=len(toks)
-                )
-                W = np.lib.stride_tricks.sliding_window_view(H, L)
-                k1 = (W * pw1).sum(axis=1).view(np.int64)
-                k2 = (W * pw2).sum(axis=1).view(np.int64)
-                # vectorized prefilter on the sorted kh column, exact
-                # 128-bit confirm on the (rare) candidates only
-                idx = np.searchsorted(ref_kh, k1)
-                idx[idx >= len(ref_kh)] = max(len(ref_kh) - 1, 0)
-                cand = (
-                    np.nonzero(len(ref_kh) and (ref_kh[idx] == k1))[0]
-                    if len(ref_kh)
-                    else np.array([], dtype=np.int64)
-                )
-                hit_pos = [
-                    int(p) for p in cand
-                    if (int(k1[p]), int(k2[p])) in ref_pairs
-                ]
-                if not hit_pos:
-                    continue
-                # in-kernel island merge (positions already ascending)
-                s0 = prev = hit_pos[0]
-                for p in hit_pos[1:]:
-                    if p - prev > L:
-                        ids.append(int(i))
-                        starts.append(s0)
-                        ends.append(prev + L - 1)
-                        lens.append(prev + L - 1 - s0 + 1)
-                        s0 = p
-                    prev = p
-                ids.append(int(i))
-                starts.append(s0)
-                ends.append(prev + L - 1)
-                lens.append(prev + L - 1 - s0 + 1)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "span_start": pd.Series(starts, dtype="int64"),
-                    "span_end": pd.Series(ends, dtype="int64"),
-                    "span_tokens": pd.Series(lens, dtype="int64"),
-                }
-            )
-
-    from kamu_cli_spark.operators.util import spread
-
-    return spread(df.select(id_col, text_col)).mapInPandas(
-        run,
-        f"`{id_col}` long, span_start long, span_end long, span_tokens long",
-    )
+    return _span_audit_map(df, id_col, text_col, L, rows)
 
 
 def strip_contaminated_spans(
@@ -1483,97 +1639,26 @@ def strip_contaminated_spans(
     (The self-corpus analogue :func:`strip_duplicate_spans` needs
     global gram counts and therefore shuffles; against a BOUNDED
     reference the whole job is map-side.)"""
-    import hashlib
-    import re
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     L = min_len
     rtext = ref_text_col or text_col
-    ref_keys = _span_occurrences_arrow(reference, id_col, rtext, L).select(
-        "__kh", "__kl"
+    # ONE bounded job (see contaminated_spans — count+collect fused)
+    rows = (
+        _span_keys_arrow(reference, rtext, L)
+        .distinct()
+        .limit(max_reference_windows + 1)
+        .collect()
     )
-    n_ref = ref_keys.distinct().count()
-    if n_ref > max_reference_windows:
+    if len(rows) > max_reference_windows:
         raise ValueError(
-            f"reference has {n_ref} distinct {L}-token windows, over the "
-            f"{max_reference_windows} driver-collect cap — span-level "
-            "contamination is designed for bounded eval/benchmark "
-            "references; pre-filter the reference or raise the cap"
+            f"reference has over {max_reference_windows} distinct "
+            f"{L}-token windows, over the driver-collect cap — "
+            "span-level contamination is designed for bounded "
+            "eval/benchmark references; pre-filter the reference or "
+            "raise the cap"
         )
-    rows = ref_keys.distinct().collect()  # bounded: checked above
-    ref_kh = np.sort(np.array([r["__kh"] for r in rows], dtype=np.int64))
-    ref_pairs = frozenset((r["__kh"], r["__kl"]) for r in rows)
-
-    ws = re.compile(r"\s+", re.ASCII)
-    B1 = int.from_bytes(hashlib.md5(b"spanbase1").digest()[:8], "big") | 1
-    B2 = int.from_bytes(hashlib.md5(b"spanbase2").digest()[:8], "big") | 1
-    pw1 = np.empty(L, dtype=np.uint64)
-    pw2 = np.empty(L, dtype=np.uint64)
-    a = b = 1
-    for j in range(L - 1, -1, -1):
-        pw1[j] = a & 0xFFFFFFFFFFFFFFFF
-        pw2[j] = b & 0xFFFFFFFFFFFFFFFF
-        a = (a * B1) & 0xFFFFFFFFFFFFFFFF
-        b = (b * B2) & 0xFFFFFFFFFFFFFFFF
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, int] = {}
-
-        def tok_h(t: str) -> int:
-            v = memo.get(t)
-            if v is None:
-                v = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                )
-                memo[t] = v
-            return v
-
-        for pdf in batches:
-            ids, cleans, kepts, removeds = [], [], [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in ws.split((txt or "").lower()) if t]
-                n = len(toks) - L + 1
-                drop = np.zeros(len(toks), dtype=bool)
-                if n > 0 and len(ref_kh):
-                    H = np.fromiter(
-                        (tok_h(t) for t in toks),
-                        dtype=np.uint64,
-                        count=len(toks),
-                    )
-                    W = np.lib.stride_tricks.sliding_window_view(H, L)
-                    k1 = (W * pw1).sum(axis=1).view(np.int64)
-                    k2 = (W * pw2).sum(axis=1).view(np.int64)
-                    idx = np.searchsorted(ref_kh, k1)
-                    idx[idx >= len(ref_kh)] = len(ref_kh) - 1
-                    for p in np.nonzero(ref_kh[idx] == k1)[0]:
-                        if (int(k1[p]), int(k2[p])) in ref_pairs:
-                            drop[p : p + L] = True
-                kept_toks = [t for t, d in zip(toks, drop) if not d]
-                ids.append(int(i))
-                cleans.append(" ".join(kept_toks))
-                kepts.append(len(kept_toks))
-                removeds.append(len(toks) - len(kept_toks))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "clean_text": pd.Series(cleans, dtype="object"),
-                    "kept_tokens": pd.Series(kepts, dtype="int64"),
-                    "removed_tokens": pd.Series(removeds, dtype="int64"),
-                }
-            )
-
-    from kamu_cli_spark.operators.util import spread
-
-    return spread(df.select(id_col, text_col)).mapInPandas(
-        run,
-        f"`{id_col}` long, clean_text string, kept_tokens long, "
-        "removed_tokens long",
-    )
+    return _span_strip_map(df, id_col, text_col, L, rows)
 
 
 def _span_keys_arrow(corpus: DataFrame, text_col: str, L: int) -> DataFrame:
@@ -1780,6 +1865,60 @@ def _merge_islands_py(pos_sorted, L):
     return spans
 
 
+def _bounded_corpus_key_rows(
+    keys: DataFrame, corpus: DataFrame, collect_max_keys: int
+):
+    """list[Row] | None — collect the static corpus's distinct window
+    keys when that is affordable, enabling the against-corpus family's
+    all-in-kernel path (the result is IDENTICAL either way: membership
+    is the same (__kh, __kl) int64-pair equality the confirmation semi
+    join evaluates).
+
+    Two guards keep the 100 TB story honest:
+    - zero-cost stats guard: Catalyst's logical size estimate of the
+      corpus (file-index bytes for scans, tens of ms — the
+      util.spread idiom) must be at or under
+      $KAMU_SPAN_CORPUS_COLLECT_BYTES (default 1 GiB). At real corpus
+      scale the probe job is never launched and the distributed
+      Bloom + semi-join path runs untouched.
+    - hard key cap: the probe collects at most `collect_max_keys` + 1
+      rows in ONE job; over the cap the probe is discarded and the
+      distributed path runs (one wasted bounded job, only reachable
+      under the stats guard).
+    Unknown stats (no file index, e.g. an exotic source) → None."""
+    if collect_max_keys <= 0 or corpus.isStreaming:
+        return None
+    import os
+
+    try:
+        est = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    max_bytes = int(
+        os.environ.get("KAMU_SPAN_CORPUS_COLLECT_BYTES", str(1 << 30))
+    )
+    if est > max_bytes:
+        return None
+    rows = keys.limit(collect_max_keys + 1).collect()
+    if len(rows) > collect_max_keys:
+        return None
+    return rows
+
+
+def _span_collect_cap(collect_max_keys: int | None) -> int:
+    """Resolve the against-corpus collect cap: explicit argument wins
+    (0 forces the distributed path — how tests pin it), else
+    $KAMU_SPAN_CORPUS_COLLECT_KEYS, default 5M keys = 80 MB of driver
+    arrays (the contaminated_spans artifact class)."""
+    if collect_max_keys is not None:
+        return collect_max_keys
+    import os
+
+    return int(os.environ.get("KAMU_SPAN_CORPUS_COLLECT_KEYS", "5000000"))
+
+
 def spans_against_corpus(
     df: DataFrame,
     corpus: DataFrame,
@@ -1790,6 +1929,7 @@ def spans_against_corpus(
     prefilter: bool = True,
     n_bits: int = 1 << 24,
     n_hashes: int = 7,
+    collect_max_keys: int | None = None,
 ) -> DataFrame:
     """Maximal ≥ `min_len`-token spans of `df` documents that appear
     VERBATIM anywhere in a STATIC `corpus`, as (id, span_start,
@@ -1811,13 +1951,25 @@ def spans_against_corpus(
 
     Size `n_bits` ≈ 10-16× the corpus's distinct window count (default
     2^24 covers ~1.6M windows at <1% FP; FP rate only moves the
-    prefilter's selectivity, never the result)."""
+    prefilter's selectivity, never the result).
+
+    Bounded-corpus fast path: when Catalyst's size estimate says the
+    corpus is small (see :func:`_bounded_corpus_key_rows`) its distinct
+    keys collect in one bounded job and the whole query becomes the
+    contaminated_spans kernel — scan → Arrow map, zero joins, zero
+    shuffles, identical result (same key-pair equality). Past the
+    stats guard the distributed plan above runs unchanged."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     L = min_len
     keys = corpus_window_keys(
         corpus, id_col, corpus_text_col or text_col, L
     )
+    rows = _bounded_corpus_key_rows(
+        keys, corpus, _span_collect_cap(collect_max_keys)
+    )
+    if rows is not None:
+        return _span_audit_map(df, id_col, text_col, L, rows)
     hits = _confirmed_span_hits(
         df, keys, id_col, text_col, L, prefilter, n_bits, n_hashes
     )
@@ -1893,6 +2045,7 @@ def strip_spans_against_corpus(
     prefilter: bool = True,
     n_bits: int = 1 << 24,
     n_hashes: int = 7,
+    collect_max_keys: int | None = None,
 ) -> DataFrame:
     """Remove every `df` token covered by a ≥ `min_len`-token span
     that appears verbatim in the STATIC `corpus`; returns (id,
@@ -1912,13 +2065,23 @@ def strip_spans_against_corpus(
     text-bearing row per doc and a per-doc applyInPandasWithState
     kernel rebuilds (a doc and its hits always share a micro-batch, so
     no state is ever stored; micro-batches are small, so per-group
-    overhead doesn't compound)."""
+    overhead doesn't compound).
+
+    Bounded-corpus fast path: same cost-based switch as
+    :func:`spans_against_corpus` — a small corpus's keys collect once
+    and the whole scrub (batch or stream) is the strip kernel, one
+    Arrow map over the crawl with zero joins; identical result."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     L = min_len
     keys = corpus_window_keys(
         corpus, id_col, corpus_text_col or text_col, L
     )
+    rows = _bounded_corpus_key_rows(
+        keys, corpus, _span_collect_cap(collect_max_keys)
+    )
+    if rows is not None:
+        return _span_strip_map(df, id_col, text_col, L, rows)
     hits = _confirmed_span_hits(
         df, keys, id_col, text_col, L, prefilter, n_bits, n_hashes
     )

@@ -93,6 +93,34 @@ class TestBatch:
         ).count() == 0
 
 
+class TestDistributedPathIdentity:
+    """collect_max_keys=0 forces the distributed Bloom + semi-join
+    path (the 100 TB shape); it must produce byte-identical results to
+    the bounded-corpus kernel fast path that small corpora take."""
+
+    def test_audit_paths_identical(self, spark):
+        crawl, corpus = _fx(spark)
+        fast = spans_against_corpus(crawl, corpus, "doc_id", min_len=8)
+        dist = spans_against_corpus(
+            crawl, corpus, "doc_id", min_len=8, collect_max_keys=0
+        )
+        assert (
+            {tuple(r) for r in fast.collect()}
+            == {tuple(r) for r in dist.collect()}
+            == {(1, 5, 14, 10)}
+        )
+
+    def test_strip_paths_identical(self, spark):
+        crawl, corpus = _fx(spark)
+        fast = strip_spans_against_corpus(crawl, corpus, "doc_id", min_len=8)
+        dist = strip_spans_against_corpus(
+            crawl, corpus, "doc_id", min_len=8, collect_max_keys=0
+        )
+        got_f = {tuple(r) for r in fast.collect()}
+        got_d = {tuple(r) for r in dist.collect()}
+        assert got_f == got_d and len(got_d) == 3
+
+
 class TestStreaming:
     def _run_stream(self, spark, tmp_path, crawl, op):
         src = tmp_path / "crawl"
@@ -129,6 +157,39 @@ class TestStreaming:
             ).collect()
         }
         assert got == want == {(1, 5, 14, 10)}
+
+    def test_streaming_distributed_audit_matches_batch(
+        self, spark, tmp_path
+    ):
+        # the stream-static semi join + applyInPandasWithState island
+        # merge (forced via collect_max_keys=0) — the at-scale stream
+        # shape the bounded fast path bypasses
+        crawl, corpus = _fx(spark)
+        got = self._run_stream(
+            spark, tmp_path, crawl,
+            lambda s: spans_against_corpus(
+                s, corpus, "doc_id", min_len=8, collect_max_keys=0
+            ),
+        )
+        assert got == {(1, 5, 14, 10)}
+
+    def test_streaming_distributed_strip_matches_batch(
+        self, spark, tmp_path
+    ):
+        crawl, corpus = _fx(spark)
+        got = self._run_stream(
+            spark, tmp_path, crawl,
+            lambda s: strip_spans_against_corpus(
+                s, corpus, "doc_id", min_len=8, collect_max_keys=0
+            ),
+        )
+        want = {
+            tuple(r)
+            for r in strip_spans_against_corpus(
+                crawl, corpus, "doc_id", min_len=8
+            ).collect()
+        }
+        assert got == want and len(got) == 3
 
     def test_streaming_strip_matches_batch(self, spark, tmp_path):
         crawl, corpus = _fx(spark)
