@@ -5585,9 +5585,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": q_lineitem_rollup,
         "customer_set_ops": q_customer_set_ops,
         "documents_dsir_select": q_documents_dsir_select,
-        "documents_kmv_distinct": q_documents_kmv_distinct,
+        # r15 rotation (VERDICT r14 #7): the two never-driver-graded
+        # r14 sketch queries IN — documents_hll_distinct (fixed-state
+        # HyperLogLog cardinality) takes the slot of its same-family
+        # twin documents_kmv_distinct (mergeable cardinality sketch,
+        # graded green r13-r14; family stays graded via hll_distinct
+        # AND the incoming source_overlap, which composes the same KMV
+        # artifacts); documents_source_overlap (sketch-only
+        # cross-source Jaccard) takes part_scalar_battery's slot (the
+        # scalar/agg-battery family keeps THREE graded reps:
+        # orders_regex_battery, customer_window_battery,
+        # lineitem_rollup).
+        "documents_hll_distinct": q_documents_hll_distinct,
         "documents_corpus_drift": q_documents_corpus_drift,
-        "part_scalar_battery": q_part_scalar_battery,
+        "documents_source_overlap": q_documents_source_overlap,
         "multi_step_harmonize": q_multi_step_harmonize,
         "suppliers_with_large_orders": q_suppliers_with_large_orders,
         "customer_window_battery": q_customer_window_battery,
@@ -5685,12 +5696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-int documents_bm25 as its sibling.
         "documents_bpe_fertility": q_documents_bpe_fertility,
         "documents_bm25_ln": q_documents_bm25_ln,
-        # documents_hll_distinct + documents_source_overlap (NEW r14:
-        # fixed-state HyperLogLog twin of the graded
-        # documents_kmv_distinct; sketch-only cross-source Jaccard on
-        # the same KMV artifacts) tail; round-15 rotation candidates.
-        "documents_hll_distinct": q_documents_hll_distinct,
-        "documents_source_overlap": q_documents_source_overlap,
+        # documents_kmv_distinct + part_scalar_battery rotated below
+        # the driver window in r15 (both graded green r13-r14; the
+        # cardinality-sketch family stays graded via the in-window
+        # documents_hll_distinct + documents_source_overlap, the
+        # battery family via orders_regex_battery +
+        # customer_window_battery + lineitem_rollup).
+        "documents_kmv_distinct": q_documents_kmv_distinct,
+        "part_scalar_battery": q_part_scalar_battery,
         "cumulative_revenue": q_cumulative_revenue,
         "events_json_props": q_events_json_props,
         "documents_gram_novelty": q_documents_gram_novelty,

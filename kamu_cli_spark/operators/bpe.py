@@ -155,9 +155,15 @@ def bpe_fit(
     # coalesce(1): the map-side partial aggregation stays parallel; only
     # the vocabulary-bounded final fold and the induction kernel run on
     # the single task.
+    #
+    # Lazy localCheckpoint (ADVICE r14): the frame stays fully lazy (no
+    # job at fit time), but the FIRST action materializes the bounded
+    # merge table (≤ n_merges rows), so a fit-then-apply-then-save flow
+    # replays the corpus scan + induction once, not once per
+    # consumption.
     return vocab.coalesce(1).mapInPandas(
         induce, "rank int, left string, right string, pair_count long"
-    )
+    ).localCheckpoint(eager=False)
 
 
 def bpe_apply(

@@ -341,6 +341,11 @@ def gram_novelty(
             return v
 
         for pdf in batches:
+            # per-BATCH memo, matching explode_shingles_arrow: a
+            # per-task memo grows with the task's distinct-gram count
+            # (full gram strings as keys) and can accumulate GBs of
+            # Python heap per executor on large partitions (ADVICE r14)
+            memo.clear()
             ids, ngs, nvs, nes = [], [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in ws.split((txt or "").lower()) if t]

@@ -59,6 +59,18 @@ LOW_FOOTPRINT_EDGES = 300_000_000
 #: pattern).
 BROADCAST_MAX_NODES = 2_000_000
 
+#: In the lazy (non-checkpointing) regime, every unrolled iteration
+#: nests ANOTHER nodes-sized BroadcastExchange inside the final plan,
+#: and all of them are live simultaneously while the single job runs —
+#: memory grows linearly with `iterations` (~100-200 MB per iteration
+#: at the 2M-node cap, pinned on the driver and every executor). Past
+#: this many total broadcast rows (nodes × iterations) the broadcast
+#: regime checkpoints each iteration instead, which truncates the
+#: lineage so at most one rank broadcast is live at a time. At the
+#: default iterations=3 the bound only binds past ~2.6M nodes — i.e.
+#: the benched small-graph shape (one final checkpoint) is unchanged.
+BROADCAST_UNROLL_MAX_RANK_ROWS = 8_000_000
+
 
 def _prepare_graph(
     edges: DataFrame, src: str, dst: str
@@ -171,7 +183,17 @@ def pagerank_int(
     low_footprint = ed.count() > LOW_FOOTPRINT_EDGES
     # nodes is persisted and tiny per row; the count is one cheap job
     # and decides the per-iteration join strategy for the whole run.
-    bcast_ranks = nodes.count() <= BROADCAST_MAX_NODES
+    n_nodes = nodes.count()
+    bcast_ranks = n_nodes <= BROADCAST_MAX_NODES
+    # per-iteration checkpoint when EITHER bound trips: disk-bounded
+    # shuffle reaping for big graphs (LOW_FOOTPRINT_EDGES), or the
+    # broadcast-relation live-set bound for high iteration counts
+    # (BROADCAST_UNROLL_MAX_RANK_ROWS — ADVICE r14: unrolled broadcast
+    # iterations otherwise keep every iteration's rank broadcast alive
+    # at once during the final job).
+    checkpoint_each = low_footprint or (
+        bcast_ranks and n_nodes * iterations > BROADCAST_UNROLL_MAX_RANK_ROWS
+    )
     try:
         ranks = nodes.withColumn("rank_e6", F.lit(E6).cast("long"))
         for _ in range(iterations):
@@ -225,12 +247,12 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank_e6"),
             )
-            if low_footprint:
+            if checkpoint_each:
                 ranks = ranks.localCheckpoint(
                     eager=True, storageLevel=StorageLevel.DISK_ONLY
                 )
                 _reap_shuffles(ranks.sparkSession)
-        if not low_footprint or iterations == 0:
+        if not checkpoint_each or iterations == 0:
             # truncate the unrolled lineage / keep the returned frame
             # valid past the unpersists below
             ranks = ranks.localCheckpoint(

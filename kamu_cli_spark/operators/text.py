@@ -614,13 +614,30 @@ def ngram_lm_fit(
     trick) before that regime."""
     bc = _bigram_counts_arrow(corpus, None, text_col, lowercase)
     pair_n = bc.groupBy("w1", "w2").agg(F.sum("c").alias("pair_n"))
-    ctx_n = pair_n.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
-    return pair_n.join(ctx_n, "w1").select(
+    return _lm_from_pair_counts(pair_n)
+
+
+def _lm_from_pair_counts(pair_n: DataFrame) -> DataFrame:
+    """(w1, w2, pair_n) → the full LM row set, context totals folded
+    in with ONE window sum instead of the former groupBy(w1) +
+    join-back-on-w1 self-join (r15, guide §2.3/§2.4): the self-join
+    shape re-used the pair-count subtree twice (deduped only by AQE
+    runtime exchange reuse) and cost a third vocab-sized exchange for
+    the join's probe side; the window costs one exchange + local sort
+    and is structurally single-pass. ctx_n is the identical exact
+    int64 sum (addition is order-free), so every row is bit-identical.
+    Skew note: one window group = one w1's continuations — bounded by
+    the vocabulary (≤ |V| small rows for the hottest function word),
+    and WindowExec spills per group, so no hot-key cliff."""
+    w = Window.partitionBy("w1")
+    return pair_n.select(
         "w1",
         "w2",
         "pair_n",
-        "ctx_n",
-        F.expr("div(1000000 * pair_n, ctx_n)").cast("long").alias("cond_e6"),
+        F.sum("pair_n").over(w).alias("ctx_n"),
+    ).withColumn(
+        "cond_e6",
+        F.expr("div(1000000 * pair_n, ctx_n)").cast("long"),
     )
 
 
@@ -781,14 +798,7 @@ def dsir_weights(
     occ = _bigram_counts_arrow(df, id_col, text_col, lowercase)
     if raw_corpus is None:
         pair_n = occ.groupBy("w1", "w2").agg(F.sum("c").alias("pair_n"))
-        ctx_n = pair_n.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
-        r_lm = pair_n.join(ctx_n, "w1").select(
-            "w1",
-            "w2",
-            F.expr("div(1000000 * pair_n, ctx_n)").cast("long").alias(
-                "cond_e6"
-            ),
-        )
+        r_lm = _lm_from_pair_counts(pair_n).select("w1", "w2", "cond_e6")
     else:
         r_lm = ngram_lm_fit(raw_corpus, text_col=text_col,
                             lowercase=lowercase)
@@ -867,10 +877,13 @@ def lm_familiarity_buckets(
     # consumption (reuse covers the exchanges but re-plans and re-scans
     # the non-exchange edges; measured ~0.4 s at sf0.1, and the
     # materialized frame is one small row per doc — the semantic_dedup
-    # assignment pattern).
+    # assignment pattern). LAZY (ADVICE r14): the API stays
+    # side-effect-free at call time — the checkpoint materializes with
+    # the first action over the result, and both consumptions inside
+    # that action share the one persisted execution just the same.
     scored = ngram_lm_score(
         df, model, id_col=id_col, text_col=text_col, lowercase=lowercase
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     hist = scored.groupBy("familiarity_e6").agg(
         F.count(F.lit(1)).alias("__c")
     )

@@ -73,6 +73,46 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+#: JavaUtils.byteStringAsBytes suffixes (Spark accepts size confs in
+#: human-readable form: "256m", "1g", "134217728b", …). Case-folded.
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def _conf_bytes(value: str, default: int) -> int:
+    """Parse a Spark byte-size conf value. Spark accepts suffixed
+    forms ("256m") as well as plain digits for confs whose default
+    unit is bytes; a bare int() on an externally-configured session
+    raised ValueError at plan time (ADVICE r14). Unparseable values
+    fall back to `default` rather than failing the query."""
+    s = str(value).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    mult = _SIZE_SUFFIXES.get(s[i:])
+    if mult is None or i == 0:
+        return default
+    try:
+        return int(s[:i]) * mult
+    except ValueError:
+        return default
+
+
 def widen_if_narrow(df: DataFrame, target: int) -> DataFrame:
     """Round-robin-repartition a COMPUTE-BOUND operator's input to
     `target` when its scan would otherwise yield fewer partitions
@@ -100,8 +140,9 @@ def widen_if_narrow(df: DataFrame, target: int) -> DataFrame:
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_split = _conf_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        134217728,
     )
     if size >= target * max_split:
         return df

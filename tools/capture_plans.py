@@ -5,7 +5,7 @@ box. Lazy plans only: queries that execute eagerly during construction
 frame either way.
 
 Usage: python tools/capture_plans.py <tag> <query> [query ...]
-Writes plans/r14/<query>_<tag>.txt
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r15)
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark(app_name="kamu-cli-spark-plans")

@@ -3,7 +3,7 @@
 Times individual registry queries through the same noop-sink
 methodology as bench.py (min-of-N within one JVM, cache cleared
 between runs) and captures `.explain("formatted")` for each into
-plans/r14/<query>_<tag>.txt.
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r15).
 
 Usage:
     python tools/profile_queries.py <tag> <query> [query ...]
@@ -34,7 +34,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark(app_name="kamu-cli-spark-profile")
