@@ -71,11 +71,19 @@ BROADCAST_MAX_NODES = 2_000_000
 #: the benched small-graph shape (one final checkpoint) is unchanged.
 BROADCAST_UNROLL_MAX_RANK_ROWS = 8_000_000
 
+#: Below this many edges, the per-iteration System.gc nudge is skipped:
+#: the nudge exists to delete GB-scale orphaned shuffle/checkpoint files
+#: mid-job (see _reap_shuffles), but a full GC on an 8g heap costs
+#: 0.3-1 s — at small-graph scale (per-iteration files are MBs) that
+#: nudge was 30-50% of pagerank_int_converged's wall time and the files
+#: are harmless until natural GC or session end reclaims them.
+REAP_MIN_EDGES = 5_000_000
+
 
 def _prepare_graph(
     edges: DataFrame, src: str, dst: str
-) -> tuple[DataFrame, DataFrame]:
-    """(ed, nodes): ed = distinct edges with out-degree pre-joined,
+) -> tuple[DataFrame, DataFrame, int]:
+    """(ed, nodes, n_edges): ed = distinct edges with out-degree pre-joined,
     hash-partitioned by __s, materialized DISK_ONLY via
     localCheckpoint. Design constraints learned on the sf100 run
     (1.17B edges, single box):
@@ -134,14 +142,18 @@ def _prepare_graph(
         .select("__s", "__d", "__deg")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    _reap_shuffles(ed.sparkSession)
+    # the count doubles as the materialization barrier receipt and is a
+    # cached-block scan; callers reuse it for their regime decisions
+    n_edges = ed.count()
+    if n_edges > REAP_MIN_EDGES:
+        _reap_shuffles(ed.sparkSession)
     nodes = (
         ed.select(F.col("__s").alias("id"))
         .unionByName(ed.select(F.col("__d").alias("id")))
         .distinct()
         .persist(StorageLevel.DISK_ONLY)
     )
-    return ed, nodes
+    return ed, nodes, n_edges
 
 
 def _reap_shuffles(spark) -> None:
@@ -170,7 +182,7 @@ def pagerank_int(
     engines — see the module docstring for the integer formulation."""
     if iterations < 0:
         raise ValueError("iterations must be non-negative")
-    ed, nodes = _prepare_graph(edges, src, dst)
+    ed, nodes, n_edges = _prepare_graph(edges, src, dst)
     # Two iteration regimes, same result:
     # - small graphs: lazy unrolled iterations + ONE final checkpoint --
     #   per-iteration materialization (a job + a full System.gc each)
@@ -180,7 +192,7 @@ def pagerank_int(
     #   are alive simultaneously and DISK, not CPU, capped the feasible
     #   graph size (the sf100 run died on scratch space before heap).
     # ed is already materialized, so the count is a cached-block scan.
-    low_footprint = ed.count() > LOW_FOOTPRINT_EDGES
+    low_footprint = n_edges > LOW_FOOTPRINT_EDGES
     # nodes is persisted and tiny per row; the count is one cheap job
     # and decides the per-iteration join strategy for the whole run.
     n_nodes = nodes.count()
@@ -251,7 +263,8 @@ def pagerank_int(
                 ranks = ranks.localCheckpoint(
                     eager=True, storageLevel=StorageLevel.DISK_ONLY
                 )
-                _reap_shuffles(ranks.sparkSession)
+                if n_edges > REAP_MIN_EDGES:
+                    _reap_shuffles(ranks.sparkSession)
         if not checkpoint_each or iterations == 0:
             # truncate the unrolled lineage / keep the returned frame
             # valid past the unpersists below
@@ -294,7 +307,7 @@ def pagerank_int_converged(
         raise ValueError("epsilon_e6 must be non-negative")
     if max_iterations < 1:
         raise ValueError("max_iterations must be positive")
-    ed, nodes = _prepare_graph(edges, src, dst)
+    ed, nodes, n_edges = _prepare_graph(edges, src, dst)
     try:
         ranks = nodes.withColumn(
             "rank_e6", F.lit(E6).cast("long")
@@ -330,7 +343,8 @@ def pagerank_int_converged(
                     )
                 ).cast("long").alias("rank_e6"),
             ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-            _reap_shuffles(new_ranks.sparkSession)
+            if n_edges > REAP_MIN_EDGES:
+                _reap_shuffles(new_ranks.sparkSession)
             n_iters += 1
             delta = (
                 new_ranks.alias("n")
