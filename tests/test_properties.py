@@ -25,7 +25,8 @@ VALS = st.integers(min_value=-5, max_value=5)
 TABLES = st.dictionaries(KEYS, VALS, max_size=8)
 
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=6,  # r15: halved (VERDICT r14 #2 suite-runtime); laws still
+    # property-tested on fresh random inputs every run,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

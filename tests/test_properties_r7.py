@@ -21,7 +21,8 @@ from kamu_cli_spark.verification import logical_hash
 T0 = datetime(2024, 1, 1)
 
 SETTINGS = settings(
-    max_examples=10,
+    max_examples=5,  # r15: halved (VERDICT r14 #2 suite-runtime); laws still
+    # property-tested on fresh random inputs every run,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
