@@ -31,7 +31,7 @@ counterpart (kamu-cli has no graph operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 E6 = 1_000_000
@@ -83,18 +83,18 @@ REAP_MIN_EDGES = 5_000_000
 def _prepare_graph(
     edges: DataFrame, src: str, dst: str
 ) -> tuple[DataFrame, DataFrame, int]:
-    """(ed, nodes, n_edges): ed = distinct edges with out-degree pre-joined,
-    hash-partitioned by __s, materialized DISK_ONLY via
+    """(ed, nodes, n_edges): ed = distinct edges with out-degree
+    attached, hash-partitioned by __s, materialized DISK_ONLY via
     localCheckpoint. Design constraints learned on the sf100 run
     (1.17B edges, single box):
 
     - ONE exchange builds ed: repartition by __s happens FIRST, and
       hashpartitioning(__s) satisfies the clustering the dedup
-      (dropDuplicates on (__s,__d)), the degree aggregate, and the
-      degree join all require — Catalyst inserts no further exchange
-      for any of them. The naive distinct-then-join shape shuffled the
-      full edge list three times, and shuffle files live for the WHOLE
-      job: at sf100 that filled the disk before the heap mattered.
+      (dropDuplicates on (__s,__d)) and the degree window both
+      require — Catalyst inserts no further exchange for either. The
+      naive distinct-then-join shape shuffled the full edge list three
+      times, and shuffle files live for the WHOLE job: at sf100 that
+      filled the disk before the heap mattered.
     - localCheckpoint (not persist): it CUTS lineage, so the build
       shuffles become garbage the moment ed materializes and the
       cleaner can delete them mid-job; a persist keeps the lineage
@@ -129,17 +129,24 @@ def _prepare_graph(
         .repartition(n_parts, F.col("__s"))
         .dropDuplicates(["__s", "__d"])
     )
-    deg = ed.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-    # No sortWithinPartitions before the checkpoint (r14): the saved
-    # order could only pay off if the iteration joins reused it, and
-    # this Spark build reports UnknownPartitioning for checkpointed
-    # frames under AQE — SMJ re-exchanges AND re-sorts ed per iteration
-    # regardless, and the broadcast regime needs no order at all, so
-    # the build-time sort was a pure write-path tax (a full |E|-row
-    # sort at sf100).
+    # Degree via a WINDOW count over the same hashpartitioning(__s)
+    # the repartition established — no second aggregate and no
+    # deg-join (r15, guide §2.3/§2.4): the former groupBy+join shape
+    # re-used the deduped subtree twice and hash-joined a per-source
+    # table back onto the edges; the window costs one local sort by
+    # __s and streams one group at a time (WindowExec spills per
+    # group, so a hub source with millions of out-edges buffers 16 B
+    # rows and degrades to disk exactly like the SMJ iterations the
+    # big-graph regime already tolerates). Interleaved same-JVM A/B
+    # at sf0.1 (1.17M edges): window min 4.49 s vs join 5.30 s, window
+    # won all 4 trial pairs. Result rows identical: per-__s count is
+    # the same exact long either way.
+    # (No layout sortWithinPartitions before the checkpoint — r14: the
+    # saved order can't be reused, this Spark build reports
+    # UnknownPartitioning for checkpointed frames under AQE.)
+    w = Window.partitionBy("__s")
     ed = (
-        ed.join(deg, "__s")
-        .select("__s", "__d", "__deg")
+        ed.withColumn("__deg", F.count(F.lit(1)).over(w))
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # the count doubles as the materialization barrier receipt and is a
