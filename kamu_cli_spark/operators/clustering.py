@@ -368,27 +368,35 @@ def kmeans_fit(
     )
     qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        seed_rows = qdf.orderBy(id_col).limit(k).collect()  # bounded: k rows
-        cents = [(i, list(r["__qe"])) for i, r in enumerate(seed_rows)]
-        for _ in range(n_updates):
-            if not cents:
-                break
-            # fused Arrow assign+partial-sum pass: each partition emits
-            # <= k*dim partial rows (the posexplode formulation shuffled
-            # n*dim rows — 12.8M at sf10, 14.8 s; this pass: <1 s)
-            parts = _update_arrow(qdf, cents).collect()  # bounded: k*dim
-            by_cid: dict[int, dict[int, int]] = {}
-            for r in parts:
-                by_cid.setdefault(r["cluster"], {})[r["pos"]] = _round_half_up(
-                    int(r["s"]), int(r["c"])
-                )
-            cents = [
-                (cid, [dims[p] for p in sorted(dims)])
-                for cid, dims in sorted(by_cid.items())
-            ]
-        return cents
+        return _fit_quantized(qdf, id_col, k, n_updates)
     finally:
         qdf.unpersist()
+
+
+def _fit_quantized(
+    qdf: DataFrame, id_col: str, k: int, n_updates: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd fit over a pre-quantized (id, __qe) frame the CALLER owns
+    (and should have persisted — every pass below re-reads it)."""
+    seed_rows = qdf.orderBy(id_col).limit(k).collect()  # bounded: k rows
+    cents = [(i, list(r["__qe"])) for i, r in enumerate(seed_rows)]
+    for _ in range(n_updates):
+        if not cents:
+            break
+        # fused Arrow assign+partial-sum pass: each partition emits
+        # <= k*dim partial rows (the posexplode formulation shuffled
+        # n*dim rows — 12.8M at sf10, 14.8 s; this pass: <1 s)
+        parts = _update_arrow(qdf, cents).collect()  # bounded: k*dim
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in parts:
+            by_cid.setdefault(r["cluster"], {})[r["pos"]] = _round_half_up(
+                int(r["s"]), int(r["c"])
+            )
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return cents
 
 
 def kmeans_apply(
@@ -552,11 +560,38 @@ def semantic_dedup(
     # lazy recompute re-scores the whole corpus (~50 s per pass at
     # sf100 k=6400). localCheckpoint stores only (id, cluster) — 12
     # bytes/row — and truncates the scoring lineage.
-    assign = (
-        kmeans_apply(df, centroids, vec_col, id_col)
-        if centroids is not None
-        else kmeans_assign(df, vec_col, id_col, k, n_updates)
-    ).select(id_col, "cluster").localCheckpoint()
+    if centroids is not None:
+        assign = kmeans_apply(df, centroids, vec_col, id_col).select(
+            id_col, "cluster"
+        ).localCheckpoint()
+    else:
+        # fit + final assignment over ONE cached quantized frame:
+        # kmeans_assign re-scanned and re-quantized the corpus for the
+        # apply pass even though the fit had just cached exactly those
+        # vectors (r15 phase profile: the fit chain was 2.5 s of the
+        # 4.4 s sf0.1 total; at scale the duplicate pass is a full
+        # corpus scan). The eager checkpoint right below materializes
+        # the assignment while the cache is still alive, so the
+        # unpersist is safe.
+        from kamu_cli_spark.operators.util import widen_if_narrow
+
+        qdf = widen_if_narrow(
+            df.select(F.col(id_col), quantize_e6(vec_col).alias("__qe")),
+            df.sparkSession.sparkContext.defaultParallelism,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            cents = _fit_quantized(qdf, id_col, k, n_updates)
+            if cents:
+                assign = _assign(qdf, cents).select(
+                    id_col, "cluster"
+                ).localCheckpoint()
+            else:  # empty corpus: same null-assignment shape as apply
+                assign = qdf.select(
+                    id_col,
+                    F.lit(None).cast("int").alias("cluster"),
+                ).localCheckpoint()
+        finally:
+            qdf.unpersist()
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__ve"),

@@ -1017,7 +1017,20 @@ def source_lm_influence(
     counts = _bigram_counts_arrow(
         coded.select("__sc", text_col), "__sc", text_col, lowercase
     )
-    sc = counts.groupBy("__sc", "w1", "w2").agg(F.sum("c").alias("c"))
+    # Pin the keyed count table: it is |strata| × |bigram vocab| rows
+    # BY CONSTRUCTION (bounded at any corpus size) and is consumed
+    # FOUR times below (tot, ts, and twice in j). Runtime exchange
+    # reuse was not deduping the consumers — a phase profile at sf0.1
+    # read the single keyed scan+agg at 0.92 s but the full query at
+    # 4.69 s, i.e. the corpus scan executed repeatedly. The lazy
+    # localCheckpoint makes one-scan STRUCTURAL (the r14 DSIR lesson:
+    # never lean on AQE reuse for correctness of the cost model) while
+    # keeping the API lazy; the pinned frame is a few KB per stratum.
+    sc = (
+        counts.groupBy("__sc", "w1", "w2")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = sc.groupBy("w1", "w2").agg(F.sum("c").alias("ct"))
     ts = sc.groupBy("__sc", "w1").agg(F.sum("c").alias("ts"))
     tg = ts.groupBy("w1").agg(F.sum("ts").alias("tg"))
