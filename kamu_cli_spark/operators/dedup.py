@@ -341,11 +341,16 @@ def gram_novelty(
             return v
 
         for pdf in batches:
-            # per-BATCH memo, matching explode_shingles_arrow: a
-            # per-task memo grows with the task's distinct-gram count
-            # (full gram strings as keys) and can accumulate GBs of
-            # Python heap per executor on large partitions (ADVICE r14)
-            memo.clear()
+            # BOUNDED memo (ADVICE r14): an unbounded per-task memo
+            # grows with the task's distinct-gram count (full gram
+            # strings as keys — GBs of Python heap on large
+            # partitions). A hard clear per batch bounded memory but
+            # re-paid the md5 probes for every cross-batch repeat
+            # (sf10 min-of-2: 5.3 s → 7.8 s), so the bound is a size
+            # cap instead: cross-batch reuse survives until ~2M
+            # distinct grams (~200 MB), then the memo resets.
+            if len(memo) > 2_000_000:
+                memo.clear()
             ids, ngs, nvs, nes = [], [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in ws.split((txt or "").lower()) if t]

@@ -618,26 +618,26 @@ def ngram_lm_fit(
 
 
 def _lm_from_pair_counts(pair_n: DataFrame) -> DataFrame:
-    """(w1, w2, pair_n) → the full LM row set, context totals folded
-    in with ONE window sum instead of the former groupBy(w1) +
-    join-back-on-w1 self-join (r15, guide §2.3/§2.4): the self-join
-    shape re-used the pair-count subtree twice (deduped only by AQE
-    runtime exchange reuse) and cost a third vocab-sized exchange for
-    the join's probe side; the window costs one exchange + local sort
-    and is structurally single-pass. ctx_n is the identical exact
-    int64 sum (addition is order-free), so every row is bit-identical.
-    Skew note: one window group = one w1's continuations — bounded by
-    the vocabulary (≤ |V| small rows for the hottest function word),
-    and WindowExec spills per group, so no hot-key cliff."""
-    w = Window.partitionBy("w1")
-    return pair_n.select(
+    """(w1, w2, pair_n) → the full LM row set: context totals as a
+    groupBy(w1) re-aggregation joined back on w1.
+
+    r15 MEASURED AND REVERTED (guide §1 — measure, don't assume): a
+    window-sum fold (`sum(pair_n) over (partition by w1)`) looked like
+    it saved one vocab-sized exchange, but at sf10 the context join's
+    probe side never paid an exchange at runtime (AQE broadcasts the
+    per-w1 totals), so the fold replaced a cheap hash re-aggregation +
+    broadcast join with a full SORT of the bigram model —
+    documents_ngram_lm 8.1 s → 14.9 s and documents_dsir_select
+    18.6 s → 74 s at sf10 (matched min-of-2 profiles). The join shape
+    is kept; consumers that replay the pair-count subtree pin it
+    instead (see dsir_select / source_lm_influence)."""
+    ctx_n = pair_n.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
+    return pair_n.join(ctx_n, "w1").select(
         "w1",
         "w2",
         "pair_n",
-        F.sum("pair_n").over(w).alias("ctx_n"),
-    ).withColumn(
-        "cond_e6",
-        F.expr("div(1000000 * pair_n, ctx_n)").cast("long"),
+        "ctx_n",
+        F.expr("div(1000000 * pair_n, ctx_n)").cast("long").alias("cond_e6"),
     )
 
 
@@ -934,10 +934,20 @@ def dsir_select(
     (id, n_bigrams, dsir_weight_e6, threshold_e6)."""
     if keep_num < 1 or keep_den < keep_num:
         raise ValueError("keep fraction must satisfy 0 < num/den <= 1")
+    # Pin the per-doc weight frame (lazy localCheckpoint): wdf is
+    # consumed TWICE (histogram side + output filter side) and its
+    # lineage holds the keyed Arrow bigram scan of the whole pool —
+    # duplicated unless AQE runtime exchange reuse happens to cover
+    # it. r14 rejected this pin on the sf0.1 warm floor (−0.12 s,
+    # within noise); re-measured at sf10 per VERDICT r14 #9 it WON the
+    # interleaved A/B (min 17.4 s vs 18.2 s, and the unpinned arm
+    # showed 51 s when reuse missed) — the pin makes one-pool-scan
+    # structural, the same robustness the r14 DSIR fusion bought
+    # elsewhere. One small (id, n_bigrams, weight) row per doc.
     wdf = dsir_weights(
         df, target_corpus, raw_corpus=raw_corpus,
         id_col=id_col, text_col=text_col, lowercase=lowercase,
-    )
+    ).localCheckpoint(eager=False)
     hist = wdf.groupBy("dsir_weight_e6").agg(F.count(F.lit(1)).alias("__c"))
     total = hist.agg(F.sum("__c").alias("__n"))
     win = Window.orderBy(F.desc("dsir_weight_e6")).rowsBetween(
